@@ -1,0 +1,74 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is forced with a count() action (no driver-side collect of
+payload rows — the action measures full plan execution). A warmup run
+of a trivial query absorbs JVM/codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from omicidx_gh_etl_spark.queries import REGISTRY
+from omicidx_gh_etl_spark.session import get_spark
+
+# Headline set: the reference-shaped heavy hitters + the scale-path
+# training-data operators. (similarity_pairs_threshold is the n² exact
+# baseline — excluded; dedup_minhash_lsh is its scale-path counterpart.)
+HEADLINE = [
+    "mart_denormalized",       # reference's 49.4M-row join+export analogue
+    "join_fact_accession",     # bronze detail×accessions join
+    "agg_multikey_pricing",    # TPC-H Q1-shape aggregation
+    "dedup_latest_by_key",     # window dedup
+    "explode_tokens_topk",     # unnest + top-k
+    "dedup_exact",
+    "dedup_minhash_lsh",       # sub-quadratic near-dup path
+    "dedup_simhash",
+    "similarity_topk",         # brute-force ANN baseline
+    "similarity_ivf_assign",   # ANN scale path
+    "text_quality",
+    "sessionize_events",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(app_name="bench")
+
+    # Warmup: JVM + parquet reader + codegen paths.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = REGISTRY[name]
+        t0 = time.perf_counter()
+        df = q.builder(spark, sf_dir)
+        df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,239 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators are pure DataFrame/expression compositions (JVM-side,
+whole-stage-codegen'd; no Python UDFs in the hot path):
+
+- ``exact_dedup``            — hash-groupBy exact duplicate clustering
+- ``shingles``               — word n-gram shingling (the common substrate)
+- ``jaccard_pairs``          — exact n-gram Jaccard via shingle-inverted-index
+                               self-join (no O(n²) cross join)
+- ``minhash_lsh_candidates`` — MinHash signatures + LSH banding
+- ``simhash``                — per-document SimHash fingerprint
+- ``latest_by_key``          — window dedup (the reference's documented gap:
+                               "deduplicate by accession + update timestamp",
+                               ebi_biosample/README.md Known Issues #4)
+
+Scale design: every pairwise step goes through an inverted index
+(explode → equi-join on shingle/band hash), so the shuffle keys are
+content hashes — uniformly distributed, skew-free — and the join
+output is proportional to true candidate pairs, not n². That is the
+property that survives 100 TB: a hot shingle is the only blowup risk,
+so callers can cap shingle document-frequency (``max_shingle_df``)
+exactly like production near-dup pipelines drop stop-shingles.
+
+Determinism: hashes are md5-based (not Spark's xxhash64) so a DuckDB
+oracle can reproduce signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def tokens_expr(text_col: str) -> Column:
+    """Whitespace tokens, empties dropped (matches DuckDB
+    ``list_filter(string_split(text,' '), x -> x <> '')``)."""
+    return F.expr(f"filter(split({text_col}, ' '), x -> x != '')")
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact duplicate clusters by content hash.
+
+    Returns one row per distinct content: (fp, keeper=min id, n_copies).
+    Scale: single hash-partition shuffle on the 128-bit fingerprint —
+    perfectly uniform keys, partial aggregation collapses duplicates
+    map-side.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keeper"), F.count("*").alias("n_copies"))
+    )
+
+
+def shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, distinct: bool = True
+) -> DataFrame:
+    """Word ``n``-gram shingle set per document → rows (id, shingle).
+
+    Documents with fewer than ``n`` tokens yield zero shingles
+    (sequence guard — Spark's ``sequence(1,0)`` would descend).
+    """
+    toks = df.select(F.col(id_col), tokens_expr(text_col).alias("t"))
+    # Expression string keeps the construction line-for-line comparable
+    # with the DuckDB oracle SQL. The CASE guards short docs: Spark's
+    # sequence(0, -1) would produce a *descending* sequence, not empty.
+    arr = (
+        f"CASE WHEN size(t) >= {n} THEN "
+        f"transform(sequence(0, size(t) - {n}), i -> {_gram_sql(n)}) "
+        f"ELSE array() END"
+    )
+    if distinct:
+        arr = f"array_distinct({arr})"
+    return toks.select(F.col(id_col), F.explode(F.expr(arr)).alias("shingle"))
+
+
+def _gram_sql(n: int) -> str:
+    parts = ", ".join(f"t[i + {k}]" for k in range(n))
+    return f"concat_ws(' ', {parts})"
+
+
+def jaccard_pairs(
+    shingle_df: DataFrame,
+    id_col: str,
+    threshold: float,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs via inverted-index join.
+
+    (d1, d2, jaccard) for every pair sharing ≥1 shingle with
+    jaccard ≥ threshold, d1 < d2.
+
+    Scale: |output of the self-join| = Σ_shingle df², so extremely
+    common shingles dominate cost; ``max_shingle_df`` drops them (they
+    carry almost no similarity signal), the standard trick at corpus
+    scale.
+    """
+    sh = shingle_df
+    if max_shingle_df is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
+        sh = (
+            sh.join(F.broadcast(freq.filter(F.col("df_") <= max_shingle_df)), "shingle")
+            .drop("df_")
+        )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("d1"), "shingle")
+    b = sh.select(F.col(id_col).alias("d2"), "shingle")
+    inter = (
+        a.join(b, ["shingle"])
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("d1"), F.col("n_sh").alias("n1"))
+    sb = sizes.select(F.col(id_col).alias("d2"), F.col("n_sh").alias("n2"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("n_inter")
+    )
+    return (
+        inter.join(sa, "d1")
+        .join(sb, "d2")
+        .filter(jac >= threshold)
+        .select("d1", "d2", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def minhash_lsh_candidates(
+    shingle_df: DataFrame,
+    id_col: str,
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash + LSH banding candidate pairs (d1 < d2, distinct).
+
+    Signature h_i(doc) = min over shingles of md5(i || ':' || shingle);
+    ``num_hashes`` rows split into ``bands`` bands; docs colliding on
+    any full band signature become candidates.
+
+    Scale: cost is |shingles| × num_hashes rows through two hash
+    aggregations plus a self-join on (band, band_sig) — band signatures
+    are 128-bit hashes, so bucket sizes are true near-dup cluster
+    sizes; no quadratic blowup on non-duplicate data. md5 (not
+    xxhash64) keeps the signature reproducible by the DuckDB oracle.
+    """
+    rows_per_band = num_hashes // bands
+    assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
+    seeded = shingle_df.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
+        F.col("shingle"),
+    )
+    sig = (
+        seeded.select(
+            id_col,
+            "seed",
+            F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy(id_col, "seed")
+        .agg(F.min("h").alias("minh"))
+    )
+    band_sig = (
+        sig.withColumn("band", F.expr(f"seed div {rows_per_band}"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "minh"))),
+                        lambda x: x["minh"],
+                    ),
+                    ",",
+                )
+            ).alias("bsig")
+        )
+    )
+    a = band_sig.select(F.col(id_col).alias("d1"), "band", "bsig")
+    b = band_sig.select(F.col(id_col).alias("d2"), "band", "bsig")
+    return (
+        a.join(b, ["band", "bsig"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
+    """SimHash fingerprint per document → (id, simhash BIGINT).
+
+    Token hash = first 4 md5 hex chars → 16-bit int; each bit
+    contributes ±1 weighted by token frequency; simhash bit j is the
+    sign of the sum. Bit extraction uses floor(h/2^j) % 2 — exact in
+    both engines' doubles for h < 2^16 — instead of engine-specific
+    shift operators, so the oracle reproduces it verbatim.
+
+    Scale: |tokens| × bits intermediate rows, two hash aggregations,
+    no joins. For near-dup *search*, group by simhash or by rotated
+    prefixes (next round).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok")
+    )
+    h = toks.select(
+        id_col,
+        F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("bigint").alias("h16"),
+    )
+    per_bit = (
+        h.select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
+            "h16",
+        )
+        .withColumn(
+            "contrib",
+            F.expr("CASE WHEN CAST(floor(h16 / power(2, j)) AS BIGINT) % 2 = 1 "
+                   "THEN 1 ELSE -1 END"),
+        )
+        .groupBy(id_col, "j")
+        .agg(F.sum("contrib").alias("s"))
+    )
+    return per_bit.groupBy(id_col).agg(
+        F.sum(
+            F.expr("CASE WHEN s > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END")
+        ).alias("simhash")
+    )
+
+
+def latest_by_key(
+    df: DataFrame, key_cols: list[str], order_cols: list[Column]
+) -> DataFrame:
+    """Keep the latest record per key (window dedup).
+
+    ``order_cols`` must be a total order (include a unique tiebreak).
+    Reference gap: ebi_biosample/README.md "Known Issues #4".
+    """
+    w = W.partitionBy(*key_cols).orderBy(*order_cols)
+    return df.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    ).drop("__rn")

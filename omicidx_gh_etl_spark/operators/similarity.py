@@ -1,0 +1,113 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``cosine_sim_expr``  — JVM-side cosine between two array<double> cols
+                         (zip_with product + aggregate sum; no UDF)
+- ``cosine_topk``      — brute-force top-k against one query vector
+                         (the exactness baseline)
+- ``cosine_pairs``     — all-pairs above a threshold (small-n exactness
+                         baseline; quadratic — never the scale path)
+- ``ivf_assign``       — IVF cell assignment: nearest centroid per
+                         vector. The scale path: centroids are a tiny
+                         broadcast table; assignment is a map-only pass,
+                         then ANN search probes only matching cells.
+
+Determinism: similarities are computed in double (float32 inputs cast
+up; products of float32 are exact in double) and rounded to 4 decimals
+before any ordering, with id tiebreaks — the same total order the
+DuckDB oracle produces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def _as_double(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + aggregate — whole-stage-codegen'd."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def cosine_sim_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (F.sqrt(dot_expr(a, a)) * F.sqrt(dot_expr(b, b)))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """Brute-force cosine top-k of ``emb`` against a 1-row query vector.
+
+    Scale: the query side is broadcast (1×dim), so this is a map-only
+    scan + TakeOrderedAndProject — embarrassingly parallel; the
+    exactness baseline ANN variants are judged against.
+    """
+    e = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    q = query.select(_as_double(query_vec_col).alias("qv"))
+    sim = F.round(cosine_sim_expr(F.col("v"), F.col("qv")), 4).alias("cos_sim")
+    return (
+        e.crossJoin(F.broadcast(q))
+        .select(id_col, sim)
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def cosine_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold (d1 < d2). Quadratic — correctness
+    baseline only; use LSH/IVF blocking beyond ~10⁴ vectors."""
+    a = emb.select(F.col(id_col).alias("d1"), _as_double(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("d2"), _as_double(vec_col).alias("vb"))
+    sim = cosine_sim_expr(F.col("va"), F.col("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("d1") < F.col("d2"))
+        .filter(sim >= threshold)
+        .select("d1", "d2", F.round(sim, 4).alias("cos_sim"))
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "cv",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine).
+
+    The IVF building block: centroids broadcast to every executor,
+    assignment is one map-side pass — no shuffle of the big side.
+    Rounded similarity + centroid-id tiebreak gives a deterministic
+    argmax in both engines.
+    """
+    e = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    c = centroids.select(
+        F.col(centroid_id_col), _as_double(centroid_vec_col).alias("cvd")
+    )
+    sim = F.round(cosine_sim_expr(F.col("v"), F.col("cvd")), 4).alias("cos_sim")
+    scored = e.crossJoin(F.broadcast(c)).select(id_col, centroid_id_col, sim)
+    w = W.partitionBy(id_col).orderBy(F.desc("cos_sim"), F.asc(centroid_id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, centroid_id_col, "cos_sim")
+    )

@@ -1,0 +1,97 @@
+"""Text-analysis operators for training-data pipelines.
+
+All JVM-side expressions (no Python in the hot path):
+
+- ``with_token_stats``   — token count, distinct ratio, avg token length
+- ``langid_heuristic``   — n-gram/stopword-ratio language ID
+- ``quality_flag``       — length/diversity quality scoring
+- ``fingerprint``        — normalization + md5 document fingerprint
+                           (whitespace-collapse canonicalization)
+
+Scale: every operator is a map-only projection — no shuffle, fully
+pipelined into whatever scan/write surrounds it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import tokens_expr
+
+# Tiny built-in English marker list; real pipelines plug in a proper
+# profile table (one broadcast join away).
+EN_MARKERS = ("the", "a", "of", "and", "to", "in")
+
+
+def _markers_sql(markers: tuple[str, ...]) -> str:
+    return ", ".join(f"'{m}'" for m in markers)
+
+
+def with_token_stats(df: DataFrame, text_col: str, keep: list[str]) -> DataFrame:
+    """Add n_tokens / n_distinct_tokens / distinct_ratio / avg_token_len."""
+    toks = tokens_expr(text_col)
+    d = df.withColumn("__t", toks)
+    sum_len = F.expr("aggregate(__t, 0L, (acc, x) -> acc + length(x))")
+    return d.select(
+        *keep,
+        F.size("__t").alias("n_tokens"),
+        F.size(F.array_distinct("__t")).alias("n_distinct_tokens"),
+        F.round(
+            F.size(F.array_distinct("__t")).cast("double") / F.size("__t"), 4
+        ).alias("distinct_ratio"),
+        F.round(sum_len.cast("double") / F.size("__t"), 4).alias("avg_token_len"),
+    )
+
+
+def langid_heuristic(
+    df: DataFrame,
+    text_col: str,
+    keep: list[str],
+    markers: tuple[str, ...] = EN_MARKERS,
+    threshold: float = 0.04,
+) -> DataFrame:
+    """Stopword-ratio language ID: share of tokens that are English
+    markers; ≥ threshold → 'en'. A deterministic, corpus-scale-cheap
+    heuristic (stand-in for fasttext-style models, which would be a
+    Pandas UDF)."""
+    toks = tokens_expr(text_col)
+    d = df.withColumn("__t", toks)
+    n_marker = F.expr(
+        f"size(filter(__t, x -> x IN ({_markers_sql(markers)})))"
+    )
+    ratio = F.round(n_marker.cast("double") / F.size("__t"), 4)
+    return d.select(
+        *keep,
+        ratio.alias("marker_ratio"),
+        F.when(ratio >= threshold, "en").otherwise("other").alias("pred_lang"),
+    )
+
+
+def quality_flag(
+    df: DataFrame,
+    text_col: str,
+    keep: list[str],
+    min_tokens: int = 30,
+    min_distinct_ratio: float = 0.2,
+) -> DataFrame:
+    """Quality gate: long enough + lexically diverse enough → 'ok'."""
+    scored = with_token_stats(df, text_col, keep)
+    return scored.withColumn(
+        "quality",
+        F.when(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("distinct_ratio") >= min_distinct_ratio),
+            "ok",
+        ).otherwise("low"),
+    )
+
+
+def fingerprint_expr(text_col: str | Column) -> Column:
+    """Canonical-form md5: lowercase, collapse whitespace runs, trim."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.md5(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")))
+
+
+def fingerprint(df: DataFrame, text_col: str, keep: list[str]) -> DataFrame:
+    return df.select(*keep, fingerprint_expr(text_col).alias("fp"))

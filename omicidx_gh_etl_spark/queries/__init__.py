@@ -1,0 +1,12 @@
+"""Query registry — import all query modules to populate REGISTRY."""
+
+from . import core, llmops  # noqa: F401  (registration side effects)
+from .base import REGISTRY, Query, oracle_queries, register, spark_queries
+
+__all__ = [
+    "REGISTRY",
+    "Query",
+    "register",
+    "spark_queries",
+    "oracle_queries",
+]

@@ -1,0 +1,363 @@
+"""Training-data pipeline operators (dedup / similarity / text /
+multimodal) registered with DuckDB oracles.
+
+These go beyond the reference's own surface (BASELINE.json north star):
+the operators a 100 TB LLM-data pipeline needs, built on the
+``operators`` package. Thresholds were chosen against the synthetic
+corpus: planted near-dups sit at Jaccard ≥ 0.9 vs a 0.07 background;
+embedding cosine tops out ≈ 0.51 on a ≈ N(0, 0.125) background.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, multimodal, similarity, text
+from .base import register
+from .tables import load_table
+
+# Shared oracle CTE: tokenization + distinct trigram shingles.
+# DuckDB arrays are 1-based (t[i]); the Spark side uses 0-based t[i+k]
+# over sequence(0, size-3) — same shingles.
+_SHINGLE_CTE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents),
+sh AS (
+  SELECT doc_id, unnest(CASE WHEN len(t) >= 3 THEN
+      list_distinct(list_transform(generate_series(1, len(t) - 2),
+        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+    ELSE [] END) AS shingle
+  FROM toks)
+"""
+
+_TOKS_CTE = """
+WITH toks AS (
+  SELECT doc_id, source, lang, n_chars,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents)
+"""
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-hash groupBy → keeper + copy count."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d, "text", "doc_id")
+
+
+@register(
+    "dedup_fingerprint",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+    tags=("dedup", "text"),
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalizing document fingerprint (case/whitespace-insensitive md5)."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.fingerprint(d, "text", ["doc_id"])
+
+
+@register(
+    "dedup_ngram_jaccard",
+    _SHINGLE_CTE
+    + """,
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT d1, d2,
+       round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = d1
+JOIN sizes sb ON sb.doc_id = d2
+WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+    """,
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trigram-Jaccard near-dup pairs (inverted-index join, no n²)."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingles(d, "text", "doc_id", n=3)
+    return dedup.jaccard_pairs(sh, "doc_id", threshold=0.5)
+
+
+@register(
+    "dedup_minhash_lsh",
+    _SHINGLE_CTE
+    + """,
+seeded AS (
+  SELECT doc_id, seed, md5(seed || ':' || shingle) AS h
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS seed) seeds),
+sig AS (SELECT doc_id, seed, min(h) AS minh FROM seeded GROUP BY doc_id, seed),
+bands AS (
+  SELECT doc_id, seed // 3 AS band,
+         md5(string_agg(minh, ',' ORDER BY seed)) AS bsig
+  FROM sig GROUP BY doc_id, seed // 3)
+SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+    """,
+    tags=("dedup",),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(12) + LSH(4 bands × 3) near-dup candidate pairs.
+
+    The sub-quadratic scale path validated against dedup_ngram_jaccard.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingles(d, "text", "doc_id", n=3)
+    return dedup.minhash_lsh_candidates(sh, "doc_id", num_hashes=12, bands=4)
+
+
+@register(
+    "dedup_simhash",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+             AS tok
+      FROM documents),
+    h AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 4))::BIGINT AS h16 FROM toks),
+    bits AS (
+      SELECT doc_id, j,
+             sum(CASE WHEN CAST(floor(h16 / power(2, j)) AS BIGINT) % 2 = 1
+                      THEN 1 ELSE -1 END) AS s
+      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) js
+      GROUP BY doc_id, j)
+    SELECT doc_id,
+           sum(CASE WHEN s > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)
+             AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+    tags=("dedup",),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint per document (md5-derived token hashes)."""
+    d = load_table(spark, sf_dir, "documents")
+    out = dedup.simhash(d, "text", "doc_id", bits=16)
+    # DuckDB sum(CASE...) over BIGINT yields HUGEINT→ keep both BIGINT
+    return out.select("doc_id", F.col("simhash").cast("bigint").alias("simhash"))
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@register(
+    "similarity_topk",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+    SELECT vec_id,
+           round({_COS.format(a='v', b='qv')}, 4) AS cos_sim
+    FROM e CROSS JOIN q
+    WHERE vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+    tags=("similarity",),
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against a query vector (ANN exactness
+    baseline; broadcast query → map-only scan + TakeOrdered)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    query = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return similarity.cosine_topk(
+        e.filter(F.col("vec_id") != 0), query, k=10
+    )
+
+
+@register(
+    "similarity_pairs_threshold",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS d1, b.vec_id AS d2,
+           round({_COS.format(a='a.v', b='b.v')}, 4) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_COS.format(a='a.v', b='b.v')} >= 0.4
+    """,
+    tags=("similarity",),
+)
+def similarity_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine ≥ 0.4 (embedding near-dup detection; quadratic
+    correctness baseline — the LSH/IVF path is the scale variant)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs(e, threshold=0.4)
+
+
+@register(
+    "similarity_ivf_assign",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT e.vec_id, c.centroid_id,
+             round({_COS.format(a='v', b='cv')}, 4) AS cos_sim
+      FROM e CROSS JOIN c)
+    SELECT vec_id, centroid_id, cos_sim
+    FROM scored
+    QUALIFY row_number() OVER (
+      PARTITION BY vec_id ORDER BY cos_sim DESC, centroid_id) = 1
+    """,
+    tags=("similarity",),
+)
+def similarity_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell assignment: nearest of 10 centroids per vector
+    (broadcast centroids → map-only argmax; the ANN partitioning step)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+    )
+    return similarity.ivf_assign(e, centroids)
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_langid",
+    _TOKS_CTE
+    + """
+    SELECT doc_id,
+           round(CAST(len(list_filter(t,
+             x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE) / len(t), 4)
+             AS marker_ratio,
+           CASE WHEN round(CAST(len(list_filter(t,
+             x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE) / len(t), 4)
+             >= 0.04 THEN 'en' ELSE 'other' END AS pred_lang
+    FROM toks
+    """,
+    tags=("text",),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language-ID heuristic per document."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.langid_heuristic(d, "text", ["doc_id"])
+
+
+@register(
+    "text_quality",
+    _TOKS_CTE
+    + """
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
+           round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 4)
+             AS distinct_ratio,
+           round(CAST(list_aggregate(list_transform(t, x -> len(x)), 'sum')
+                      AS DOUBLE) / len(t), 4) AS avg_token_len,
+           CASE WHEN len(t) >= 30
+                 AND round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 4)
+                     >= 0.2
+                THEN 'ok' ELSE 'low' END AS quality
+    FROM toks
+    """,
+    tags=("text",),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token count, lexical diversity, avg token length."""
+    d = load_table(spark, sf_dir, "documents")
+    out = text.quality_flag(d, "text", ["doc_id"], min_tokens=30, min_distinct_ratio=0.2)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_distinct_tokens").cast("bigint").alias("n_distinct_tokens"),
+        "distinct_ratio",
+        "avg_token_len",
+        "quality",
+    )
+
+
+@register(
+    "text_token_stats",
+    _TOKS_CTE
+    + """
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(len(t)) AS BIGINT) AS total_tokens,
+           round(CAST(sum(len(t)) AS DOUBLE) / count(*), 4) AS avg_tokens
+    FROM toks GROUP BY source
+    """,
+    tags=("text",),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per source (budgeting/sampling input)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("source", dedup.tokens_expr("text").alias("t"))
+    return toks.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("t").cast("bigint")).alias("total_tokens"),
+        F.round(
+            F.sum(F.size("t").cast("bigint")).cast("double") / F.count("*"), 4
+        ).alias("avg_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_binary_meta",
+    """
+    SELECT doc_id, 'text/plain' AS kind,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary payload + typed metadata struct (schema plumbing)."""
+    d = load_table(spark, sf_dir, "documents")
+    wrapped = multimodal.attach_binary_payload(d, "text", "doc_id")
+    return wrapped.select(
+        "doc_id",
+        F.col("meta.kind").alias("kind"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+
+
+@register(
+    "multimodal_features",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte,
+           CAST(ascii(substr(text, length(text), 1)) AS INT) AS last_byte
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads
+    (mapInPandas; deterministic byte features stand in for decode)."""
+    d = load_table(spark, sf_dir, "documents")
+    wrapped = multimodal.attach_binary_payload(d, "text", "doc_id")
+    return multimodal.extract_features(wrapped, "doc_id")

@@ -1,0 +1,48 @@
+"""Test-table loading with cross-engine semantic normalization.
+
+The driver hands ``queries()`` builders an arbitrary SparkSession, so
+every semantic-affecting conf is (re)pinned here at load time:
+
+- ``spark.sql.session.timeZone=UTC`` — DuckDB timestamps are UTC-naive;
+  any LTZ↔NTZ cast must happen against UTC or values shift.
+- ``spark.sql.legacy.parquet.nanosAsLong=true`` — ``events.parquet``
+  stores INT64 TIMESTAMP(NANOS), which Spark's parquet reader rejects
+  outright ([PARQUET_TYPE_ILLEGAL]). With the legacy conf the column
+  arrives as raw nanos (LongType) and we rebuild the timestamp.
+
+``load_events`` exposes:
+- ``ts``    TIMESTAMP_NTZ — micros precision, == DuckDB's read of the file
+  (DuckDB truncates nanos → micros on read, and ``ts div 1000`` is the
+  same truncation; integer ``div``, not ``/``, because float division
+  loses exactness above 2^53).
+- ``ts_us`` BIGINT epoch micros — the hash-stable form, == ``epoch_us(ts)``
+  in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _pin_session(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table, normalizing engine-specific quirks."""
+    _pin_session(spark)
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts`` rebuilt from INT64 nanos (see module doc)."""
+    _pin_session(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        raw.withColumn("ts_us", F.expr("ts div 1000"))
+        .withColumn("ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    )

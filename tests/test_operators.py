@@ -1,0 +1,120 @@
+"""Unit tests for the operator library on small synthetic frames
+(golden input → exact expected output, mirroring the reference's
+fixture-test style — SURVEY.md §5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from omicidx_gh_etl_spark.operators import dedup, multimodal, similarity, text
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_clusters(spark):
+    df = _docs(
+        spark,
+        [(1, "a b c"), (2, "a b c"), (3, "x y z"), (4, "a b c")],
+    )
+    out = {r["keeper"]: r["n_copies"] for r in dedup.exact_dedup(df, "text", "doc_id").collect()}
+    assert out == {1: 3, 3: 1}
+
+
+def test_shingles_short_doc_empty(spark):
+    df = _docs(spark, [(1, "one two"), (2, "one two three four")])
+    sh = dedup.shingles(df, "text", "doc_id", n=3).collect()
+    by_doc: dict[int, set[str]] = {}
+    for r in sh:
+        by_doc.setdefault(r["doc_id"], set()).add(r["shingle"])
+    assert 1 not in by_doc  # < n tokens → no shingles, no descending-sequence bug
+    assert by_doc[2] == {"one two three", "two three four"}
+
+
+def test_jaccard_pairs_exact_value(spark):
+    # doc1: shingles {a b c, b c d}; doc2: {a b c, b c x} → J = 1/3
+    df = _docs(spark, [(1, "a b c d"), (2, "a b c x")])
+    sh = dedup.shingles(df, "text", "doc_id", n=3)
+    rows = dedup.jaccard_pairs(sh, "doc_id", threshold=0.0).collect()
+    assert len(rows) == 1
+    assert rows[0]["d1"] == 1 and rows[0]["d2"] == 2
+    assert abs(rows[0]["jaccard"] - round(1 / 3, 4)) < 1e-9
+
+
+def test_minhash_identical_docs_are_candidates(spark):
+    df = _docs(
+        spark,
+        [(1, "w1 w2 w3 w4 w5 w6"), (2, "w1 w2 w3 w4 w5 w6"), (3, "q r s t u v")],
+    )
+    sh = dedup.shingles(df, "text", "doc_id", n=3)
+    pairs = {(r["d1"], r["d2"]) for r in
+             dedup.minhash_lsh_candidates(sh, "doc_id").collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_simhash_identical_docs_equal(spark):
+    df = _docs(spark, [(1, "a b c d e"), (2, "a b c d e"), (3, "v w x y z")])
+    out = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df, "text", "doc_id").collect()}
+    assert out[1] == out[2]
+    assert 0 <= out[1] < 2**16
+
+
+def test_latest_by_key(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "old"), (1, 20, "new"), (2, 5, "only")],
+        "k long, v long, tag string",
+    )
+    out = dedup.latest_by_key(df, ["k"], [F.desc("v")]).collect()
+    assert {(r["k"], r["tag"]) for r in out} == {(1, "new"), (2, "only")}
+
+
+def test_cosine_topk_orthonormal(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.7071, 0.7071])],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame([([1.0, 0.0],)], "qv array<double>")
+    rows = similarity.cosine_topk(emb, q, k=2).collect()
+    assert [r["vec_id"] for r in rows] == [1, 3]
+    assert rows[0]["cos_sim"] == 1.0
+
+
+def test_ivf_assign_picks_nearest(spark):
+    emb = spark.createDataFrame(
+        [(10, [1.0, 0.1]), (11, [0.1, 1.0])], "vec_id long, embedding array<double>"
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "centroid_id long, cv array<double>"
+    )
+    out = {r["vec_id"]: r["centroid_id"] for r in similarity.ivf_assign(emb, cents).collect()}
+    assert out == {10: 0, 11: 1}
+
+
+def test_langid_marker_ratio(spark):
+    df = _docs(spark, [(1, "the cat in the hat"), (2, "zzz qqq www")])
+    out = {r["doc_id"]: r["pred_lang"] for r in
+           text.langid_heuristic(df, "text", ["doc_id"]).collect()}
+    assert out == {1: "en", 2: "other"}
+
+
+def test_fingerprint_normalizes_whitespace_case(spark):
+    df = _docs(spark, [(1, "Hello  World"), (2, "hello world"), (3, "other")])
+    out = {r["doc_id"]: r["fp"] for r in text.fingerprint(df, "text", ["doc_id"]).collect()}
+    assert out[1] == out[2] != out[3]
+
+
+def test_multimodal_feature_batch(spark):
+    df = _docs(spark, [(1, "abc"), (2, "xyz!")])
+    wrapped = multimodal.attach_binary_payload(df, "text", "doc_id")
+    out = {r["doc_id"]: (r["n_bytes"], r["first_byte"], r["last_byte"])
+           for r in multimodal.extract_features(wrapped).collect()}
+    assert out == {1: (3, ord("a"), ord("c")), 2: (4, ord("x"), ord("!"))}
+
+
+def test_decode_image_is_stubbed():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")

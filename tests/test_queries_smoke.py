@@ -1,0 +1,35 @@
+"""Smoke: every registered query builds and executes at sf0.001, and
+the registry satisfies the driver contract."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from omicidx_gh_etl_spark.queries import REGISTRY
+
+
+def test_registry_nonempty():
+    assert len(REGISTRY) >= 40
+
+
+def test_driver_contract_shapes():
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # every oracle-less query is a deliberate rows-only check
+    assert all(isinstance(sql, str) and sql.strip() for sql in oracles.values())
+
+
+def test_entry_flagship(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert {"o_orderkey", "nation", "region"} <= set(df.columns)
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_executes(spark, sf_dir, name):
+    df = REGISTRY[name].builder(spark, sf_dir)
+    # count() forces the whole plan; queries may legitimately return 0
+    # rows at smoke scale (e.g. near-dup pairs) — executing is the test.
+    assert df.count() >= 0
