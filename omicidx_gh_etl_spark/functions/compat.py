@@ -28,11 +28,13 @@ from pyspark.sql import functions as F
 def array_get_1based(col: Column | str, index: int) -> Column:
     """1-based array element access matching DuckDB ``arr[i]``.
 
-    ``element_at`` is 1-based and returns NULL for out-of-range, which
-    matches DuckDB list indexing (also NULL out-of-range).
+    ``try_element_at`` is 1-based and returns NULL for out-of-range,
+    matching DuckDB list indexing. (Plain ``element_at`` THROWS
+    out-of-range under Spark 4's default ANSI mode — a semantic trap on
+    top of the 0-vs-1-based one.)
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.element_at(c, index)
+    return F.try_element_at(c, F.lit(index))
 
 
 def iso8601_to_timestamp(col: Column | str) -> Column:
