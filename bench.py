@@ -48,13 +48,19 @@ def main() -> None:
     # Warmup: JVM + parquet reader + codegen paths.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    # Two iterations per query, report the warm (min) time: the first
+    # run pays one-off JVM/JIT/codegen costs that local-mode micro-scale
+    # timings are otherwise dominated by.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = REGISTRY[name]
-        t0 = time.perf_counter()
-        df = q.builder(spark, sf_dir)
-        df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = q.builder(spark, sf_dir)
+            df.count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

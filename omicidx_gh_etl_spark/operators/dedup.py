@@ -137,43 +137,52 @@ def minhash_lsh_candidates(
     ``num_hashes`` rows split into ``bands`` bands; docs colliding on
     any full band signature become candidates.
 
-    Scale: cost is |shingles| × num_hashes rows through two hash
-    aggregations plus a self-join on (band, band_sig) — band signatures
-    are 128-bit hashes, so bucket sizes are true near-dup cluster
-    sizes; no quadratic blowup on non-duplicate data. md5 (not
-    xxhash64) keeps the signature reproducible by the DuckDB oracle.
+    Scale: ONE shuffle. Each shingle row computes its ``num_hashes``
+    md5s as an array projection (map-side, codegen'd); a single
+    groupBy(id) with per-seed MIN aggregates — partial aggregation
+    collapses each map partition to one signature row per doc before
+    the exchange — yields the full signature; band signatures are then
+    derived column-wise (no second aggregation, unlike the naive
+    sig→band two-shuffle formulation) and self-joined on (band, bsig).
+    Band signatures are 128-bit hashes, so bucket sizes are true
+    near-dup cluster sizes — no quadratic blowup on non-duplicate
+    data. md5 (not Spark's xxhash64) keeps signatures reproducible by
+    the DuckDB oracle.
     """
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
-    seeded = shingle_df.select(
+    hashed = shingle_df.select(
         F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
-        F.col("shingle"),
+        *[
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle"))).alias(f"h{seed}")
+            for seed in range(num_hashes)
+        ],
     )
-    sig = (
-        seeded.select(
-            id_col,
-            "seed",
-            F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))).alias("h"),
-        )
-        .groupBy(id_col, "seed")
-        .agg(F.min("h").alias("minh"))
+    sig = hashed.groupBy(id_col).agg(
+        *[F.min(f"h{seed}").alias(f"minh{seed}") for seed in range(num_hashes)]
     )
-    band_sig = (
-        sig.withColumn("band", F.expr(f"seed div {rows_per_band}"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "minh"))),
-                        lambda x: x["minh"],
-                    ),
-                    ",",
-                )
-            ).alias("bsig")
-        )
-    )
+    band_sig = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"minh{b * rows_per_band + r}")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bsig"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig"))
     a = band_sig.select(F.col(id_col).alias("d1"), "band", "bsig")
     b = band_sig.select(F.col(id_col).alias("d2"), "band", "bsig")
     return (

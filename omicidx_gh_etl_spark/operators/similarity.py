@@ -98,6 +98,14 @@ def ivf_assign(
     assignment is one map-side pass — no shuffle of the big side.
     Rounded similarity + centroid-id tiebreak gives a deterministic
     argmax in both engines.
+
+    The argmax is a MAX-of-struct aggregate, not a ranking window: all
+    k candidate rows for a vector are partition-local (broadcast cross
+    join), so partial aggregation reduces them to one row per vector
+    *before* the exchange — the shuffle carries |vectors| rows instead
+    of |vectors|×k sorted by a window. Struct comparison is
+    lexicographic: (cos_sim, -centroid_id) ⇒ highest similarity,
+    lowest centroid id on rounded ties.
     """
     e = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
     c = centroids.select(
@@ -105,9 +113,17 @@ def ivf_assign(
     )
     sim = F.round(cosine_sim_expr(F.col("v"), F.col("cvd")), 4).alias("cos_sim")
     scored = e.crossJoin(F.broadcast(c)).select(id_col, centroid_id_col, sim)
-    w = W.partitionBy(id_col).orderBy(F.desc("cos_sim"), F.asc(centroid_id_col))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, centroid_id_col, "cos_sim")
+    best = scored.groupBy(id_col).agg(
+        F.max(
+            F.struct(
+                F.col("cos_sim"),
+                (-F.col(centroid_id_col)).alias("neg_cid"),
+                F.col(centroid_id_col),
+            )
+        ).alias("best")
+    )
+    return best.select(
+        id_col,
+        F.col(f"best.{centroid_id_col}").alias(centroid_id_col),
+        F.col("best.cos_sim").alias("cos_sim"),
     )

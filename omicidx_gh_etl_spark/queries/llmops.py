@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup, multimodal, similarity, text
 from .base import register
-from .tables import load_table
+from .tables import load_spread, load_table
 
 # Shared oracle CTE: tokenization + distinct trigram shingles.
 # DuckDB arrays are 1-based (t[i]); the Spark side uses 0-based t[i+k]
@@ -95,7 +95,7 @@ WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact trigram-Jaccard near-dup pairs (inverted-index join, no n²)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents", "doc_id")
     sh = dedup.shingles(d, "text", "doc_id", n=3)
     return dedup.jaccard_pairs(sh, "doc_id", threshold=0.5)
 
@@ -123,7 +123,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The sub-quadratic scale path validated against dedup_ngram_jaccard.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents", "doc_id")
     sh = dedup.shingles(d, "text", "doc_id", n=3)
     return dedup.minhash_lsh_candidates(sh, "doc_id", num_hashes=12, bands=4)
 
@@ -152,7 +152,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash fingerprint per document (md5-derived token hashes)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents", "doc_id")
     out = dedup.simhash(d, "text", "doc_id", bits=16)
     # DuckDB sum(CASE...) over BIGINT yields HUGEINT→ keep both BIGINT
     return out.select("doc_id", F.col("simhash").cast("bigint").alias("simhash"))
@@ -206,7 +206,7 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs cosine ≥ 0.4 (embedding near-dup detection; quadratic
     correctness baseline — the LSH/IVF path is the scale variant)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_spread(spark, sf_dir, "embeddings", "vec_id")
     return similarity.cosine_pairs(e, threshold=0.4)
 
 
@@ -358,6 +358,6 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads
     (mapInPandas; deterministic byte features stand in for decode)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents", "doc_id")
     wrapped = multimodal.attach_binary_payload(d, "text", "doc_id")
     return multimodal.extract_features(wrapped, "doc_id")

@@ -37,6 +37,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_spread(
+    spark: SparkSession, sf_dir: str, name: str, key: str
+) -> DataFrame:
+    """Load a table and hash-repartition it across all cores.
+
+    For compute-heavy operators (shingling, hashing, vector math) over
+    tables that arrive as a single small parquet file: the scan yields
+    1-2 input partitions, serializing the expensive projection. One
+    cheap shuffle of the narrow input buys full-cluster parallelism on
+    the hot path. On a real 100 TB layout inputs are already
+    many-files/many-partitions and this becomes a no-op cost-wise;
+    keying by the row id keeps downstream per-id aggregations
+    co-partitioned.
+    """
+    df = load_table(spark, sf_dir, name)
+    return df.repartition(spark.sparkContext.defaultParallelism, key)
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ``ts`` rebuilt from INT64 nanos (see module doc)."""
     _pin_session(spark)
