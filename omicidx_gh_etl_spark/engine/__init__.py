@@ -1,4 +1,13 @@
+from .catalog import (
+    build_catalog_json,
+    catalog_global_stats,
+    catalog_per_table_stats,
+    scan_parquet_metadata,
+    write_catalog,
+    write_catalog_json,
+)
 from .dag import DagCycleError, downstream_closure, topo_sort, upstream_closure
+from .intervals import Interval, IntervalStore, daily_intervals, monthly_intervals
 from .runner import RunResult, WarehouseRunner
 
 __all__ = [
@@ -8,4 +17,14 @@ __all__ = [
     "DagCycleError",
     "WarehouseRunner",
     "RunResult",
+    "scan_parquet_metadata",
+    "catalog_global_stats",
+    "catalog_per_table_stats",
+    "write_catalog",
+    "build_catalog_json",
+    "write_catalog_json",
+    "Interval",
+    "IntervalStore",
+    "daily_intervals",
+    "monthly_intervals",
 ]

@@ -1,0 +1,126 @@
+"""Data catalog: parquet footer statistics + published catalog.json.
+
+Re-implements the reference's catalog module (omicidx_etl/catalog.py:43-81):
+``parquet_metadata('**/*.parquet')`` → one row per row group with
+file/row/byte stats, persisted as catalog.parquet, plus the summary
+queries it documents (catalog.py:61-68 global stats, :130-139 per-table
+rollup) — and the deploy-time ``catalog.json`` artifact
+(DEPLOYMENT.md:73-83: name, path, row count, schema per published
+table; engine-neutral so DuckDB/Spark consumers both work).
+
+Scale: footer reads are metadata-only (no data pages). They run
+distributed — the file list is parallelized across executors and each
+task reads only footers via pyarrow. At 100 TB / ~100k files this is
+seconds, not hours, and never touches row data.
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timezone
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ROWGROUP_SCHEMA = (
+    "file_name string, row_group_id int, num_rows long, "
+    "total_byte_size long, num_columns int"
+)
+
+
+def scan_parquet_metadata(spark: SparkSession, root: str) -> DataFrame:
+    """Row-group-level stats for every parquet file under ``root``.
+
+    Equivalent of DuckDB ``parquet_metadata('<root>/**/*.parquet')``
+    (catalog.py:43-58). Footer reads are fanned out over executors with
+    mapInPandas — the driver only lists paths.
+    """
+    files = sorted(str(p) for p in Path(root).rglob("*.parquet") if p.is_file())
+    if not files:
+        return spark.createDataFrame([], ROWGROUP_SCHEMA)
+    paths_df = spark.createDataFrame([(f,) for f in files], "path string").repartition(
+        min(len(files), spark.sparkContext.defaultParallelism)
+    )
+
+    def _read_footers(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for path in pdf["path"]:
+                md = pq.ParquetFile(path).metadata
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    out.append(
+                        (path, rg, g.num_rows, g.total_byte_size, md.num_columns)
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "file_name", "row_group_id", "num_rows",
+                    "total_byte_size", "num_columns",
+                ],
+            )
+
+    return paths_df.mapInPandas(_read_footers, ROWGROUP_SCHEMA)
+
+
+def catalog_global_stats(meta: DataFrame) -> DataFrame:
+    """Global rollup (catalog.py:61-68): files, rows, bytes, row groups."""
+    return meta.agg(
+        F.countDistinct("file_name").alias("n_files"),
+        F.sum("num_rows").alias("total_rows"),
+        F.sum("total_byte_size").alias("total_bytes"),
+        F.count("*").alias("n_row_groups"),
+    )
+
+
+def catalog_per_table_stats(meta: DataFrame) -> DataFrame:
+    """Per-table rollup keyed on the parent directory name
+    (catalog.py:130-139: GROUP BY regexp_extract(file_name, dir))."""
+    table = F.regexp_extract("file_name", r".*/([^/]+)/[^/]+$", 1).alias("table_name")
+    return (
+        meta.groupBy(table)
+        .agg(
+            F.countDistinct("file_name").alias("n_files"),
+            F.sum("num_rows").alias("row_count"),
+            F.sum("total_byte_size").alias("total_bytes"),
+        )
+        .orderBy(F.desc("row_count"), F.asc("table_name"))
+    )
+
+
+def write_catalog(meta: DataFrame, out_path: str) -> None:
+    """Persist the row-group catalog (catalog.py:70-81 COPY TO)."""
+    meta.write.mode("overwrite").option("compression", "zstd").parquet(out_path)
+
+
+def build_catalog_json(
+    spark: SparkSession,
+    export_root: str,
+    base_url: str = "",
+    version: str = "1",
+) -> dict:
+    """The deploy artifact: one entry per published table with path,
+    row count and schema (DEPLOYMENT.md:73-83, EXPORT_DEPLOYMENT.md:288-302).
+    ``base_url`` prefixes paths for remote (HTTPS/S3) consumers."""
+    tables = {}
+    root = Path(export_root)
+    for tdir in sorted(p for p in root.iterdir() if p.is_dir()) if root.exists() else []:
+        df = spark.read.parquet(str(tdir))
+        tables[tdir.name] = {
+            "path": f"{base_url}{tdir.name}" if base_url else str(tdir),
+            "row_count": df.count(),
+            "schema": {f.name: f.dataType.simpleString() for f in df.schema.fields},
+        }
+    return {
+        "version": version,
+        "generated_at": datetime.now(timezone.utc).isoformat(),
+        "tables": tables,
+    }
+
+
+def write_catalog_json(catalog: dict, path: str) -> None:
+    Path(path).write_text(json.dumps(catalog, indent=2))

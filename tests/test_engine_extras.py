@@ -1,0 +1,140 @@
+"""Tests: catalog stats, interval planner, streaming windows, XML UDTF."""
+
+from __future__ import annotations
+
+import datetime as dt
+import gzip
+
+from omicidx_gh_etl_spark.engine.catalog import (
+    build_catalog_json,
+    catalog_global_stats,
+    catalog_per_table_stats,
+    scan_parquet_metadata,
+)
+from omicidx_gh_etl_spark.engine.intervals import (
+    Interval,
+    IntervalStore,
+    daily_intervals,
+    monthly_intervals,
+)
+from omicidx_gh_etl_spark.sources.xml_extract import extract_experiments
+from omicidx_gh_etl_spark.streaming import run_streaming_window_counts
+
+D = dt.date
+
+
+# -- catalog ----------------------------------------------------------------
+
+
+def test_parquet_metadata_catalog(spark, tmp_path):
+    for name, n in [("alpha", 10), ("beta", 25)]:
+        spark.range(n).write.parquet(str(tmp_path / "data" / name))
+    meta = scan_parquet_metadata(spark, str(tmp_path / "data"))
+    g = catalog_global_stats(meta).collect()[0]
+    assert g["total_rows"] == 35
+    assert g["n_files"] >= 2
+    per = {r["table_name"]: r["row_count"] for r in catalog_per_table_stats(meta).collect()}
+    assert per == {"beta": 25, "alpha": 10}
+
+
+def test_catalog_json(spark, tmp_path):
+    export = tmp_path / "export"
+    spark.range(7).write.parquet(str(export / "mart_table"))
+    cat = build_catalog_json(spark, str(export), base_url="https://pub.example/")
+    assert cat["tables"]["mart_table"]["row_count"] == 7
+    assert cat["tables"]["mart_table"]["path"] == "https://pub.example/mart_table"
+    assert cat["tables"]["mart_table"]["schema"] == {"id": "bigint"}
+
+
+def test_catalog_empty_root(spark, tmp_path):
+    meta = scan_parquet_metadata(spark, str(tmp_path / "nothing"))
+    assert meta.count() == 0
+
+
+# -- interval planner --------------------------------------------------------
+
+
+def test_daily_intervals_inclusive():
+    ivs = daily_intervals(D(2024, 1, 30), D(2024, 2, 2))
+    assert [i.start for i in ivs] == [D(2024, 1, 30), D(2024, 1, 31), D(2024, 2, 1), D(2024, 2, 2)]
+    assert all(i.start == i.end for i in ivs)
+
+
+def test_monthly_intervals_clipped():
+    ivs = monthly_intervals(D(2024, 1, 15), D(2024, 3, 10))
+    assert ivs == [
+        Interval(D(2024, 1, 15), D(2024, 1, 31)),
+        Interval(D(2024, 2, 1), D(2024, 2, 29)),
+        Interval(D(2024, 3, 1), D(2024, 3, 10)),
+    ]
+
+
+def test_interval_store_missing(spark, tmp_path):
+    store = IntervalStore(spark, str(tmp_path))
+    missing = store.missing_intervals("m", D(2024, 1, 1), D(2024, 1, 3))
+    assert len(missing) == 3
+    store.record("m", missing[:2])
+    left = store.missing_intervals("m", D(2024, 1, 1), D(2024, 1, 3))
+    assert [i.start for i in left] == [D(2024, 1, 3)]
+    # other models unaffected
+    assert len(store.missing_intervals("other", D(2024, 1, 1), D(2024, 1, 3))) == 3
+
+
+# -- streaming ----------------------------------------------------------------
+
+
+def test_streaming_window_counts_matches_batch(spark, sf_dir):
+    from omicidx_gh_etl_spark.queries.tables import load_events
+    from pyspark.sql import functions as F
+
+    out = run_streaming_window_counts(spark, f"{sf_dir}/events.parquet")
+    batch = (
+        load_events(spark, sf_dir)
+        .groupBy(F.window("ts", "5 minutes").start.alias("window_start"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    got = {(r["window_start"], r["event_type"]): r["n"] for r in out.collect()}
+    want = {(r["window_start"], r["event_type"]): r["n"] for r in batch.collect()}
+    assert got == want and len(got) > 0
+
+
+# -- XML extractor UDTF --------------------------------------------------------
+
+_XML = """<?xml version="1.0"?>
+<EXPERIMENT_SET>
+  <EXPERIMENT accession="SRX10" center_name="CENTER_A">
+    <TITLE>exp ten</TITLE>
+    <STUDY_REF accession="SRP7"/>
+    <DESIGN><SAMPLE_DESCRIPTOR accession="SRS9"/></DESIGN>
+    <PLATFORM><ILLUMINA><INSTRUMENT_MODEL>X</INSTRUMENT_MODEL></ILLUMINA></PLATFORM>
+    <EXPERIMENT_ATTRIBUTES>
+      <EXPERIMENT_ATTRIBUTE><TAG>k1</TAG><VALUE>v1</VALUE></EXPERIMENT_ATTRIBUTE>
+      <EXPERIMENT_ATTRIBUTE><TAG>k2</TAG><VALUE>v2</VALUE></EXPERIMENT_ATTRIBUTE>
+    </EXPERIMENT_ATTRIBUTES>
+  </EXPERIMENT>
+  <EXPERIMENT accession="SRX11">
+    <TITLE>no attrs</TITLE>
+  </EXPERIMENT>
+</EXPERIMENT_SET>
+"""
+
+
+def test_extract_experiments_from_xml(spark, tmp_path):
+    (tmp_path / "a.xml").write_text(_XML)
+    with gzip.open(tmp_path / "b.xml.gz", "wt") as fh:
+        fh.write(_XML.replace("SRX10", "SRX20").replace("SRX11", "SRX21"))
+    df = extract_experiments(spark, str(tmp_path))
+    rows = {r["accession"]: r for r in df.collect()}
+    assert set(rows) == {"SRX10", "SRX11", "SRX20", "SRX21"}
+    r = rows["SRX10"]
+    assert r["study_accession"] == "SRP7"
+    assert r["sample_accession"] == "SRS9"
+    assert r["platform"] == "ILLUMINA"
+    assert [a["tag"] for a in r["attributes"]] == ["k1", "k2"]
+    # normalize_record: missing attribute list → [], never null (D2)
+    assert rows["SRX11"]["attributes"] == []
+    assert rows["SRX11"]["platform"] is None
+
+
+def test_extract_experiments_empty_dir(spark, tmp_path):
+    assert extract_experiments(spark, str(tmp_path)).count() == 0
