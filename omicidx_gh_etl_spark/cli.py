@@ -1,0 +1,157 @@
+"""Warehouse CLI — the engine's analogue of ``oidx warehouse ...``
+(reference consumer contract: omicidx_etl/warehouse_cli.py:64-205,
+537-595).
+
+Commands:
+  plan     — dry-run: print the topo-ordered model plan
+  run      — execute models for a [start, end] window
+  history  — recent model runs from meta.model_runs
+  catalog  — parquet row-group stats rollup for a data directory
+  deploy   — write catalog.json over an export root
+
+Usage:
+  python -m omicidx_gh_etl_spark.cli run --data-root D --warehouse-root W \\
+      [--start 2001-01-01] [--end 2026-01-01] [--select model ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(args: argparse.Namespace):
+    from .session import get_spark
+
+    return get_spark(app_name=f"warehouse-{args.cmd}", cpus=args.cpus)
+
+
+def _runner(args: argparse.Namespace):
+    from .engine import WarehouseRunner
+    from .models import REGISTRY
+
+    return WarehouseRunner(
+        spark=_spark(args),
+        registry=REGISTRY,
+        data_root=args.data_root,
+        warehouse_root=args.warehouse_root,
+        export_root=args.export_root,
+    )
+
+
+def cmd_plan(args: argparse.Namespace) -> int:
+    from .engine import topo_sort
+    from .models import REGISTRY
+
+    if args.select:
+        plan = _runner(args).plan(select=args.select)
+    else:
+        plan = topo_sort(REGISTRY.dependency_edges())
+    for i, name in enumerate(plan, 1):
+        m = REGISTRY.get(name)
+        extra = f" [{m.kind}" + (f", time={m.time_column}" if m.time_column else "") + "]"
+        print(f"{i:3d}. {name}{extra}")
+    return 0
+
+
+def cmd_run(args: argparse.Namespace) -> int:
+    runner = _runner(args)
+    results = runner.run(
+        start_ds=args.start, end_ds=args.end, select=args.select or None,
+        fail_fast=not args.no_fail_fast,
+    )
+    failed = False
+    for r in results:
+        rows = "" if r.rows_affected is None else f" rows={r.rows_affected}"
+        err = f" error={r.error}" if r.error else ""
+        print(f"{r.status:8s} {r.model:40s} {r.seconds:8.2f}s{rows}{err}")
+        failed |= r.status == "failed"
+    return 1 if failed else 0
+
+
+def cmd_history(args: argparse.Namespace) -> int:
+    runner = _runner(args)
+    for r in runner.run_history(limit=args.limit).collect():
+        print(
+            f"{r['started_at']} {r['status']:8s} {r['model']:40s} "
+            f"{r['seconds']:8.2f}s hash={r['plan_hash']}"
+        )
+    return 0
+
+
+def cmd_catalog(args: argparse.Namespace) -> int:
+    from .engine import catalog_global_stats, catalog_per_table_stats, scan_parquet_metadata
+
+    spark = _spark(args)
+    meta = scan_parquet_metadata(spark, args.path)
+    g = catalog_global_stats(meta).collect()[0]
+    print(
+        f"files={g['n_files']} rows={g['total_rows']} "
+        f"bytes={g['total_bytes']} row_groups={g['n_row_groups']}"
+    )
+    for r in catalog_per_table_stats(meta).collect():
+        print(
+            f"  {r['table_name'] or '<root>':30s} files={r['n_files']:<6d} "
+            f"rows={r['row_count']:<12d} bytes={r['total_bytes']}"
+        )
+    return 0
+
+
+def cmd_deploy(args: argparse.Namespace) -> int:
+    from .engine import build_catalog_json, write_catalog_json
+
+    spark = _spark(args)
+    cat = build_catalog_json(spark, args.export_root, base_url=args.base_url)
+    out = args.out or f"{args.export_root}/catalog.json"
+    write_catalog_json(cat, out)
+    print(json.dumps({"catalog": out, "tables": len(cat["tables"])}))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="omicidx-spark-warehouse", description=__doc__)
+    p.add_argument("--cpus", type=int, default=None, help="local[N] cores")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--data-root", required=True)
+        sp.add_argument("--warehouse-root", required=True)
+        sp.add_argument("--export-root", default=None)
+        sp.add_argument("--select", nargs="*", default=None, help="target models")
+
+    sp = sub.add_parser("plan", help="dry-run the model DAG")
+    common(sp)
+    sp.set_defaults(fn=cmd_plan)
+
+    sp = sub.add_parser("run", help="execute models over a date window")
+    common(sp)
+    sp.add_argument("--start", default="2001-01-01")
+    sp.add_argument("--end", default=None)
+    sp.add_argument("--no-fail-fast", action="store_true")
+    sp.set_defaults(fn=cmd_run)
+
+    sp = sub.add_parser("history", help="recent model runs")
+    common(sp)
+    sp.add_argument("--limit", type=int, default=20)
+    sp.set_defaults(fn=cmd_history)
+
+    sp = sub.add_parser("catalog", help="parquet metadata stats for a directory")
+    sp.add_argument("path")
+    sp.set_defaults(fn=cmd_catalog)
+
+    sp = sub.add_parser("deploy", help="write catalog.json for an export root")
+    sp.add_argument("--export-root", required=True)
+    sp.add_argument("--base-url", default="")
+    sp.add_argument("--out", default=None)
+    sp.set_defaults(fn=cmd_deploy)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

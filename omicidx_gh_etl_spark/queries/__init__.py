@@ -1,6 +1,6 @@
 """Query registry — import all query modules to populate REGISTRY."""
 
-from . import core, llmops, streaming_ops  # noqa: F401  (registration side effects)
+from . import advanced, core, llmops, streaming_ops  # noqa: F401  (registration)
 from .base import REGISTRY, Query, oracle_queries, register, spark_queries
 
 __all__ = [

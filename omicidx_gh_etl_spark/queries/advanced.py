@@ -1,0 +1,247 @@
+"""Advanced / beyond-parity operators: schema evolution, OLAP rollup,
+exact percentiles, as-of join, BPE-ish tokenization, id mapping,
+embedding centroids.
+
+Same parity rules as queries/base.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .base import register
+from .tables import load_events, load_spread, load_table
+
+# --------------------------------------------------------------------------
+# Schema evolution (U2 / S2): union-by-name with missing columns
+# --------------------------------------------------------------------------
+
+
+@register(
+    "union_by_name_evolution",
+    """
+    SELECT * FROM (
+      SELECT o_orderkey AS key, o_totalprice AS price FROM orders
+      WHERE o_orderstatus = 'F'
+      UNION ALL BY NAME
+      SELECT o_orderkey AS key, o_orderpriority AS priority FROM orders
+      WHERE o_orderstatus = 'O')
+    """,
+    tags=("U2", "S2"),
+)
+def union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: files/frames with different column sets
+    combine by name, absent columns become NULL.
+
+    Reference: ``union_by_name := true`` on every multi-file scan
+    (main.sql:3, raw/src_geo_samples.sql:36; FIXTURES.md §8.6).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("key"), F.col("o_totalprice").alias("price")
+    )
+    b = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderkey").alias("key"), F.col("o_orderpriority").alias("priority")
+    )
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+# --------------------------------------------------------------------------
+# OLAP extensions: rollup, exact percentile
+# --------------------------------------------------------------------------
+
+
+@register(
+    "rollup_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("A10", "olap"),
+)
+def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (subtotal + grand-total rows with NULL
+    group keys — identical semantics in both engines)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+    )
+
+
+@register(
+    "median_value_by_type",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS median_value,
+           round(quantile_cont(value, 0.9), 4) AS p90_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("A10", "olap"),
+)
+def median_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``; approx_percentile is the 100TB-scale
+    variant when exactness isn't required)."""
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("median_value"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# As-of join — the canonical "operator Spark lacks" (pyspark_guide.md
+# Common OLAP patterns), composed from built-in ops
+# --------------------------------------------------------------------------
+
+
+@register(
+    "asof_join_last_signup",
+    """
+    WITH tagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN event_type = 'signup' THEN ts END AS signup_ts
+      FROM events WHERE event_type IN ('signup', 'purchase')),
+    filled AS (
+      SELECT user_id, event_id, ts, event_type,
+             max(signup_ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_signup_ts
+      FROM tagged)
+    SELECT user_id, event_id, epoch_us(ts) AS purchase_ts_us,
+           epoch_us(last_signup_ts) AS signup_ts_us
+    FROM filled WHERE event_type = 'purchase'
+    """,
+    tags=("asof", "W5"),
+)
+def asof_join_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent
+    prior-or-equal signup.
+
+    Spark has no native ASOF JOIN; the scalable composition is the
+    union-and-fill: tag the right stream's timestamp into a nullable
+    column, running MAX over event time forward-fills it, then keep
+    left rows. ONE shuffle on the join key — same cost as a regular
+    sorted merge, no per-group pandas (`merge_asof`) needed. Monotone
+    MAX keeps it order-exact (no float issues).
+    """
+    ev = load_events(spark, sf_dir).filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    tagged = ev.withColumn(
+        "signup_ts", F.when(F.col("event_type") == "signup", F.col("ts"))
+    )
+    fill = (
+        W.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = tagged.withColumn("last_signup_ts", F.max("signup_ts").over(fill))
+    return filled.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        F.col("ts_us").alias("purchase_ts_us"),
+        F.expr("unix_micros(cast(last_signup_ts as timestamp))").alias("signup_ts_us"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Text: BPE-ish regex tokenization; id↔accession mapping (F10)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_bpe_tokens",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+                AS BIGINT) AS n_bpe_tokens,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                AS BIGINT) AS n_ws_tokens
+    FROM documents
+    """,
+    tags=("text",),
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace and a BPE-ish regex
+    (letter-runs | digit-runs | single punctuation) — the budget
+    estimator pattern for training corpora. Pattern kept to a
+    RE2/Java-regex common subset so both engines agree."""
+    d = load_table(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), 0)
+    ws = F.expr("filter(split(text, ' '), x -> x != '')")
+    return d.select(
+        "doc_id",
+        F.size(bpe).cast("bigint").alias("n_bpe_tokens"),
+        F.size(ws).cast("bigint").alias("n_ws_tokens"),
+    )
+
+
+@register(
+    "id_accession_mapping",
+    """
+    SELECT doc_id,
+           'GSE' || regexp_replace(CAST(200000000 + doc_id AS VARCHAR),
+                                   '^20*', '') AS accession
+    FROM documents
+    """,
+    tags=("F10",),
+)
+def id_accession_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-id ↔ accession prefix mapping (entrez id 200012345 →
+    GSE12345; geo/extract.py:171-179)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lit("GSE"),
+            F.regexp_replace(
+                (F.lit(200000000) + F.col("doc_id")).cast("string"), r"^20*", ""
+            ),
+        ).alias("accession"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Embeddings: per-label centroids (k-means-style reduce step)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "embedding_centroids",
+    """
+    SELECT label, pos,
+           round(CAST(sum(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6)
+             AS mean_val
+    FROM (
+      SELECT label, j AS pos, CAST(embedding[j + 1] AS DOUBLE) AS v
+      FROM embeddings
+      CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) js)
+    GROUP BY label, pos
+    """,
+    tags=("similarity", "ml"),
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label element-wise centroid (the k-means reduce step /
+    class-prototype builder), exploded to (label, pos, mean).
+
+    DECIMAL(20,10) sums make the float mean order-exact (the same
+    trick as money columns — partial-aggregation order can't shift the
+    hash). posexplode keeps it one shuffle on (label, pos).
+    """
+    e = load_spread(spark, sf_dir, "embeddings", "vec_id")
+    exploded = e.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+    )
+    return exploded.groupBy("label", "pos").agg(
+        F.round(
+            F.sum(F.col("v").cast("decimal(20,10)")).cast("double") / F.count("*"), 6
+        ).alias("mean_val")
+    )
