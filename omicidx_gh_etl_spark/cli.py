@@ -109,6 +109,45 @@ def cmd_deploy(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_extract(args: argparse.Namespace) -> int:
+    """XML→parquet extraction (the ``oidx sra extract`` shape:
+    discover files → parse distributed → chunked zstd parquet)."""
+    from .sources.writers import write_parquet
+    from .sources.xml_extract import extract_experiments
+
+    spark = _spark(args)
+    df = extract_experiments(spark, args.input)
+    write_parquet(
+        df, args.output, max_records_per_file=args.block_size, compression="zstd"
+    )
+    n = spark.read.parquet(args.output).count()
+    print(json.dumps({"records": n, "output": args.output}))
+    return 0
+
+
+def cmd_audit(args: argparse.Namespace) -> int:
+    """Run registered audits against materialized models."""
+    from .engine.audits import AUDITS, run_audits
+    from .models import REGISTRY
+    from .models.registry import ModelContext
+
+    runner = _runner(args)
+    models = args.select or sorted({a.model for a in AUDITS.all()})
+    ctx = ModelContext(
+        spark=runner.spark, data_root=args.data_root,
+        start_ds="2001-01-01", end_ds="2100-01-01",
+    )
+    results = run_audits(
+        AUDITS, lambda n: runner.resolve(n, ctx), models,
+        runner.spark, args.warehouse_root,
+    )
+    failed = False
+    for r in results:
+        print(f"{r.status:5s} {r.audit:40s} on {r.model} bad_rows={r.bad_rows}")
+        failed |= r.status == "fail"
+    return 1 if failed else 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="omicidx-spark-warehouse", description=__doc__)
     p.add_argument("--cpus", type=int, default=None, help="local[N] cores")
@@ -145,6 +184,17 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--base-url", default="")
     sp.add_argument("--out", default=None)
     sp.set_defaults(fn=cmd_deploy)
+
+    sp = sub.add_parser("extract", help="XML→parquet extraction")
+    sp.add_argument("--input", required=True, help="dir of *.xml / *.xml.gz")
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--block-size", type=int, default=1_000_000,
+                    help="max records per parquet file (SRA_BLOCK_SIZE)")
+    sp.set_defaults(fn=cmd_extract)
+
+    sp = sub.add_parser("audit", help="run data-quality audits")
+    common(sp)
+    sp.set_defaults(fn=cmd_audit)
     return p
 
 

@@ -60,6 +60,7 @@ class WarehouseRunner:
     warehouse_root: str  # materialized tables + meta live here
     export_root: str | None = None
     _cache: dict[str, DataFrame] = field(default_factory=dict)
+    audit_results: list = field(default_factory=list)
 
     # -- planning ----------------------------------------------------------
 
@@ -85,6 +86,7 @@ class WarehouseRunner:
         end_ds: str | None = None,
         select: list[str] | None = None,
         fail_fast: bool = True,
+        run_audits_after: bool = True,
     ) -> list[RunResult]:
         end_ds = end_ds or date.today().isoformat()
         ctx = ModelContext(
@@ -113,6 +115,15 @@ class WarehouseRunner:
                 break
         self._record_runs(run_id, results)
         self._record_lineage(run_id)
+        self._record_docs(run_id)
+        if run_audits_after:
+            from .audits import AUDITS, run_audits
+
+            ok_models = [r.model for r in results if r.status == "success"]
+            self.audit_results = run_audits(
+                AUDITS, lambda n: self.resolve(n, ctx), ok_models,
+                self.spark, self.warehouse_root,
+            )
         return results
 
     def resolve(self, name: str, ctx: ModelContext | None = None) -> DataFrame:
@@ -216,6 +227,19 @@ class WarehouseRunner:
             self._meta_append(
                 "model_lineage", edges, "run_id string, model string, depends_on string"
             )
+
+    def _record_docs(self, run_id: str) -> None:
+        """meta.model_docs: name, layer, kind, grain, doc (WAREHOUSE.md:242-274)."""
+        rows = [
+            (run_id, name, m.layer, m.kind, m.time_column, m.grain, m.doc)
+            for name, m in self.registry.items()
+        ]
+        self._meta_append(
+            "model_docs",
+            rows,
+            "run_id string, model string, layer string, kind string, "
+            "time_column string, grain string, doc string",
+        )
 
     def run_history(self, limit: int = 20) -> DataFrame:
         """meta.model_runs, newest first (warehouse_cli.py:192-205)."""

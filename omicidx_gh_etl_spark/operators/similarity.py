@@ -84,6 +84,58 @@ def cosine_pairs(
     )
 
 
+def lsh_bucket_pairs(
+    emb: DataFrame,
+    hyperplanes: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    hp_id_col: str = "hp_id",
+    hp_vec_col: str = "hv",
+) -> DataFrame:
+    """Random-hyperplane LSH near-dup pairs: bucket = sign bits of the
+    vector against each hyperplane; exact cosine verified only within
+    buckets.
+
+    The sub-quadratic scale path for embedding near-dup detection
+    (recall < 1 by construction — vectors split across a hyperplane are
+    missed; more bands/fewer bits trade recall for cost).
+    Scale: hyperplanes broadcast; bucketing is map-only; the self-join
+    shuffles on the bucket signature, so cost ∝ Σ bucket², not n².
+    Hyperplanes must be deterministic for oracle reproducibility —
+    callers pass a fixed set (e.g. seed vectors), as a real pipeline
+    would persist its trained hyperplanes.
+    """
+    e = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    h = hyperplanes.select(F.col(hp_id_col), _as_double(hp_vec_col).alias("hvd"))
+    bit = F.when(dot_expr(F.col("v"), F.col("hvd")) >= 0, "1").otherwise("0")
+    buckets = (
+        e.crossJoin(F.broadcast(h))
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col(hp_id_col), bit.alias("b")))
+                    ),
+                    lambda x: x["b"],
+                ),
+                "",
+            ).alias("bucket"),
+            F.first("v").alias("v"),
+        )
+    )
+    a = buckets.select(F.col(id_col).alias("d1"), F.col("bucket"), F.col("v").alias("va"))
+    b = buckets.select(F.col(id_col).alias("d2"), F.col("bucket"), F.col("v").alias("vb"))
+    sim = cosine_sim_expr(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("d1") < F.col("d2"))
+        .filter(sim >= threshold)
+        .select("d1", "d2", F.round(sim, 4).alias("cos_sim"))
+    )
+
+
 def ivf_assign(
     emb: DataFrame,
     centroids: DataFrame,

@@ -211,6 +211,43 @@ def similarity_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_lsh_pairs",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    h AS (SELECT vec_id AS hp_id, v AS hv FROM e WHERE vec_id < 8),
+    bits AS (
+      SELECT e.vec_id, h.hp_id,
+             CASE WHEN list_dot_product(v, hv) >= 0 THEN '1' ELSE '0' END AS b
+      FROM e CROSS JOIN h),
+    buckets AS (
+      SELECT vec_id, string_agg(b, '' ORDER BY hp_id) AS bucket
+      FROM bits GROUP BY vec_id),
+    joined AS (
+      SELECT a.vec_id AS d1, b.vec_id AS d2
+      FROM buckets a JOIN buckets b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT d1, d2,
+           round({_COS.format(a='ea.v', b='eb.v')}, 4) AS cos_sim
+    FROM joined
+    JOIN e ea ON ea.vec_id = d1
+    JOIN e eb ON eb.vec_id = d2
+    WHERE {_COS.format(a='ea.v', b='eb.v')} >= 0.3
+    """,
+    tags=("similarity",),
+)
+def similarity_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH near-dup pairs: 8-bit sign buckets
+    (hyperplanes = first 8 embeddings, deterministic), exact cosine ≥
+    0.3 verified only within buckets — the sub-quadratic counterpart
+    of similarity_pairs_threshold."""
+    e = load_spread(spark, sf_dir, "embeddings", "vec_id")
+    hyper = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("hp_id"), F.col("embedding").alias("hv")
+    )
+    return similarity.lsh_bucket_pairs(e, hyper, threshold=0.3)
+
+
+@register(
     "similarity_ivf_assign",
     f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

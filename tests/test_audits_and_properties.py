@@ -1,0 +1,135 @@
+"""Audit-engine tests + property-based operator tests (hypothesis).
+
+The property tests mirror the reference's normalize/schema invariants
+(SURVEY.md §5 notes no property tests existed — a gap worth closing):
+operators must hold for arbitrary token streams, not just goldens.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from omicidx_gh_etl_spark.engine.audits import AUDITS, Audit, AuditRegistry, run_audits
+from omicidx_gh_etl_spark.operators import dedup
+
+# -- audit engine ----------------------------------------------------------
+
+
+def test_audit_pass_and_fail(spark, tmp_path):
+    reg = AuditRegistry()
+
+    @reg.audit("no_negatives", "m")
+    def _no_neg(df):
+        return df.filter(F.col("v") < 0)
+
+    @reg.audit("no_nulls", "m")
+    def _no_null(df):
+        return df.filter(F.col("v").isNull())
+
+    df = spark.createDataFrame([(1,), (-2,), (3,)], "v int")
+    results = run_audits(reg, lambda n: df, ["m"], spark, str(tmp_path / "wh"))
+    by_name = {r.audit: r for r in results}
+    assert by_name["no_negatives"].status == "fail"
+    assert by_name["no_negatives"].bad_rows == 1
+    assert by_name["no_nulls"].status == "pass"
+    meta = spark.read.parquet(str(tmp_path / "wh/meta/model_audits"))
+    assert meta.count() == 2
+
+
+def test_builtin_audits_registered():
+    names = {a.name for a in AUDITS.all()}
+    assert "assert_accession_not_null" in names
+    assert "assert_unique_accession" in names
+
+
+def test_runner_records_audits(spark, tmp_path):
+    """End-to-end: WarehouseRunner.run() executes attached audits."""
+    import datetime as dt
+
+    from omicidx_gh_etl_spark.models import REGISTRY
+    from omicidx_gh_etl_spark.engine import WarehouseRunner
+    from omicidx_gh_etl_spark.schemas import SRA_ACCESSIONS_SCHEMA
+    from pyspark.sql import Row
+
+    root = tmp_path / "data"
+
+    def acc_row(acc, typ):
+        base = {f.name: None for f in SRA_ACCESSIONS_SCHEMA.fields}
+        base.update(Accession=acc, Type=typ, Updated=dt.datetime(2024, 1, 5))
+        return Row(**base)
+
+    spark.createDataFrame(
+        [acc_row("A1", "RUN"), acc_row("A2", "RUN")], SRA_ACCESSIONS_SCHEMA
+    ).write.parquet(str(root / "sra" / "sra_accessions.parquet"))
+
+    runner = WarehouseRunner(
+        spark=spark, registry=REGISTRY, data_root=str(root),
+        warehouse_root=str(tmp_path / "wh"),
+    )
+    runner.run(start_ds="2024-01-01", end_ds="2024-01-31",
+               select=["bronze.stg_sra_accessions"])
+    assert any(r.audit == "assert_unique_accession" for r in runner.audit_results)
+    assert all(r.status == "pass" for r in runner.audit_results)
+
+
+# -- property tests --------------------------------------------------------
+
+tokens_st = st.lists(
+    st.text(alphabet="abcdefg", min_size=1, max_size=4), min_size=0, max_size=12
+)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(toks=tokens_st)
+def test_shingle_count_property(spark, toks):
+    """|distinct trigram shingles| == |{(t[i],t[i+1],t[i+2])}| and zero
+    when the doc has < 3 tokens — for arbitrary token streams."""
+    text = " ".join(toks)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {r["shingle"] for r in dedup.shingles(df, "text", "doc_id", n=3).collect()}
+    want = {" ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 0))}
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=1, max_size=15
+    )
+)
+def test_latest_by_key_property(spark, rows):
+    """latest_by_key picks exactly the max order-key row per key and is
+    idempotent."""
+    df = spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(rows)], "k int, v int, uid int"
+    )
+    out = dedup.latest_by_key(df, ["k"], [F.desc("v"), F.desc("uid")])
+    got = {(r["k"], r["v"], r["uid"]) for r in out.collect()}
+    want = {}
+    for i, (k, v) in enumerate(rows):
+        if k not in want or (v, i) > (want[k][1], want[k][2]):
+            want[k] = (k, v, i)
+    assert got == set(want.values())
+    # idempotent
+    again = dedup.latest_by_key(out, ["k"], [F.desc("v"), F.desc("uid")])
+    assert {(r["k"], r["v"], r["uid"]) for r in again.collect()} == got
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(st.text(alphabet="xy ", min_size=0, max_size=20),
+                      min_size=1, max_size=8))
+def test_exact_dedup_partitions_docs(spark, texts):
+    """Exact-dedup clusters partition the corpus: copy counts sum to N
+    and every keeper is the min id of its text group."""
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    out = dedup.exact_dedup(df, "text", "doc_id").collect()
+    assert sum(r["n_copies"] for r in out) == len(texts)
+    firsts = {}
+    for i, t in enumerate(texts):
+        firsts.setdefault(t, i)
+    assert {r["keeper"] for r in out} == set(firsts.values())
