@@ -130,31 +130,54 @@ def minhash_lsh_candidates(
     id_col: str,
     num_hashes: int = 12,
     bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding candidate pairs (d1 < d2, distinct).
 
-    Signature h_i(doc) = min over shingles of md5(i || ':' || shingle);
-    ``num_hashes`` rows split into ``bands`` bands; docs colliding on
-    any full band signature become candidates.
+    Signature h_i(doc) = min over shingles of the first 60 bits of
+    md5(i || ':' || shingle) as a BIGINT; ``num_hashes`` rows split
+    into ``bands`` bands; docs whose band signatures collide become
+    candidates.
 
-    Scale: ONE shuffle. Each shingle row computes its ``num_hashes``
-    md5s as an array projection (map-side, codegen'd); a single
-    groupBy(id) with per-seed MIN aggregates — partial aggregation
-    collapses each map partition to one signature row per doc before
-    the exchange — yields the full signature; band signatures are then
-    derived column-wise (no second aggregation, unlike the naive
-    sig→band two-shuffle formulation) and self-joined on (band, bsig).
-    Band signatures are 128-bit hashes, so bucket sizes are true
-    near-dup cluster sizes — no quadratic blowup on non-duplicate
-    data. md5 (not Spark's xxhash64) keeps signatures reproducible by
-    the DuckDB oracle.
+    Scale / plan shape (the reason this isn't the naive formulation):
+
+    - Each shingle row computes its ``num_hashes`` hashes as a
+      map-side codegen'd projection; ONE groupBy(id) with per-seed MIN
+      yields the signature. BIGINT (not hex-string) min buffers keep
+      this a HashAggregate with map-side partial aggregation —
+      min(string) would force a SortAggregate over every shingle row.
+    - Band signatures are derived column-wise from the one signature
+      row (no second aggregation).
+    - Pairs come from groupBy(band, bsig) + sorted collect_list +
+      in-bucket pair explosion — NOT a self-join. A self-join on the
+      band signature recomputes the whole shingle→signature lineage
+      for each side (Spark only reuses exchanges for identical
+      subplans, which broadcast hints break); the bucket-aggregate
+      form computes it once and shuffles on the 128-bit bsig —
+      uniformly distributed, skew-free keys.
+    - Bucket sizes are true near-dup cluster sizes, so the pair
+      explosion is quadratic only in genuine duplicate clusters —
+      exactly the output size. ``max_bucket_size`` drops degenerate
+      mega-clusters (e.g. millions of copies of an empty document) at
+      corpus scale, where emitting their n² pairs is never wanted.
+
+    md5 (not Spark's xxhash64) keeps signatures reproducible by the
+    DuckDB oracle: ``('0x' || substr(md5(..), 1, 15))::BIGINT``.
     """
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
     hashed = shingle_df.select(
         F.col(id_col),
         *[
-            F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle"))).alias(f"h{seed}")
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle"))), 1, 15
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias(f"h{seed}")
             for seed in range(num_hashes)
         ],
     )
@@ -183,14 +206,21 @@ def minhash_lsh_candidates(
             )
         ).alias("bs"),
     ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig"))
-    a = band_sig.select(F.col(id_col).alias("d1"), "band", "bsig")
-    b = band_sig.select(F.col(id_col).alias("d2"), "band", "bsig")
-    return (
-        a.join(b, ["band", "bsig"])
-        .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "d2")
-        .distinct()
+    buckets = band_sig.groupBy("band", "bsig").agg(
+        F.array_sort(F.collect_list(id_col)).alias("ids")
     )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
+    pairs = buckets.filter(F.size("ids") > 1).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), "
+                "y -> struct(x AS d1, y AS d2))))"
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.d1", "p.d2").distinct()
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:

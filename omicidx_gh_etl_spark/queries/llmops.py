@@ -105,12 +105,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     _SHINGLE_CTE
     + """,
 seeded AS (
-  SELECT doc_id, seed, md5(seed || ':' || shingle) AS h
+  SELECT doc_id, seed,
+         ('0x' || substr(md5(seed || ':' || shingle), 1, 15))::BIGINT AS h
   FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS seed) seeds),
 sig AS (SELECT doc_id, seed, min(h) AS minh FROM seeded GROUP BY doc_id, seed),
 bands AS (
   SELECT doc_id, seed // 3 AS band,
-         md5(string_agg(minh, ',' ORDER BY seed)) AS bsig
+         md5(string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed)) AS bsig
   FROM sig GROUP BY doc_id, seed // 3)
 SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
 FROM bands a
@@ -124,7 +125,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     The sub-quadratic scale path validated against dedup_ngram_jaccard.
     """
     d = load_spread(spark, sf_dir, "documents", "doc_id")
-    sh = dedup.shingles(d, "text", "doc_id", n=3)
+    # distinct=False: per-seed MIN is invariant to duplicate shingles,
+    # so the (interpreted, non-codegen) array_distinct is pure cost here.
+    sh = dedup.shingles(d, "text", "doc_id", n=3, distinct=False)
     return dedup.minhash_lsh_candidates(sh, "doc_id", num_hashes=12, bands=4)
 
 
