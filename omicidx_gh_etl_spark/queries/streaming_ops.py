@@ -9,7 +9,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..streaming import run_streaming_window_counts
+from pyspark.sql import functions as F
+
+from ..streaming import run_sessionize_stream, run_streaming_window_counts
 from .base import register
 
 
@@ -30,3 +32,51 @@ def streaming_window_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame
     driven to completion over the bounded events source (watermark +
     event-time windows; memory sink smoke pattern)."""
     return run_streaming_window_counts(spark, f"{sf_dir}/events.parquet")
+
+
+@register(
+    "streaming_sessionize_stateful",
+    """
+    WITH gaps AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+             CASE WHEN ts - lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)
+                  > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    sess AS (
+      SELECT user_id, ts_us, value,
+             sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_num
+      FROM gaps),
+    agg AS (
+      SELECT user_id, session_num,
+             min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+             count(*) AS n_events, round(sum(value), 4) AS total_value
+      FROM sess GROUP BY 1, 2)
+    SELECT user_id, session_start_us, session_end_us, n_events, total_value
+    FROM agg
+    WHERE session_num < (SELECT max(session_num) FROM agg a2
+                         WHERE a2.user_id = agg.user_id)
+    """,
+    tags=("streaming", "stateful"),
+)
+def streaming_sessionize_stateful_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user 30-min-gap session aggregation over the bounded events
+    source. Emits CLOSED sessions — on a bounded single-batch source
+    that is exactly "all sessions except each user's last", which the
+    oracle reproduces in SQL."""
+    out = run_sessionize_stream(spark, f"{sf_dir}/events.parquet")
+    return out.select(
+        "user_id",
+        "session_start_us",
+        "session_end_us",
+        "n_events",
+        F.round("total_value", 4).alias("total_value"),
+    )

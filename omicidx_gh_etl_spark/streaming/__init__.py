@@ -1,3 +1,9 @@
+from .stateful import run_sessionize_stream, sessionize_stream
 from .windows import run_streaming_window_counts, streaming_window_counts
 
-__all__ = ["streaming_window_counts", "run_streaming_window_counts"]
+__all__ = [
+    "streaming_window_counts",
+    "run_streaming_window_counts",
+    "sessionize_stream",
+    "run_sessionize_stream",
+]

@@ -1,0 +1,111 @@
+"""Tests: custom stateful streaming sessionization
+(applyInPandasWithState) — closed-session semantics vs the batch
+window formulation, and event-time timeout eviction."""
+
+from __future__ import annotations
+
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from omicidx_gh_etl_spark.streaming import run_sessionize_stream
+
+GAP_US = 30 * 60 * 1_000_000
+
+
+def _batch_sessions(spark, sf_dir):
+    """Session aggregates via the batch lag/cumsum formulation."""
+    from omicidx_gh_etl_spark.queries.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    order = W.partitionBy("user_id").orderBy(F.asc("ts_us"), F.asc("event_id"))
+    prev = F.lag("ts_us").over(order)
+    is_new = F.when(prev.isNull() | ((F.col("ts_us") - prev) > GAP_US), 1).otherwise(0)
+    cum = order.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        ev.withColumn("sn", F.sum(is_new).over(cum))
+        .groupBy("user_id", "sn")
+        .agg(
+            F.min("ts_us").alias("session_start_us"),
+            F.max("ts_us").alias("session_end_us"),
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+    )
+
+
+def test_stateful_sessionize_matches_batch_closed_sessions(spark, sf_dir):
+    out = run_sessionize_stream(spark, f"{sf_dir}/events.parquet")
+    batch = _batch_sessions(spark, sf_dir)
+    last = batch.groupBy("user_id").agg(F.max("sn").alias("last_sn"))
+    closed = batch.join(last, "user_id").filter(F.col("sn") < F.col("last_sn"))
+
+    got = {
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in out.collect()
+    }
+    want = {
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in closed.collect()
+    }
+    assert got == want and len(got) > 0
+
+    # value sums agree to float tolerance (stream accumulates in event
+    # order; batch sums in partition order)
+    got_v = {(r["user_id"], r["session_start_us"]): r["total_value"] for r in out.collect()}
+    for r in closed.collect():
+        assert got_v[(r["user_id"], r["session_start_us"])] == pytest.approx(
+            r["total_value"], abs=1e-6
+        )
+
+
+def _write_events(path: str, rows: list[tuple[int, int, int, float]]) -> None:
+    """rows: (event_id, ts_us, user_id, value) → events-schema parquet."""
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] * 1000 for r in rows], pa.int64()),  # nanos
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(["click"] * len(rows)),
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        ),
+        path,
+    )
+
+
+def test_stateful_sessionize_event_time_timeout_evicts(spark, tmp_path):
+    """Two micro-batches: user 1's session is idle when the watermark
+    (advanced by user 2's much-later events in batch 2) passes
+    session_end + gap — the EventTimeTimeout path must emit it without
+    any further event for user 1 arriving."""
+    src = tmp_path / "events"
+    src.mkdir()
+    t0 = 1_700_000_000_000_000  # us
+    hour = 3_600_000_000
+    _write_events(str(src / "b1.parquet"), [(1, t0, 1, 1.0), (2, t0 + 60_000_000, 1, 2.0)])
+    time.sleep(0.05)  # file source orders batches by mtime
+    _write_events(str(src / "b2.parquet"), [(3, t0 + 10 * hour, 2, 5.0)])
+
+    out = run_sessionize_stream(
+        spark,
+        str(src),
+        timeout=True,
+        watermark="10 minutes",
+        max_files_per_trigger=1,
+    )
+    rows = {r["user_id"]: r for r in out.collect()}
+    # user 1's session closed by TIMEOUT (no later user-1 event exists)
+    assert 1 in rows
+    assert rows[1]["session_start_us"] == t0
+    assert rows[1]["session_end_us"] == t0 + 60_000_000
+    assert rows[1]["n_events"] == 2
+    assert rows[1]["total_value"] == pytest.approx(3.0)
+    # user 2's session is still open (nothing after it) — not emitted
+    assert 2 not in rows
