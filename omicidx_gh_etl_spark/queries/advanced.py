@@ -245,3 +245,71 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("v").cast("decimal(20,10)")).cast("double") / F.count("*"), 6
         ).alias("mean_val")
     )
+
+
+# --------------------------------------------------------------------------
+# Skew mitigation (beyond-parity; operators/skew.py)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "skew_salted_join",
+    """
+    SELECT o.o_orderpriority, count(*) AS n,
+           sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS total_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+    tags=("skew", "J1"),
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact×dim equi-join (hot keys spread over 8 reducers,
+    dim replicated 8×) — result must be bit-identical to the plain
+    join, which IS the oracle: salting changes shuffle layout, never
+    semantics."""
+    from ..operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, o, on=["l_orderkey"], salt_buckets=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("total_price"),
+    )
+
+
+@register(
+    "skew_two_stage_agg",
+    """
+    SELECT user_id, count(*) AS n,
+           sum(CAST(value AS DECIMAL(18,2))) AS total_value,
+           max(epoch_us(ts)) AS last_us
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("skew", "A2"),
+)
+def skew_two_stage_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation: groupBy(user_id, salt) partial →
+    groupBy(user_id) final. Caps any reducer's input at
+    |hot key| / 8 — the skewed-groupBy fix AQE doesn't provide. Oracle
+    is the plain GROUP BY (same invariance contract as
+    skew_salted_join)."""
+    from ..operators.skew import two_stage_agg
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", F.col("value").cast("decimal(18,2)").alias("v"), "ts_us"
+    )
+    out = two_stage_agg(
+        ev,
+        keys=["user_id"],
+        aggs={
+            "n": ("v", "count"),
+            "total_value": ("v", "sum"),
+            "last_us": ("ts_us", "max"),
+        },
+        salt_buckets=8,
+    )
+    return out.select("user_id", "n", "total_value", "last_us")

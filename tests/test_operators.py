@@ -118,3 +118,53 @@ def test_decode_image_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
+
+
+# -- skew ---------------------------------------------------------------------
+
+
+def test_salted_join_matches_plain_join(spark):
+    from omicidx_gh_etl_spark.operators import skew
+
+    # hot key 1 (100 rows), cold keys 2..5
+    fact = spark.createDataFrame(
+        [(1, i) for i in range(100)] + [(k, 0) for k in range(2, 6)], "k int, v int"
+    )
+    dim = spark.createDataFrame([(k, f"d{k}") for k in range(1, 5)], "k int, name string")
+    got = skew.salted_join(fact, dim, on=["k"], salt_buckets=4)
+    want = fact.join(dim, ["k"])
+    assert got.columns == want.columns  # salt column dropped
+    assert sorted(got.collect()) == sorted(want.collect())
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    from omicidx_gh_etl_spark.operators import skew
+
+    fact = spark.createDataFrame([(1, 10), (9, 90)], "k int, v int")
+    dim = spark.createDataFrame([(1, "a")], "k int, name string")
+    got = sorted(skew.salted_join(fact, dim, on=["k"], salt_buckets=3, how="left").collect())
+    want = sorted(fact.join(dim, ["k"], "left").collect())
+    assert got == want
+
+
+def test_two_stage_agg_matches_plain_groupby(spark):
+    from pyspark.sql import functions as F
+
+    from omicidx_gh_etl_spark.operators import skew
+
+    df = spark.createDataFrame(
+        [("hot", i, float(i)) for i in range(1000)] + [("cold", 1, 2.0)],
+        "k string, a int, x double",
+    )
+    got = skew.two_stage_agg(
+        df, ["k"],
+        {"n": ("a", "count"), "s": ("x", "sum"), "mn": ("a", "min"), "mx": ("a", "max")},
+        salt_buckets=4,
+    )
+    want = df.groupBy("k").agg(
+        F.count("a").alias("n"), F.sum("x").alias("s"),
+        F.min("a").alias("mn"), F.max("a").alias("mx"),
+    )
+    g = {r["k"]: (r["n"], r["s"], r["mn"], r["mx"]) for r in got.collect()}
+    w = {r["k"]: (r["n"], r["s"], r["mn"], r["mx"]) for r in want.collect()}
+    assert g == w
