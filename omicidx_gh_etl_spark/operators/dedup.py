@@ -226,22 +226,28 @@ def minhash_lsh_candidates(
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
     """SimHash fingerprint per document → (id, simhash BIGINT).
 
-    Token hash = first 4 md5 hex chars → 16-bit int; each bit
-    contributes ±1 weighted by token frequency; simhash bit j is the
-    sign of the sum. Bit extraction uses floor(h/2^j) % 2 — exact in
-    both engines' doubles for h < 2^16 — instead of engine-specific
-    shift operators, so the oracle reproduces it verbatim.
+    Token hash = first ``bits/4`` md5 hex chars → ``bits``-wide int
+    (the hash must span the full signature width — a narrower token
+    hash would pin the high signature bits to 0 and make them useless
+    for banded search); each bit contributes ±1 weighted by token
+    frequency; simhash bit j is the sign of the sum. Bit extraction
+    uses floor(h/2^j) % 2 — exact in both engines' doubles for
+    h < 2^52 — instead of engine-specific shift operators, so the
+    oracle reproduces it verbatim.
 
     Scale: |tokens| × bits intermediate rows, two hash aggregations,
-    no joins. For near-dup *search*, group by simhash or by rotated
-    prefixes (next round).
+    no joins. Near-dup *search* over the signatures is
+    :func:`simhash_band_pairs`.
     """
+    assert bits % 4 == 0 and bits <= 52, "bits: multiple of 4, double-exact"
     toks = df.select(
         F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok")
     )
     h = toks.select(
         id_col,
-        F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("bigint").alias("h16"),
+        F.conv(F.substring(F.md5("tok"), 1, bits // 4), 16, 10)
+        .cast("bigint")
+        .alias("h16"),
     )
     per_bit = (
         h.select(
@@ -261,6 +267,78 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
         F.sum(
             F.expr("CASE WHEN s > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END")
         ).alias("simhash")
+    )
+
+
+def simhash_band_pairs(
+    sig: DataFrame,
+    id_col: str,
+    simhash_col: str = "simhash",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``,
+    found via band buckets — the search counterpart of :func:`simhash`.
+
+    Pigeonhole guarantee: a pair within hamming distance d differs in
+    at most d bands, so with ``bands > max_hamming`` every qualifying
+    pair collides on at least one full band — banding is EXACT here
+    (unlike MinHash LSH), and the final ``bit_count(xor) <= d`` filter
+    just removes false candidates.
+
+    Scale: same single-lineage bucket-aggregate shape as
+    :func:`minhash_lsh_candidates` — one groupBy on (band, band-value)
+    with the (id, simhash) pair carried in the bucket, so the exact
+    hamming filter needs no join back to the signature table. Expected
+    bucket size is n / 2^(bits/bands) per band; size the signature
+    (64/128-bit in production) so buckets stay near cluster size, and
+    cap degenerate buckets with ``max_bucket_size``.
+    """
+    assert bands > max_hamming, "pigeonhole needs bands > max_hamming"
+    band_bits = bits // bands
+    assert band_bits * bands == bits, "bands must divide bits"
+    banded = sig.select(
+        F.struct(F.col(id_col).alias("id"), F.col(simhash_col).alias("sh")).alias(
+            "rec"
+        ),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.floor(
+                                F.col(simhash_col) / F.lit(2 ** (b * band_bits))
+                            ).cast("bigint")
+                            % F.lit(2**band_bits)
+                        ).alias("bval"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("rec", "bb.band", "bb.bval")
+    buckets = banded.groupBy("band", "bval").agg(
+        F.array_sort(F.collect_list("rec")).alias("recs")
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("recs") <= max_bucket_size)
+    pairs = buckets.filter(F.size("recs") > 1).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(recs, (x, i) -> "
+                "transform(slice(recs, i + 2, size(recs)), "
+                "y -> struct(x.id AS d1, y.id AS d2, "
+                "bit_count(x.sh ^ y.sh) AS hamming))))"
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select("p.d1", "p.d2", "p.hamming")
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

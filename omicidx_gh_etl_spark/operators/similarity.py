@@ -136,6 +136,89 @@ def lsh_bucket_pairs(
     )
 
 
+def ivf_search(
+    emb: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "cv",
+    query_id_col: str = "q_id",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """Full IVF approximate-nearest-neighbor search: top-``k`` by
+    cosine for each query vector, scanning only the ``nprobe`` nearest
+    centroid cells instead of the whole corpus.
+
+    Plan shape (the 100 TB path):
+    - cell assignment is the broadcast map-only pass of
+      :func:`ivf_assign`, with the vector carried through so the probe
+      join doesn't re-fetch it;
+    - query→cell probes are a broadcast cross join of (tiny) queries ×
+      (tiny) centroids, ranked to ``nprobe`` rows per query;
+    - the candidate join shuffles on ``centroid_id`` — each task scans
+      one cell's vectors, so cost is |corpus| × nprobe / n_centroids,
+      the IVF speedup;
+    - final top-k is a rank window per query over candidates only.
+
+    Ranking uses the ROUNDED similarity with an id tiebreak in both
+    engines, so the selected k are deterministic under float noise.
+    Recall < 1 by construction (a true neighbor in an unprobed cell is
+    missed) — brute-force :func:`cosine_topk` is the recall oracle.
+    """
+    e = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    c = centroids.select(
+        F.col(centroid_id_col), _as_double(centroid_vec_col).alias("cvd")
+    )
+    q = queries.select(F.col(query_id_col), _as_double(query_vec_col).alias("qvd"))
+
+    asg_sim = F.round(cosine_sim_expr(F.col("v"), F.col("cvd")), 4).alias("s")
+    assigned = (
+        e.crossJoin(F.broadcast(c))
+        .select(id_col, centroid_id_col, asg_sim, "v")
+        .groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("s"),
+                    (-F.col(centroid_id_col)).alias("neg_cid"),
+                    F.col(centroid_id_col),
+                )
+            ).alias("best"),
+            F.first("v").alias("v"),
+        )
+        .select(id_col, F.col(f"best.{centroid_id_col}").alias(centroid_id_col), "v")
+    )
+
+    probe_sim = F.round(cosine_sim_expr(F.col("qvd"), F.col("cvd")), 4)
+    probe_w = W.partitionBy(query_id_col).orderBy(
+        F.desc("ps"), F.asc(centroid_id_col)
+    )
+    probes = (
+        q.crossJoin(F.broadcast(c))
+        .select(query_id_col, "qvd", centroid_id_col, probe_sim.alias("ps"))
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") <= nprobe)
+        .select(query_id_col, "qvd", centroid_id_col)
+    )
+
+    cand_sim = F.round(cosine_sim_expr(F.col("qvd"), F.col("v")), 4).alias("cos_sim")
+    cands = (
+        assigned.join(F.broadcast(probes), centroid_id_col)
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, id_col, cand_sim)
+    )
+    topk_w = W.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        cands.withColumn("rn", F.row_number().over(topk_w))
+        .filter(F.col("rn") <= k)
+        .select(query_id_col, id_col, "cos_sim")
+    )
+
+
 def ivf_assign(
     emb: DataFrame,
     centroids: DataFrame,

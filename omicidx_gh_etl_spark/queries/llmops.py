@@ -161,6 +161,46 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.col("simhash").cast("bigint").alias("simhash"))
 
 
+@register(
+    "dedup_simhash_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+             AS tok
+      FROM documents),
+    h AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h16 FROM toks),
+    bitsums AS (
+      SELECT doc_id, j,
+             sum(CASE WHEN CAST(floor(h16 / power(2, j)) AS BIGINT) % 2 = 1
+                      THEN 1 ELSE -1 END) AS s
+      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS j) js
+      GROUP BY doc_id, j),
+    sig AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS sh
+      FROM bitsums GROUP BY doc_id)
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    """,
+    tags=("dedup",),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(32-bit) near-dup pairs with hamming ≤ 3 via 4-band
+    bucketing — exact by pigeonhole (bands > max_hamming), so the
+    brute-force n² oracle produces the identical pair set."""
+    d = load_spread(spark, sf_dir, "documents", "doc_id")
+    sig = dedup.simhash(d, "text", "doc_id", bits=32).select(
+        "doc_id", F.col("simhash").cast("bigint").alias("simhash")
+    )
+    return dedup.simhash_band_pairs(
+        sig, "doc_id", "simhash", bits=32, bands=4, max_hamming=3
+    )
+
+
 # --------------------------------------------------------------------------
 # Similarity search
 # --------------------------------------------------------------------------
@@ -274,6 +314,51 @@ def similarity_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
     )
     return similarity.ivf_assign(e, centroids)
+
+
+@register(
+    "similarity_ivf_search",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 10),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+    assigned AS (
+      SELECT e.vec_id, c.centroid_id, e.v
+      FROM e CROSS JOIN c
+      QUALIFY row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY round({_COS.format(a='v', b='cv')}, 4) DESC, centroid_id) = 1),
+    probes AS (
+      SELECT q.q_id, q.qv, c.centroid_id
+      FROM q CROSS JOIN c
+      QUALIFY row_number() OVER (
+        PARTITION BY q.q_id
+        ORDER BY round({_COS.format(a='qv', b='cv')}, 4) DESC, centroid_id) <= 2),
+    cands AS (
+      SELECT p.q_id, a.vec_id,
+             round({_COS.format(a='p.qv', b='a.v')}, 4) AS cos_sim
+      FROM probes p JOIN assigned a ON a.centroid_id = p.centroid_id
+      WHERE a.vec_id <> p.q_id)
+    SELECT q_id, vec_id, cos_sim
+    FROM cands
+    QUALIFY row_number() OVER (
+      PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) <= 5
+    """,
+    tags=("similarity",),
+)
+def similarity_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF ANN search: top-5 by cosine for each of 5 query
+    vectors, probing the 2 nearest of 10 centroid cells — the complete
+    scale path (assign → probe → cell-local scan → rank) on top of
+    similarity_ivf_assign."""
+    e = load_spread(spark, sf_dir, "embeddings", "vec_id")
+    centroids = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 10
+    ).select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv"))
+    queries = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 5
+    ).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
+    return similarity.ivf_search(e, centroids, queries, k=5, nprobe=2)
 
 
 # --------------------------------------------------------------------------

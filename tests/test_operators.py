@@ -168,3 +168,42 @@ def test_two_stage_agg_matches_plain_groupby(spark):
     g = {r["k"]: (r["n"], r["s"], r["mn"], r["mx"]) for r in got.collect()}
     w = {r["k"]: (r["n"], r["s"], r["mn"], r["mx"]) for r in want.collect()}
     assert g == w
+
+
+# -- simhash band search / ivf search ----------------------------------------
+
+
+def test_simhash_band_pairs_exact_by_pigeonhole(spark):
+    from omicidx_gh_etl_spark.operators import dedup
+
+    # hand-built 32-bit signatures: 1&2 differ in 2 bits, 1&3 in 20+
+    sig = spark.createDataFrame(
+        [(1, 0x0F0F0F0F), (2, 0x0F0F0F0C), (3, 0x70F0F0F0), (4, 0x0F0F0F0F)],
+        "doc_id int, simhash long",
+    )
+    out = {(r["d1"], r["d2"]): r["hamming"]
+           for r in dedup.simhash_band_pairs(sig, "doc_id", bits=32, bands=4,
+                                             max_hamming=3).collect()}
+    assert out == {(1, 2): 2, (2, 4): 2, (1, 4): 0}
+
+
+def test_ivf_search_probes_limit_candidates(spark):
+    from omicidx_gh_etl_spark.operators import similarity
+
+    # 2 well-separated clusters on axes; centroids = axis units
+    vecs = [
+        (0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.8, 0.2]),
+        (10, [0.0, 1.0]), (11, [0.1, 0.9]), (12, [0.2, 0.8]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id int, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "centroid_id int, cv array<double>"
+    )
+    q = spark.createDataFrame([(0, [1.0, 0.05])], "q_id int, qv array<double>")
+    # nprobe=1: only the x-axis cell is scanned
+    got = similarity.ivf_search(emb, cents, q, k=10, nprobe=1)
+    ids = {r["vec_id"] for r in got.collect()}
+    assert ids == {1, 2}  # cell members minus the query's own id (0)
+    # nprobe=2: both cells scanned → all other vectors ranked
+    got2 = similarity.ivf_search(emb, cents, q, k=10, nprobe=2)
+    assert {r["vec_id"] for r in got2.collect()} == {1, 2, 10, 11, 12}
