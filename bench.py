@@ -48,14 +48,15 @@ def main() -> None:
     # Warmup: JVM + parquet reader + codegen paths.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
-    # Two iterations per query, report the warm (min) time: the first
-    # run pays one-off JVM/JIT/codegen costs that local-mode micro-scale
-    # timings are otherwise dominated by.
+    # Three iterations per query, report the warm (min) time: the first
+    # run pays one-off JVM/JIT/codegen costs, and single-run timings on
+    # a shared host show 2-3× jitter — min-of-3 is a stable estimator
+    # of the plan's actual cost.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = REGISTRY[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = q.builder(spark, sf_dir)
             df.count()
