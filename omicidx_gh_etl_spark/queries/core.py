@@ -474,11 +474,13 @@ def dedup_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamp" (ebi_biosample/README.md Known Issues #4).
 
     Expressed as an argmax (MAX of a (ts, tiebreak, payload) struct),
-    not a ranking window: partial aggregation collapses each map
+    not a ranking window: the partial aggregate collapses each map
     partition to one row per key before the exchange, so the shuffle
-    carries |keys| rows and nothing sorts the full event stream —
-    ~1.7× faster than row_number at sf0.1 with identical output.
-    The generic window form lives in ``operators.dedup.latest_by_key``.
+    carries ~|keys| rows instead of every event, and the map-side sort
+    (struct buffers plan as SortAggregate) keys on user_id alone, not
+    the window's (user_id, ts, event_id) — ~1.7× faster at sf0.1 with
+    identical output. The generic window form lives in
+    ``operators.dedup.latest_by_key``.
     """
     ev = load_events(spark, sf_dir)
     best = ev.groupBy("user_id").agg(

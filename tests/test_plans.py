@@ -1,0 +1,113 @@
+"""Physical-plan invariant tests.
+
+Correctness is the oracle harness's job; these pin the SHAPE of the
+plans — the properties that decide whether a query survives a 100×
+scale-up. A refactor that keeps results but regresses the plan (loses
+a pushed filter, turns a broadcast join into a shuffle, doubles a
+lineage) fails here, not in production.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from omicidx_gh_etl_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].builder(spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def count_op(plan: str, op: str) -> int:
+    # operator tree lines look like "+- BroadcastHashJoin (12)" etc.
+    # \b{op}\b does not match inside longer operator names
+    # (e.g. "Exchange" never counts "BroadcastExchange" occurrences).
+    return len(re.findall(rf"\b{op}\b", plan.split("\n\n")[0]))
+
+
+def count_shuffles(plan: str) -> int:
+    """Plain shuffle Exchange nodes (BroadcastExchange excluded)."""
+    return len(
+        re.findall(r"(?<![A-Za-z])Exchange\b", plan.split("\n\n")[0])
+    )
+
+
+def test_scan_filter_project_pushes_down(spark):
+    plan = plan_of(spark, "scan_filter_project")
+    # the date-range predicate reaches the parquet reader
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters", 1)[1][:400]
+    # column pruning: the scan reads only the 4 referenced columns
+    read_schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    cols = {c.split(":")[0] for c in read_schema.split(",")}
+    assert cols == {"l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"}
+
+
+def test_mart_denormalized_all_dim_joins_broadcast(spark):
+    plan = plan_of(spark, "mart_denormalized")
+    tree = plan.split("\n\n")[0]
+    assert count_op(tree, "BroadcastHashJoin") == 3
+    assert count_op(tree, "SortMergeJoin") == 0
+    # the fact side never shuffles: broadcasts are the only exchanges
+    assert count_op(tree, "BroadcastExchange") == 3
+    assert count_shuffles(tree) == 0
+
+
+def test_join_fact_accession_filters_below_join(spark):
+    plan = plan_of(spark, "join_fact_accession")
+    tree = plan.split("\n\n")[0]
+    # dimension-side filters applied before the join (scan-adjacent
+    # Filter nodes), so the shuffled/broadcast side is pre-pruned
+    assert count_op(tree, "Filter") >= 1
+    assert "o_orderstatus" in plan.split("PushedFilters", 1)[1][:800]
+
+
+def test_minhash_lsh_single_lineage(spark):
+    plan = plan_of(spark, "dedup_minhash_lsh")
+    tree = plan.split("\n\n")[0]
+    # one scan of documents — the bucket-aggregate formulation; a
+    # band self-join would scan (and shingle+hash) twice
+    assert count_op(tree, "Scan parquet") == 1
+    # signature build is a HashAggregate (BIGINT min buffers), never
+    # a SortAggregate over the exploded shingle stream
+    assert count_op(tree, "SortAggregate") == 0
+
+
+def test_simhash_pairs_single_lineage(spark):
+    tree = plan_of(spark, "dedup_simhash_pairs").split("\n\n")[0]
+    assert count_op(tree, "Scan parquet") == 1
+
+
+def test_ivf_assign_broadcasts_centroids_no_window(spark):
+    tree = plan_of(spark, "similarity_ivf_assign").split("\n\n")[0]
+    assert count_op(tree, "BroadcastNestedLoopJoin") == 1  # broadcast cross join
+    assert count_op(tree, "Window") == 0  # argmax aggregate, not rank
+    assert count_op(tree, "SortMergeJoin") == 0
+
+
+def test_dedup_latest_by_key_is_aggregate_not_window(spark):
+    tree = plan_of(spark, "dedup_latest_by_key").split("\n\n")[0]
+    assert count_op(tree, "Window") == 0
+    # max(struct) buffers are immutable → SortAggregate, but the
+    # partial/final split still holds: the exchange carries one row
+    # per key per map partition, which is what the window form lacks
+    assert count_op(tree, "SortAggregate") + count_op(tree, "HashAggregate") >= 2
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["agg_multikey_pricing", "agg_count_topk", "dedup_exact", "text_quality"],
+)
+def test_single_shuffle_aggregations(spark, name):
+    """Group-by queries shuffle once on their grouping key (plus at
+    most a TakeOrdered/limit stage) — no accidental extra exchanges."""
+    tree = plan_of(spark, name).split("\n\n")[0]
+    assert count_shuffles(tree) <= 2
+    assert count_op(tree, "SortMergeJoin") == 0
