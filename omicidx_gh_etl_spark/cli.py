@@ -3,11 +3,17 @@
 537-595).
 
 Commands:
-  plan     — dry-run: print the topo-ordered model plan
-  run      — execute models for a [start, end] window
-  history  — recent model runs from meta.model_runs
-  catalog  — parquet row-group stats rollup for a data directory
-  deploy   — write catalog.json over an export root
+  plan         — dry-run: print the topo-ordered model plan
+  run          — execute models for a [start, end] window
+  history      — recent model runs from meta.model_runs
+  catalog      — parquet row-group stats rollup for a data directory
+  deploy       — write catalog.json over an export root
+  extract      — XML→parquet extraction (oidx sra extract shape)
+  audit        — data-quality audits against materialized models
+  list-models  — registered models per layer with dependencies
+  describe     — one model's metadata + resolved column schema
+  tables       — materialized tables with footer-derived row counts
+  show-config  — effective configuration as JSON
 
 Usage:
   python -m omicidx_gh_etl_spark.cli run --data-root D --warehouse-root W \\
@@ -148,6 +154,93 @@ def cmd_audit(args: argparse.Namespace) -> int:
     return 1 if failed else 0
 
 
+def cmd_list_models(args: argparse.Namespace) -> int:
+    """List registered models per layer (warehouse_cli.py:126-156)."""
+    from .models import REGISTRY
+
+    by_layer: dict[str, list] = {}
+    for name, m in REGISTRY.items():
+        by_layer.setdefault(m.layer, []).append(m)
+    for layer in ("raw", "bronze", "geometadb", "mart"):
+        models = by_layer.pop(layer, [])
+        if not models:
+            continue
+        print(f"{layer} ({len(models)}):")
+        for m in models:
+            deps = f" <- {', '.join(m.depends_on)}" if m.depends_on else ""
+            print(f"  {m.name:42s} {m.kind:26s}{deps}")
+    for layer, models in sorted(by_layer.items()):  # any future layers
+        print(f"{layer} ({len(models)}):")
+        for m in models:
+            print(f"  {m.name:42s} {m.kind}")
+    return 0
+
+
+def cmd_describe(args: argparse.Namespace) -> int:
+    """Model detail + resolved column schema (warehouse_cli.py:286-344).
+
+    The schema comes from the unexecuted plan (analysis only — no data
+    is read), so describe works before any run."""
+    from .models import REGISTRY
+    from .models.registry import ModelContext
+
+    m = REGISTRY.get(args.model)
+    print(f"name:        {m.name}")
+    print(f"layer:       {m.layer}")
+    print(f"kind:        {m.kind}")
+    print(f"grain:       {m.grain or '-'}")
+    print(f"time_column: {m.time_column or '-'}")
+    print(f"cron:        {m.cron}")
+    print(f"depends_on:  {', '.join(m.depends_on) or '-'}")
+    if m.export:
+        print(f"export:      {m.export.path} ({m.export.compression})")
+    if m.doc:
+        print(f"doc:         {m.doc}")
+    runner = _runner(args)
+    ctx = ModelContext(
+        spark=runner.spark, data_root=args.data_root,
+        start_ds="2001-01-01", end_ds="2100-01-01",
+    )
+    print("columns:")
+    for f in runner.resolve(args.model, ctx).schema.fields:
+        print(f"  {f.name:32s} {f.dataType.simpleString()}")
+    return 0
+
+
+def cmd_tables(args: argparse.Namespace) -> int:
+    """Materialized tables in the warehouse root with footer-derived
+    row counts (warehouse_cli.py:241-284) — no data scan."""
+    from .engine import catalog_per_table_stats, scan_parquet_metadata
+
+    spark = _spark(args)
+    meta = scan_parquet_metadata(spark, args.warehouse_root)
+    for r in catalog_per_table_stats(meta).collect():
+        print(
+            f"{r['table_name'] or '<root>':42s} rows={r['row_count']:<12d} "
+            f"files={r['n_files']:<5d} bytes={r['total_bytes']}"
+        )
+    return 0
+
+
+def cmd_show_config(args: argparse.Namespace) -> int:
+    """Effective configuration (warehouse_cli.py:35-46)."""
+    from .models import REGISTRY
+
+    print(
+        json.dumps(
+            {
+                "data_root": args.data_root,
+                "warehouse_root": args.warehouse_root,
+                "export_root": args.export_root,
+                "cpus": args.cpus,
+                "models": len(REGISTRY.names()),
+            },
+            indent=2,
+        )
+    )
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="omicidx-spark-warehouse", description=__doc__)
     p.add_argument("--cpus", type=int, default=None, help="local[N] cores")
@@ -195,6 +288,22 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("audit", help="run data-quality audits")
     common(sp)
     sp.set_defaults(fn=cmd_audit)
+
+    sp = sub.add_parser("list-models", help="registered models per layer")
+    sp.set_defaults(fn=cmd_list_models)
+
+    sp = sub.add_parser("describe", help="model detail + resolved schema")
+    common(sp)
+    sp.add_argument("model")
+    sp.set_defaults(fn=cmd_describe)
+
+    sp = sub.add_parser("tables", help="materialized tables + row counts")
+    common(sp)
+    sp.set_defaults(fn=cmd_tables)
+
+    sp = sub.add_parser("show-config", help="effective configuration")
+    common(sp)
+    sp.set_defaults(fn=cmd_show_config)
     return p
 
 

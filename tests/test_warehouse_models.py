@@ -359,3 +359,34 @@ def test_mart_and_run_tracking(spark, runner):
                                           "bronze.stg_sra_experiments"}
     assert all(r["status"] == "success" for r in hist)
     assert all(r["plan_hash"] for r in hist)
+
+
+# -- CLI consumer contract -------------------------------------------------
+
+
+def test_cli_list_describe_showconfig(spark, data_root, tmp_path, capsys):
+    import argparse
+
+    from omicidx_gh_etl_spark import cli
+
+    ns = argparse.Namespace(
+        cmd="describe", cpus=8, data_root=data_root,
+        warehouse_root=str(tmp_path / "wh"), export_root=None,
+        model="bronze.stg_sra_experiments",
+    )
+    assert cli.cmd_describe(ns) == 0
+    out = capsys.readouterr().out
+    assert "layer:       bronze" in out
+    assert "INCREMENTAL_BY_TIME_RANGE" in out
+    assert "experiment_accession" in out  # resolved schema, no execution
+
+    assert cli.cmd_list_models(argparse.Namespace(cmd="list-models")) == 0
+    out = capsys.readouterr().out
+    assert "raw (" in out and "bronze.stg_sra_experiments" in out
+
+    ns.cmd = "show-config"
+    assert cli.cmd_show_config(ns) == 0
+    import json as _json
+
+    cfg = _json.loads(capsys.readouterr().out)
+    assert cfg["models"] > 20 and cfg["data_root"] == data_root
