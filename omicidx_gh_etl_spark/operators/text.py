@@ -95,3 +95,61 @@ def fingerprint_expr(text_col: str | Column) -> Column:
 
 def fingerprint(df: DataFrame, text_col: str, keep: list[str]) -> DataFrame:
     return df.select(*keep, fingerprint_expr(text_col).alias("fp"))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    the MOSS algorithm): rolling char ``k``-gram hashes, keeping the
+    minimum in each sliding window of ``window`` consecutive
+    positions → (id, fp) distinct.
+
+    The *local* document fingerprint: unlike the global
+    :func:`fingerprint` md5, shared substrings of length
+    ≥ k + window − 1 between two documents are GUARANTEED to share a
+    fingerprint, so matching fps localize copied passages, not just
+    whole-document duplicates. Density is ~2/(window+1) of positions.
+
+    Plan shape: normalize → posexplode k-gram positions → hash (all
+    map-side, one Generate) → sliding min via a window frame ordered
+    by position — per-document sort only, so partitions stay balanced
+    by document regardless of corpus size — → distinct (the one
+    shuffle, on (id, fp)). Hashes are md5-derived 60-bit BIGINTs, so
+    the DuckDB oracle reproduces them exactly.
+    """
+    from pyspark.sql import Window as W
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    d = df.select(F.col(id_col), norm.alias("__n"))
+    grams = d.select(
+        id_col,
+        # CASE guard: Spark sequence(1, 0) DESCENDS, it is not empty
+        F.explode(
+            F.expr(
+                f"CASE WHEN length(__n) >= {k} "
+                f"THEN sequence(1, length(__n) - {k - 1}) "
+                f"ELSE array() END"
+            )
+        ).alias("pos"),
+        F.col("__n"),
+    ).select(
+        id_col,
+        "pos",
+        F.conv(F.substring(F.md5(F.expr(f"substring(__n, pos, {k})")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    frame = (
+        W.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(W.currentRow, window - 1)
+    )
+    return (
+        grams.select(F.col(id_col), F.min("h").over(frame).alias("fp"))
+        .distinct()
+    )

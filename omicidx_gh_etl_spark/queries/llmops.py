@@ -201,6 +201,36 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_winnow_fingerprints",
+    """
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS n
+      FROM documents),
+    pos_ AS (
+      SELECT doc_id, n,
+             unnest(generate_series(1, greatest(length(n) - 7, 0))) AS pos
+      FROM norm),
+    grams AS (
+      SELECT doc_id, pos,
+             ('0x' || substr(md5(substring(n, pos, 8)), 1, 15))::BIGINT AS h
+      FROM pos_)
+    SELECT DISTINCT doc_id,
+           min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+    FROM grams
+    """,
+    tags=("text", "dedup"),
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprints: 8-char-gram hashes,
+    sliding-window-of-4 minima, distinct per doc — the local
+    fingerprint that catches copied PASSAGES (guaranteed for shared
+    substrings ≥ 11 chars), not just whole-doc duplicates."""
+    d = load_spread(spark, sf_dir, "documents", "doc_id")
+    return text.winnow_fingerprints(d, "text", "doc_id", k=8, window=4)
+
+
 # --------------------------------------------------------------------------
 # Similarity search
 # --------------------------------------------------------------------------

@@ -207,3 +207,30 @@ def test_ivf_search_probes_limit_candidates(spark):
     # nprobe=2: both cells scanned → all other vectors ranked
     got2 = similarity.ivf_search(emb, cents, q, k=10, nprobe=2)
     assert {r["vec_id"] for r in got2.collect()} == {1, 2, 10, 11, 12}
+
+
+def test_winnow_shared_passage_shares_fingerprint(spark):
+    from omicidx_gh_etl_spark.operators import text as T
+
+    passage = "the quick brown fox jumps over the lazy dog"
+    df = _docs(spark, [
+        (1, "AAAA " + passage + " BBBB"),
+        (2, "cccc dddd " + passage + " eeee"),
+        (3, "completely different content with no overlap at all xyz"),
+    ])
+    fps = T.winnow_fingerprints(df, "text", "doc_id", k=8, window=4)
+    by_doc = {i: set() for i in (1, 2, 3)}
+    for r in fps.collect():
+        by_doc[r["doc_id"]].add(r["fp"])
+    # winnowing guarantee: shared substring >= k + window - 1 chars
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+
+
+def test_winnow_short_doc_yields_no_grams(spark):
+    from omicidx_gh_etl_spark.operators import text as T
+
+    df = _docs(spark, [(1, "short"), (2, "long enough document here")])
+    out = T.winnow_fingerprints(df, "text", "doc_id", k=8, window=4)
+    assert {r["doc_id"] for r in out.collect()} == {2}
