@@ -253,6 +253,46 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "range_join_events_windows",
+    """
+    WITH iv AS (
+      SELECT o_orderkey,
+             epoch_us(o_orderdate) AS lo,
+             epoch_us(o_orderdate) + 7 * 86400000000 AS hi
+      FROM orders WHERE o_orderkey % 97 = 0),
+    p AS (SELECT epoch_us(l_shipdate) AS ts FROM lineitem)
+    SELECT iv.o_orderkey, count(*) AS n_ship
+    FROM iv JOIN p ON p.ts BETWEEN iv.lo AND iv.hi
+    GROUP BY 1
+    """,
+    tags=("rangejoin",),
+)
+def range_join_events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join (shipments falling in 7-day
+    order windows) via bin bucketing — the equi-join scale path for a
+    join Spark would otherwise plan as a nested loop. Bin width (1
+    day) only affects cost, never results: the oracle is the plain
+    inequality join."""
+    from ..operators.rangejoin import range_join
+
+    day_us = 86_400_000_000
+    points = load_table(spark, sf_dir, "lineitem").select(
+        F.expr("unix_micros(cast(l_shipdate as timestamp))").alias("ts")
+    )
+    intervals = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 97 == 0)
+        .select(
+            "o_orderkey",
+            F.expr("unix_micros(cast(o_orderdate as timestamp))").alias("lo"),
+        )
+        .withColumn("hi", F.col("lo") + 7 * day_us)
+    )
+    joined = range_join(points, intervals, "ts", "lo", "hi", bin_width=day_us)
+    return joined.groupBy("o_orderkey").agg(F.count("*").alias("n_ship"))
+
+
+@register(
     "skew_salted_join",
     """
     SELECT o.o_orderpriority, count(*) AS n,

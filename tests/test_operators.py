@@ -234,3 +234,35 @@ def test_winnow_short_doc_yields_no_grams(spark):
     df = _docs(spark, [(1, "short"), (2, "long enough document here")])
     out = T.winnow_fingerprints(df, "text", "doc_id", k=8, window=4)
     assert {r["doc_id"] for r in out.collect()} == {2}
+
+
+# -- range join ---------------------------------------------------------------
+
+
+def test_range_join_boundaries_and_bin_invariance(spark):
+    from omicidx_gh_etl_spark.operators.rangejoin import range_join
+
+    points = spark.createDataFrame(
+        [(1, 100), (2, 150), (3, 200), (4, 201), (5, 99)], "pid int, ts long"
+    )
+    intervals = spark.createDataFrame(
+        [(10, 100, 200), (20, 150, 150), (30, 500, 600)], "iid int, lo long, hi long"
+    )
+    for w in (7, 100, 1000):  # results must not depend on bin width
+        got = {
+            (r["pid"], r["iid"])
+            for r in range_join(points, intervals, "ts", "lo", "hi", w).collect()
+        }
+        assert got == {(1, 10), (2, 10), (3, 10), (2, 20)}, w  # inclusive bounds
+
+
+def test_range_join_left_keeps_unmatched_points(spark):
+    from omicidx_gh_etl_spark.operators.rangejoin import range_join
+
+    points = spark.createDataFrame([(1, 100), (2, 999)], "pid int, ts long")
+    intervals = spark.createDataFrame([(10, 50, 150)], "iid int, lo long, hi long")
+    rows = range_join(points, intervals, "ts", "lo", "hi", 10, how="left").collect()
+    by_pid = {r["pid"]: r for r in rows}
+    assert len(rows) == 2
+    assert by_pid[1]["iid"] == 10
+    assert by_pid[2]["iid"] is None
