@@ -353,3 +353,44 @@ def skew_two_stage_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt_buckets=8,
     )
     return out.select("user_id", "n", "total_value", "last_us")
+
+
+# --------------------------------------------------------------------------
+# Approximate sketches (rows-only driver check; error bounds pytest-pinned)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sketch_approx_distinct",
+    None,  # HLL++ estimates are engine-specific — no cross-engine oracle
+    tags=("sketch", "A4"),
+)
+def sketch_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count sketch per group, alongside the
+    exact count. At 100 TB the sketch is the only affordable answer —
+    constant memory per group, mergeable across partitions (one
+    map-side pass), while exact countDistinct shuffles every distinct
+    value. tests/test_queries_smoke.py pins the ≤5% relative error.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_exact"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("n_approx"),
+    )
+
+
+@register(
+    "sketch_approx_quantiles",
+    None,  # interpolation/sketch parameters differ per engine
+    tags=("sketch", "A10"),
+)
+def sketch_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles (Greenwald-Khanna) vs exact percentiles
+    per event_type. The sketch reads once with bounded memory; exact
+    percentile materializes and sorts each group. Error bound
+    pytest-pinned alongside sketch_approx_distinct."""
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.95], 10_000).alias("q_approx"),
+        F.expr("percentile(value, array(0.5D, 0.95D))").alias("q_exact"),
+    )

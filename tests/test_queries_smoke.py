@@ -33,3 +33,15 @@ def test_query_executes(spark, sf_dir, name):
     # count() forces the whole plan; queries may legitimately return 0
     # rows at smoke scale (e.g. near-dup pairs) — executing is the test.
     assert df.count() >= 0
+
+
+def test_sketch_error_bounds(spark, sf_dir):
+    """Approximate sketches are rows-only for the driver; the error
+    bound is the real assertion and it lives here."""
+    rows = REGISTRY["sketch_approx_distinct"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["n_approx"] - r["n_exact"]) <= max(3, 0.05 * r["n_exact"])
+    for r in REGISTRY["sketch_approx_quantiles"].builder(spark, sf_dir).collect():
+        for qa, qe in zip(r["q_approx"], r["q_exact"]):
+            assert abs(qa - qe) <= 0.05 * max(abs(qe), 1.0)
