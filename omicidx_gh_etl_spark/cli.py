@@ -5,6 +5,8 @@
 Commands:
   plan         — dry-run: print the topo-ordered model plan
   run          — execute models for a [start, end] window
+  backfill     — per-interval incremental materialization with
+                 missing-interval planning and resume (sqlmesh plan/run)
   history      — recent model runs from meta.model_runs
   catalog      — parquet row-group stats rollup for a data directory
   deploy       — write catalog.json over an export root
@@ -154,6 +156,28 @@ def cmd_audit(args: argparse.Namespace) -> int:
     return 1 if failed else 0
 
 
+def cmd_backfill(args: argparse.Namespace) -> int:
+    """Per-interval incremental materialization (sqlmesh plan/run)."""
+    from datetime import date
+
+    runner = _runner(args)
+    start = date.fromisoformat(args.start)
+    end = date.fromisoformat(args.end)
+    if args.dry_run:
+        missing = runner.plan_backfill(args.model, start, end)
+        for iv in missing:
+            print(f"missing {iv.start} .. {iv.end}")
+        print(f"{len(missing)} interval(s) to backfill")
+        return 0
+    failed = False
+    for iv, results in runner.backfill(args.model, start, end):
+        ok = all(r.status == "success" for r in results)
+        secs = sum(r.seconds for r in results)
+        print(f"{'ok' if ok else 'FAIL':4s} {iv.start} .. {iv.end}  {secs:7.2f}s")
+        failed |= not ok
+    return 1 if failed else 0
+
+
 def cmd_list_models(args: argparse.Namespace) -> int:
     """List registered models per layer (warehouse_cli.py:126-156)."""
     from .models import REGISTRY
@@ -288,6 +312,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("audit", help="run data-quality audits")
     common(sp)
     sp.set_defaults(fn=cmd_audit)
+
+    sp = sub.add_parser("backfill", help="per-interval incremental run")
+    common(sp)
+    sp.add_argument("model")
+    sp.add_argument("--start", required=True)
+    sp.add_argument("--end", required=True)
+    sp.add_argument("--dry-run", action="store_true")
+    sp.set_defaults(fn=cmd_backfill)
 
     sp = sub.add_parser("list-models", help="registered models per layer")
     sp.set_defaults(fn=cmd_list_models)

@@ -134,7 +134,15 @@ class WarehouseRunner:
         m = self.registry.get(name)
         path = self._table_path(m)
         if m.kind != "VIEW" and Path(path).exists():
-            df = self.spark.read.parquet(path)
+            try:
+                df = self.spark.read.parquet(path)
+            except Exception:
+                # materialized but empty (only empty intervals ran so
+                # far): schema can't be inferred from zero files — fall
+                # back to the logical plan when a context allows it
+                if ctx is None:
+                    raise
+                df = m.build(lambda dep: self.resolve(dep, ctx), ctx)
         else:
             if ctx is None:
                 raise ValueError(f"model {name} not materialized and no context given")
@@ -159,7 +167,11 @@ class WarehouseRunner:
                 .partitionBy(m.time_column)
                 .parquet(path)
             )
-            out = self.spark.read.parquet(path)
+            # read back with the plan's schema: an interval with ZERO
+            # rows (routine in daily backfills) writes no part files,
+            # and a schema-less read of the empty dataset fails with
+            # UNABLE_TO_INFER_SCHEMA
+            out = self.spark.read.schema(df.schema).parquet(path)
             rows = out.filter(
                 F.col(m.time_column).between(ctx.start_ds, ctx.end_ds)
             ).count()
@@ -167,7 +179,7 @@ class WarehouseRunner:
         else:  # TABLE
             path = self._table_path(m)
             df.write.mode("overwrite").option("compression", "zstd").parquet(path)
-            out = self.spark.read.parquet(path)
+            out = self.spark.read.schema(df.schema).parquet(path)
             rows = out.count()
             self._cache[m.name] = out
         if m.export is not None and self.export_root is not None:
@@ -249,3 +261,53 @@ class WarehouseRunner:
             .orderBy(F.desc("started_at"), F.asc("model"))
             .limit(limit)
         )
+
+    # -- incremental backfill ---------------------------------------------
+
+    def plan_backfill(
+        self, model: str, start: date, end: date
+    ) -> list:
+        """Missing intervals for one incremental model (sqlmesh ``plan``:
+        everything its cron says should exist in [start, end] minus what
+        the interval store has recorded)."""
+        from .intervals import IntervalStore
+
+        m = self.registry.get(model)
+        if m.kind != "INCREMENTAL_BY_TIME_RANGE":
+            raise ValueError(f"{model} is not incremental (kind={m.kind})")
+        store = IntervalStore(self.spark, self.warehouse_root)
+        return store.missing_intervals(model, start, end, cron=m.cron)
+
+    def backfill(
+        self, model: str, start: date, end: date
+    ) -> list[tuple]:
+        """Materialize every missing interval of one incremental model
+        (sqlmesh ``run``): per-interval execution with dynamic partition
+        overwrite (idempotent), recording each completed interval so a
+        crashed backfill resumes where it stopped — the Spark analogue
+        of the extractors' ``.completed`` semaphores
+        (sra/extract.py:407-458).
+
+        Intervals run sequentially by design: each is itself a fully
+        parallel Spark job, and serializing them bounds cluster memory
+        at one interval's working set (the same reason the reference
+        runs its daily windows one at a time).
+        """
+        from .intervals import IntervalStore
+
+        store = IntervalStore(self.spark, self.warehouse_root)
+        out: list[tuple] = []
+        for iv in self.plan_backfill(model, start, end):
+            results = self.run(
+                start_ds=iv.start.isoformat(),
+                end_ds=iv.end.isoformat(),
+                select=[model],
+                run_audits_after=False,
+            )
+            ok = all(r.status == "success" for r in results)
+            if ok:
+                store.record(model, [iv])
+            out.append((iv, results))
+            if not ok:
+                break  # leave later intervals unrecorded for resume
+        return out

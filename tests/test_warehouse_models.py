@@ -390,3 +390,41 @@ def test_cli_list_describe_showconfig(spark, data_root, tmp_path, capsys):
 
     cfg = _json.loads(capsys.readouterr().out)
     assert cfg["models"] > 20 and cfg["data_root"] == data_root
+
+
+# -- incremental backfill --------------------------------------------------
+
+
+def test_backfill_runs_missing_intervals_and_resumes(spark, runner):
+    from datetime import date
+
+    model = "bronze.stg_sra_experiments"
+    s, e = date(2024, 1, 14), date(2024, 1, 16)
+
+    # plan: all 3 daily intervals missing initially
+    assert len(runner.plan_backfill(model, s, e)) == 3
+
+    done = runner.backfill(model, s, e)
+    assert len(done) == 3
+    assert all(r.status == "success" for _, rs in done for r in rs)
+
+    # rows materialized across the intervals: SRX2 (Jan 15) + SRX4 (Jan 16)
+    accs = {r["experiment_accession"] for r in runner.resolve(model).collect()}
+    assert accs == {"SRX2", "SRX4"}
+
+    # recorded: a second backfill is a no-op (resume semantics)
+    assert runner.plan_backfill(model, s, e) == []
+    assert runner.backfill(model, s, e) == []
+
+    # widening the window only runs the new interval
+    assert len(runner.plan_backfill(model, s, date(2024, 1, 17))) == 1
+
+
+def test_backfill_rejects_non_incremental(runner):
+    from datetime import date
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not incremental"):
+        runner.plan_backfill("raw.src_sra_experiments", date(2024, 1, 1),
+                             date(2024, 1, 2))
