@@ -11,7 +11,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from pyspark.sql import functions as F
 
-from ..streaming import run_sessionize_stream, run_streaming_window_counts
+from ..streaming import (
+    run_dedup_stream,
+    run_sessionize_stream,
+    run_streaming_window_counts,
+)
 from .base import register
 
 
@@ -80,3 +84,21 @@ def streaming_sessionize_stateful_query(
         "n_events",
         F.round("total_value", 4).alias("total_value"),
     )
+
+
+@register(
+    "streaming_dedup_watermark",
+    """
+    SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+    FROM events
+    """,
+    tags=("streaming", "dedup"),
+)
+def streaming_dedup_watermark_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup with watermark-bounded state
+    (dropDuplicatesWithinWatermark): the bounded events source is
+    unioned with itself (at-least-once delivery simulation) and
+    deduped by event_id — one row per event, i.e. the plain table,
+    which IS the oracle."""
+    out = run_dedup_stream(spark, f"{sf_dir}/events.parquet", key_cols=["event_id"])
+    return out.select("event_id", "user_id", "event_type", "ts_us")

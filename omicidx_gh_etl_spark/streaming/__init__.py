@@ -1,3 +1,4 @@
+from .dedup import dedup_stream, run_dedup_stream
 from .stateful import run_sessionize_stream, sessionize_stream
 from .windows import run_streaming_window_counts, streaming_window_counts
 
@@ -6,4 +7,6 @@ __all__ = [
     "run_streaming_window_counts",
     "sessionize_stream",
     "run_sessionize_stream",
+    "dedup_stream",
+    "run_dedup_stream",
 ]

@@ -109,3 +109,13 @@ def test_stateful_sessionize_event_time_timeout_evicts(spark, tmp_path):
     assert rows[1]["total_value"] == pytest.approx(3.0)
     # user 2's session is still open (nothing after it) — not emitted
     assert 2 not in rows
+
+
+def test_streaming_dedup_drops_redelivered_records(spark, sf_dir):
+    from omicidx_gh_etl_spark.queries.tables import load_events
+    from omicidx_gh_etl_spark.streaming import run_dedup_stream
+
+    out = run_dedup_stream(spark, f"{sf_dir}/events.parquet")
+    n_events = load_events(spark, sf_dir).count()
+    assert out.count() == n_events  # 2x-delivered stream → exactly-once output
+    assert out.select("event_id").distinct().count() == n_events
