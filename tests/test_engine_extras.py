@@ -138,3 +138,50 @@ def test_extract_experiments_from_xml(spark, tmp_path):
 
 def test_extract_experiments_empty_dir(spark, tmp_path):
     assert extract_experiments(spark, str(tmp_path)).count() == 0
+
+
+# -- SOFT extraction UDTF -----------------------------------------------------
+
+SOFT_SAMPLE = """\
+^SERIES = GSE100
+!Series_title = a test series
+^SAMPLE = GSM1
+!Sample_title = first sample
+!Sample_organism_ch1 = Homo sapiens
+!Sample_characteristics_ch1 = tissue: liver
+!Sample_characteristics_ch1 = age: 5
+!Sample_supplementary_file = ftp://x/a.gz
+^SAMPLE = GSM2
+!Sample_title = second sample
+!Sample_characteristics_ch1 = plain-note
+"""
+
+
+def test_extract_soft_entities_and_characteristics(spark, tmp_path):
+    import gzip as _gzip
+
+    from omicidx_gh_etl_spark.sources.soft_extract import extract_soft
+
+    p = tmp_path / "fam.soft.gz"
+    with _gzip.open(p, "wt") as fh:
+        fh.write(SOFT_SAMPLE)
+    out = {r["accession"]: r for r in extract_soft(spark, str(tmp_path)).collect()}
+    assert set(out) == {"GSE100", "GSM1", "GSM2"}
+    assert out["GSE100"]["entity_type"] == "SERIES"
+    assert out["GSE100"]["title"] == "a test series"
+    gsm1 = out["GSM1"]
+    assert gsm1["organism"] == "Homo sapiens"
+    assert [(c["tag"], c["value"]) for c in gsm1["characteristics"]] == [
+        ("tissue", "liver"), ("age", "5")
+    ]
+    assert gsm1["supplementary_files"] == ["ftp://x/a.gz"]
+    # characteristic without a colon → value-only struct
+    assert [(c["tag"], c["value"]) for c in out["GSM2"]["characteristics"]] == [
+        (None, "plain-note")
+    ]
+
+
+def test_extract_soft_empty_dir(spark, tmp_path):
+    from omicidx_gh_etl_spark.sources.soft_extract import extract_soft
+
+    assert extract_soft(spark, str(tmp_path)).count() == 0
