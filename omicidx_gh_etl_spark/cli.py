@@ -107,13 +107,20 @@ def cmd_catalog(args: argparse.Namespace) -> int:
 
 
 def cmd_deploy(args: argparse.Namespace) -> int:
-    from .engine import build_catalog_json, write_catalog_json
+    from .engine import build_catalog_json, build_remote_views_db, write_catalog_json
 
     spark = _spark(args)
     cat = build_catalog_json(spark, args.export_root, base_url=args.base_url)
     out = args.out or f"{args.export_root}/catalog.json"
     write_catalog_json(cat, out)
-    print(json.dumps({"catalog": out, "tables": len(cat["tables"])}))
+    db = f"{args.export_root}/remote_views.duckdb"
+    views = build_remote_views_db(cat, db)
+    print(
+        json.dumps(
+            {"catalog": out, "tables": len(cat["tables"]),
+             "remote_views_db": db, "views": views}
+        )
+    )
     return 0
 
 

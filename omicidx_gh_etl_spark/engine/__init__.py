@@ -1,5 +1,6 @@
 from .catalog import (
     build_catalog_json,
+    build_remote_views_db,
     catalog_global_stats,
     catalog_per_table_stats,
     scan_parquet_metadata,
@@ -22,6 +23,7 @@ __all__ = [
     "catalog_per_table_stats",
     "write_catalog",
     "build_catalog_json",
+    "build_remote_views_db",
     "write_catalog_json",
     "Interval",
     "IntervalStore",

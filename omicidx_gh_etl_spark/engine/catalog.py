@@ -124,3 +124,47 @@ def build_catalog_json(
 
 def write_catalog_json(catalog: dict, path: str) -> None:
     Path(path).write_text(json.dumps(catalog, indent=2))
+
+
+def build_remote_views_db(catalog: dict, out_db: str) -> list[str]:
+    """The reference's "remote views" artifact: a ~1 MB DuckDB file
+    whose views SELECT from the published parquet URLs, so end users
+    query the marts with nothing but the tiny DB file
+    (DEPLOYMENT.md:73-83 — ``CREATE VIEW x AS SELECT * FROM
+    read_parquet('https://…/x.parquet')``).
+
+    Engine-neutral by design: the published data is plain parquet, the
+    consumer-side engine is whatever reads it (DuckDB here, exactly as
+    the reference ships; ``spark.read.parquet(url)`` works on the same
+    catalog). Returns the view names created.
+
+    Globs directories: exports are written by Spark as part-file
+    directories, so each view scans ``<path>/**/*.parquet`` (also
+    matching partitioned layouts); a bare ``.parquet`` path is used
+    verbatim.
+    """
+    import duckdb
+
+    Path(out_db).unlink(missing_ok=True)
+    con = duckdb.connect(out_db)
+    views = []
+    try:
+        for name, meta in sorted(catalog.get("tables", {}).items()):
+            path = meta["path"]
+            target = path if path.endswith(".parquet") else f"{path}/**/*.parquet"
+            con.execute(
+                f'CREATE OR REPLACE VIEW "{name}" AS '
+                f"SELECT * FROM read_parquet('{target}')"
+            )
+            views.append(name)
+        # CREATE VIEW cannot be a prepared statement — inline escaped
+        # literals
+        v = str(catalog.get("version", "")).replace("'", "''")
+        g = str(catalog.get("generated_at", "")).replace("'", "''")
+        con.execute(
+            f"CREATE OR REPLACE VIEW _catalog AS SELECT * FROM "
+            f"(VALUES ('{v}', '{g}')) t(version, generated_at)"
+        )
+    finally:
+        con.close()
+    return views

@@ -185,3 +185,26 @@ def test_extract_soft_empty_dir(spark, tmp_path):
     from omicidx_gh_etl_spark.sources.soft_extract import extract_soft
 
     assert extract_soft(spark, str(tmp_path)).count() == 0
+
+
+def test_remote_views_db_roundtrip(spark, tmp_path):
+    """Deploy artifact parity: the remote-views DuckDB file answers
+    queries straight off the exported parquet (DEPLOYMENT.md:73-83) —
+    validated with local paths; remote deploys swap in the base_url."""
+    import duckdb
+
+    from omicidx_gh_etl_spark.engine import build_catalog_json, build_remote_views_db
+
+    export = tmp_path / "export"
+    spark.range(25).write.parquet(str(export / "mart_table"))
+    cat = build_catalog_json(spark, str(export))  # local paths
+    db = str(tmp_path / "remote_views.duckdb")
+    views = build_remote_views_db(cat, db)
+    assert views == ["mart_table"]
+    con = duckdb.connect(db, read_only=True)
+    try:
+        assert con.execute('SELECT count(*) FROM "mart_table"').fetchone()[0] == 25
+        version = con.execute("SELECT version FROM _catalog").fetchone()[0]
+        assert version == cat["version"]
+    finally:
+        con.close()
