@@ -62,6 +62,100 @@ def decode_image(payload: bytes) -> "object":
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("kind", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, out_w: int, out_h: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Nearest-neighbor resize of raw grayscale image buffers
+    (payload = row-major bytes, meta.width × meta.height) to
+    ``out_w`` × ``out_h``.
+
+    The raw-buffer math is REAL (numpy over Arrow batches); only the
+    codec step (PNG/JPEG → buffer, :func:`decode_image`) is stubbed in
+    this container. Expected input rows carry ``payload`` and a
+    ``meta`` struct with width/height — the shape
+    :func:`attach_binary_payload` produces for text, extended with
+    image dims by the ingest job.
+
+    Scale: pure map (mapInPandas, no shuffle); output rows are
+    fixed-size (out_w × out_h), so downstream batches are uniform
+    regardless of input image sizes — the property batch training
+    loaders need.
+    """
+    import numpy as np
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for did, payload, meta in zip(
+                pdf[id_col], pdf["payload"], pdf["meta"]
+            ):
+                w, h = int(meta["width"]), int(meta["height"])
+                img = np.frombuffer(payload, dtype=np.uint8).reshape(h, w)
+                yi = (np.arange(out_h) * h // out_h).astype(np.int64)
+                xi = (np.arange(out_w) * w // out_w).astype(np.int64)
+                resized = img[yi][:, xi]
+                out_rows.append(
+                    (did, resized.tobytes(), {"kind": meta["kind"],
+                                              "width": out_w, "height": out_h})
+                )
+            yield pd.DataFrame(out_rows, columns=["doc_id", "payload", "meta"])
+
+    return df.mapInPandas(_resize, RESIZED_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame, every_n: int, frame_bytes: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Sample every ``every_n``-th fixed-size frame from a raw video
+    payload (payload = concatenated ``frame_bytes``-sized frames) →
+    one row per sampled frame (doc_id, frame_idx, frame).
+
+    Same contract as :func:`resize_images`: buffer math real, codec
+    stubbed. Scale: map-only fan-out; a row per sampled frame keeps
+    frames independently shufflable/joinable downstream (e.g. to a
+    per-frame embedding stage).
+    """
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf["payload"]):
+                n_frames = len(payload) // frame_bytes
+                for idx in range(0, n_frames, every_n):
+                    rows.append(
+                        (did, idx, payload[idx * frame_bytes:(idx + 1) * frame_bytes])
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame"])
+
+    return df.select(F.col(id_col), "payload").mapInPandas(_sample, FRAME_SCHEMA)
+
+
 def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 

@@ -266,3 +266,38 @@ def test_range_join_left_keeps_unmatched_points(spark):
     assert len(rows) == 2
     assert by_pid[1]["iid"] == 10
     assert by_pid[2]["iid"] is None
+
+
+# -- multimodal resize / frame sampling ---------------------------------------
+
+
+def test_resize_images_nearest_neighbor(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from omicidx_gh_etl_spark.operators import multimodal
+
+    # 4x4 gradient "image" downsampled to 2x2 picks rows/cols 0 and 2
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    df = spark.createDataFrame(
+        [(1, bytearray(img.tobytes()), ("image/raw", 4, 4))],
+        "doc_id long, payload binary, meta struct<kind:string,width:int,height:int>",
+    )
+    out = multimodal.resize_images(df, out_w=2, out_h=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["meta"]["width"] == 2 and r["meta"]["height"] == 2
+    got = np.frombuffer(bytes(r["payload"]), dtype=np.uint8).reshape(2, 2)
+    assert got.tolist() == [[0, 2], [8, 10]]
+
+
+def test_sample_frames_every_nth(spark):
+    from omicidx_gh_etl_spark.operators import multimodal
+
+    frames = b"".join(bytes([i]) * 4 for i in range(10))  # 10 frames of 4 bytes
+    df = spark.createDataFrame([(7, bytearray(frames))], "doc_id long, payload binary")
+    out = sorted(
+        (r["frame_idx"], bytes(r["frame"])) for r in
+        multimodal.sample_frames(df, every_n=3, frame_bytes=4).collect()
+    )
+    assert out == [(0, b"\x00" * 4), (3, b"\x03" * 4), (6, b"\x06" * 4), (9, b"\x09" * 4)]
