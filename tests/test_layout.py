@@ -60,3 +60,39 @@ def test_compact_merges_small_files(spark, tmp_path):
     out_files = glob.glob(f"{dest}/*.parquet")
     assert len(out_files) == 1  # ~3MB of data → one 512MB-target file
     assert spark.read.parquet(dest).count() == 50_000
+
+
+def test_zorder_write_clusters_both_columns(spark, tmp_path):
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from omicidx_gh_etl_spark.sources.layout import zorder_write
+
+    n = 40_000
+    df = spark.range(n).select(
+        ((F.col("id") * 48271) % 65536).alias("x"),   # two decorrelated
+        ((F.col("id") * 69621) % 65536).alias("y"),   # uniform columns
+    )
+    dest = str(tmp_path / "zordered")
+    zorder_write(df, dest, ["x", "y"], num_files=8)
+
+    files = glob.glob(f"{dest}/*.parquet")
+    assert len(files) > 3  # range-partitioned output
+
+    def spans(path):
+        s = spark.read.parquet(path).agg(
+            F.min("x"), F.max("x"), F.min("y"), F.max("y")
+        ).collect()[0]
+        return (s[1] - s[0]) / 65536.0, (s[3] - s[2]) / 65536.0
+
+    areas = []
+    for f in files:
+        sx, sy = spans(f)
+        areas.append(sx * sy)
+    # z-clustering: each file covers a small rectangle of the (x, y)
+    # domain, so min/max skipping prunes on EITHER column. A
+    # single-column sort would give area ≈ 1/n_files × 1 full y-span.
+    assert sum(areas) / len(areas) < 0.35
+    # and no data was lost or duplicated
+    assert spark.read.parquet(dest).count() == n
