@@ -97,6 +97,57 @@ def fingerprint(df: DataFrame, text_col: str, keep: list[str]) -> DataFrame:
     return df.select(*keep, fingerprint_expr(text_col).alias("fp"))
 
 
+# (lang, token, weight) rows for the profile-table language ID; a real
+# deployment loads a trained table (e.g. per-language token log-odds)
+DEFAULT_LANG_PROFILE: tuple[tuple[str, str, float], ...] = (
+    ("en", "the", 3.0), ("en", "of", 2.0), ("en", "and", 2.0),
+    ("en", "to", 1.5), ("en", "in", 1.5), ("en", "a", 1.0),
+    ("de", "der", 3.0), ("de", "die", 3.0), ("de", "und", 2.0),
+    ("de", "das", 2.0), ("de", "ist", 1.5), ("de", "nicht", 1.5),
+    ("fr", "le", 3.0), ("fr", "la", 3.0), ("fr", "et", 2.0),
+    ("fr", "les", 2.0), ("fr", "des", 1.5), ("fr", "est", 1.5),
+)
+
+
+def langid_profile(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    profile: DataFrame,
+) -> DataFrame:
+    """Language ID against a (lang, token, weight) profile table →
+    (id, pred_lang, score).
+
+    The production counterpart of :func:`langid_heuristic`'s built-in
+    list: the profile is data, not code — retrain/extend it without
+    touching the pipeline. Scale: tokens explode map-side, the profile
+    (thousands of rows at most) broadcasts, scores aggregate once on
+    (id, lang), and the winner is an argmax MAX-of-struct on id —
+    no windows, two hash aggregations, no large-side shuffle beyond
+    the (id, lang) agg. Docs matching no profile token get
+    ('und', 0.0) via the left join. Weights should be halves/quarters
+    (exactly representable) so score sums are order-exact doubles.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok"))
+    scored = (
+        toks.join(F.broadcast(profile), toks["tok"] == profile["token"])
+        .groupBy(id_col, "lang")
+        .agg(F.sum("weight").alias("s"))
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max(F.struct(F.col("s"), F.col("lang"))).alias("b")
+    )
+    return (
+        df.select(id_col)
+        .join(best, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("b.lang"), F.lit("und")).alias("pred_lang"),
+            F.coalesce(F.col("b.s"), F.lit(0.0)).alias("score"),
+        )
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str,

@@ -516,3 +516,47 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_spread(spark, sf_dir, "documents", "doc_id")
     wrapped = multimodal.attach_binary_payload(d, "text", "doc_id")
     return multimodal.extract_features(wrapped, "doc_id")
+
+
+@register(
+    "text_langid_profile",
+    """
+    WITH profile(lang, token, weight) AS (VALUES
+      ('en', 'the', 3.0), ('en', 'of', 2.0), ('en', 'and', 2.0),
+      ('en', 'to', 1.5), ('en', 'in', 1.5), ('en', 'a', 1.0),
+      ('de', 'der', 3.0), ('de', 'die', 3.0), ('de', 'und', 2.0),
+      ('de', 'das', 2.0), ('de', 'ist', 1.5), ('de', 'nicht', 1.5),
+      ('fr', 'le', 3.0), ('fr', 'la', 3.0), ('fr', 'et', 2.0),
+      ('fr', 'les', 2.0), ('fr', 'des', 1.5), ('fr', 'est', 1.5)),
+    toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+             AS tok
+      FROM documents),
+    scored AS (
+      -- VALUES literals bind as DECIMAL; the Spark side sums DOUBLE
+      SELECT t.doc_id, p.lang, sum(CAST(p.weight AS DOUBLE)) AS s
+      FROM toks t JOIN profile p ON t.tok = p.token
+      GROUP BY 1, 2),
+    best AS (
+      SELECT doc_id, lang, s
+      FROM scored
+      QUALIFY row_number() OVER (
+        PARTITION BY doc_id ORDER BY s DESC, lang DESC) = 1)
+    SELECT d.doc_id,
+           coalesce(b.lang, 'und') AS pred_lang,
+           coalesce(b.s, 0.0) AS score
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN best b ON b.doc_id = d.doc_id
+    """,
+    tags=("text",),
+)
+def text_langid_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via a broadcast (lang, token, weight) profile table
+    with per-doc argmax — the data-driven production form of
+    text_langid (profile is a table, retrainable without code
+    changes)."""
+    d = load_spread(spark, sf_dir, "documents", "doc_id")
+    profile = spark.createDataFrame(
+        list(text.DEFAULT_LANG_PROFILE), "lang string, token string, weight double"
+    )
+    return text.langid_profile(d, "text", "doc_id", profile)

@@ -301,3 +301,23 @@ def test_sample_frames_every_nth(spark):
         multimodal.sample_frames(df, every_n=3, frame_bytes=4).collect()
     )
     assert out == [(0, b"\x00" * 4), (3, b"\x03" * 4), (6, b"\x06" * 4), (9, b"\x09" * 4)]
+
+
+def test_langid_profile_argmax_and_und(spark):
+    from omicidx_gh_etl_spark.operators import text as T
+
+    df = _docs(spark, [
+        (1, "the cat of the house and the dog"),
+        (2, "der hund und die katze ist nicht da"),
+        (3, "le chat et la maison des les est"),
+        (4, "zzz qqq www"),
+    ])
+    profile = spark.createDataFrame(
+        list(T.DEFAULT_LANG_PROFILE), "lang string, token string, weight double"
+    )
+    out = {r["doc_id"]: (r["pred_lang"], r["score"])
+           for r in T.langid_profile(df, "text", "doc_id", profile).collect()}
+    assert out[1][0] == "en" and out[1][1] > 0
+    assert out[2][0] == "de"
+    assert out[3][0] == "fr"
+    assert out[4] == ("und", 0.0)
