@@ -35,7 +35,10 @@ HEADLINE = [
     "dedup_simhash",
     "similarity_topk",         # brute-force ANN baseline
     "similarity_ivf_assign",   # ANN scale path
+    "similarity_ivf_search",   # full ANN search (probe + cell scan)
     "text_quality",
+    "text_winnow_fingerprints",  # rolling-hash fingerprints
+    "range_join_events_windows",  # bin-bucketed interval join
     "sessionize_events",
 ]
 
