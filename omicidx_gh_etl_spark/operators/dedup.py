@@ -342,6 +342,69 @@ def simhash_band_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "d1",
+    b_col: str = "d2",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster near-dup pair edges into connected components →
+    (node, component) with component = min node id reachable.
+
+    The step AFTER candidate generation in every production dedup
+    pipeline: near-dup pairs (from MinHash/SimHash) chain into groups
+    (A~B, B~C ⇒ {A,B,C}), and one keeper per component survives.
+
+    Iterative min-label propagation (the simple variant of
+    Kiveris et al.'s large-star/small-star): each round every node
+    takes the min of its own and its neighbors' labels — a join on the
+    (symmetrized) edge list plus a min-aggregate, both shuffling on
+    uniformly-hashed node ids. Rounds needed = graph diameter, and
+    near-dup components are small and dense (diameter ≲ 3), so this
+    converges in a handful of rounds at any corpus size; each round's
+    result is ``localCheckpoint``-ed to truncate the growing lineage
+    (standard practice for iterative DataFrame algorithms).
+
+    Driver-side iteration with a per-round convergence count is
+    inherent to fixpoint algorithms — the per-round work is fully
+    distributed.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .union(pairs.select(F.col(b_col).alias("a"), F.col(a_col).alias("b")))
+        .distinct()
+    )
+    labels = edges.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .groupBy(edges["a"].alias("node"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
 def latest_by_key(
     df: DataFrame, key_cols: list[str], order_cols: list[Column]
 ) -> DataFrame:

@@ -132,6 +132,49 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_components",
+    _SHINGLE_CTE
+    + """,
+seeded AS (
+  SELECT doc_id, seed,
+         ('0x' || substr(md5(seed || ':' || shingle), 1, 15))::BIGINT AS h
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS seed) seeds),
+sig AS (SELECT doc_id, seed, min(h) AS minh FROM seeded GROUP BY doc_id, seed),
+bands AS (
+  SELECT doc_id, seed // 3 AS band,
+         md5(string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed)) AS bsig
+  FROM sig GROUP BY doc_id, seed // 3),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+          UNION SELECT d2, d1 FROM pairs),
+reach AS (
+  WITH RECURSIVE r(a, b) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a)
+  SELECT * FROM r)
+SELECT a AS node, least(a, min(b)) AS component
+FROM reach GROUP BY a
+    """,
+    tags=("dedup", "iterative"),
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the MinHash LSH
+    pair edges via iterative min-label propagation (A~B, B~C ⇒ one
+    component labeled min(doc_id)) — the keeper-selection step of a
+    production dedup pipeline. The oracle computes the same components
+    with a recursive transitive-closure CTE (exact on the small
+    near-dup graphs; the Spark side scales to corpus-size graphs)."""
+    d = load_spread(spark, sf_dir, "documents", "doc_id")
+    sh = dedup.shingles(d, "text", "doc_id", n=3, distinct=False)
+    pairs = dedup.minhash_lsh_candidates(sh, "doc_id", num_hashes=12, bands=4)
+    return dedup.connected_components(pairs)
+
+
+@register(
     "dedup_simhash",
     """
     WITH toks AS (

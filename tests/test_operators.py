@@ -321,3 +321,15 @@ def test_langid_profile_argmax_and_und(spark):
     assert out[2][0] == "de"
     assert out[3][0] == "fr"
     assert out[4] == ("und", 0.0)
+
+
+def test_connected_components_chains_and_islands(spark):
+    from omicidx_gh_etl_spark.operators import dedup
+
+    # chain 1-2-3-4 (diameter 3), pair {10,11}, pair {20,21}
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (21, 20)], "d1 long, d2 long"
+    )
+    out = {r["node"]: r["component"]
+           for r in dedup.connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
