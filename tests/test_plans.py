@@ -111,3 +111,24 @@ def test_single_shuffle_aggregations(spark, name):
     tree = plan_of(spark, name).split("\n\n")[0]
     assert count_shuffles(tree) <= 2
     assert count_op(tree, "SortMergeJoin") == 0
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark):
+    """The whole point of bin bucketing: a point-in-interval join must
+    NOT plan as BroadcastNestedLoopJoin/CartesianProduct."""
+    tree = plan_of(spark, "range_join_events_windows").split("\n\n")[0]
+    assert count_op(tree, "BroadcastNestedLoopJoin") == 0
+    assert count_op(tree, "CartesianProduct") == 0
+    assert count_op(tree, "BroadcastHashJoin") == 1  # equi-join on the bin
+
+
+def test_ivf_search_candidate_join_broadcasts_probes(spark):
+    tree = plan_of(spark, "similarity_ivf_search").split("\n\n")[0]
+    # corpus-side candidate join: probes broadcast, corpus never shuffles
+    assert count_op(tree, "BroadcastHashJoin") >= 1
+    assert count_op(tree, "SortMergeJoin") == 0
+    # the only nested loops are the intended tiny broadcast cross joins
+    # (vectors × centroids, queries × centroids)
+    assert count_op(tree, "BroadcastNestedLoopJoin") == 2
+    # rank-k pushdown active (WindowGroupLimit, Spark 3.5+)
+    assert count_op(tree, "WindowGroupLimit") >= 1
