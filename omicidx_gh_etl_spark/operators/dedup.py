@@ -125,6 +125,49 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    shingle_df: DataFrame,
+    id_col: str,
+    threshold: float,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Shingle-containment pairs: |A∩B| / min(|A|,|B|) ≥ threshold.
+
+    Catches what symmetric Jaccard misses: a short document quoted or
+    embedded inside a long one scores near-zero Jaccard (union is
+    huge) but containment ≈ 1 — the subset/quotation case every
+    training-data dedup needs. Same inverted-index plan as
+    :func:`jaccard_pairs` (shuffle on content-hash shingle keys,
+    output ∝ true candidate pairs, ``max_shingle_df`` caps hot
+    shingles).
+    """
+    sh = shingle_df
+    if max_shingle_df is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
+        sh = (
+            sh.join(F.broadcast(freq.filter(F.col("df_") <= max_shingle_df)), "shingle")
+            .drop("df_")
+        )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("d1"), "shingle")
+    b = sh.select(F.col(id_col).alias("d2"), "shingle")
+    inter = (
+        a.join(b, ["shingle"])
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("d1"), F.col("n_sh").alias("n1"))
+    sb = sizes.select(F.col(id_col).alias("d2"), F.col("n_sh").alias("n2"))
+    cont = F.col("n_inter").cast("double") / F.least(F.col("n1"), F.col("n2"))
+    return (
+        inter.join(sa, "d1")
+        .join(sb, "d2")
+        .filter(cont >= threshold)
+        .select("d1", "d2", F.round(cont, 4).alias("containment"))
+    )
+
+
 def minhash_lsh_candidates(
     shingle_df: DataFrame,
     id_col: str,

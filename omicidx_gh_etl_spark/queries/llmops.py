@@ -132,6 +132,33 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_containment",
+    _SHINGLE_CTE
+    + """,
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT d1, d2,
+       round(CAST(n_inter AS DOUBLE) / least(sa.n, sb.n), 4) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = d1
+JOIN sizes sb ON sb.doc_id = d2
+WHERE CAST(n_inter AS DOUBLE) / least(sa.n, sb.n) >= 0.8
+    """,
+    tags=("dedup",),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-containment pairs (|A∩B| / min(|A|,|B|) ≥ 0.8): the
+    subset/quotation detector symmetric Jaccard misses — a short doc
+    embedded in a long one has tiny Jaccard but containment ≈ 1."""
+    d = load_spread(spark, sf_dir, "documents", "doc_id")
+    sh = dedup.shingles(d, "text", "doc_id", n=3)
+    return dedup.containment_pairs(sh, "doc_id", threshold=0.8)
+
+
+@register(
     "dedup_components",
     _SHINGLE_CTE
     + """,

@@ -333,3 +333,18 @@ def test_connected_components_chains_and_islands(spark):
     out = {r["node"]: r["component"]
            for r in dedup.connected_components(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_containment_catches_embedded_doc(spark):
+    from omicidx_gh_etl_spark.operators import dedup
+
+    short = "alpha beta gamma delta epsilon"
+    long_ = "intro words here " + short + " trailing content follows now"
+    df = _docs(spark, [(1, short), (2, long_), (3, "unrelated text entirely different")])
+    sh = dedup.shingles(df, "text", "doc_id", n=3)
+    cont = {(r["d1"], r["d2"]): r["containment"]
+            for r in dedup.containment_pairs(sh, "doc_id", threshold=0.8).collect()}
+    assert (1, 2) in cont and cont[(1, 2)] == 1.0  # fully embedded
+    jac = {(r["d1"], r["d2"]) for r in
+           dedup.jaccard_pairs(sh, "doc_id", threshold=0.8).collect()}
+    assert (1, 2) not in jac  # symmetric jaccard misses it
