@@ -241,6 +241,13 @@ def ivf_assign(
     of |vectors|×k sorted by a window. Struct comparison is
     lexicographic: (cos_sim, -centroid_id) ⇒ highest similarity,
     lowest centroid id on rounded ties.
+
+    Rejected alternative (measured, do not re-try blindly): inlining
+    small-K centroids as plan literals and computing all K similarities
+    as projection columns ("no cross join, no aggregate") benched 3.5×
+    SLOWER at sf0.1 — K higher-order-function cosines per row in one
+    giant expression tree evaluate interpreted, which costs more than
+    the k× row fan-out this formulation pays inside codegen.
     """
     e = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
     c = centroids.select(
