@@ -5,6 +5,7 @@
 Commands:
   plan         — dry-run: print the topo-ordered model plan
   run          — execute models for a [start, end] window
+  sql          — ad-hoc Spark SQL over the warehouse views
   backfill     — per-interval incremental materialization with
                  missing-interval planning and resume (sqlmesh plan/run)
   history      — recent model runs from meta.model_runs
@@ -163,6 +164,32 @@ def cmd_audit(args: argparse.Namespace) -> int:
     return 1 if failed else 0
 
 
+def cmd_sql(args: argparse.Namespace) -> int:
+    """Ad-hoc Spark SQL over the warehouse (the end-user query surface,
+    DEPLOYMENT.md's `duckdb -c "SELECT ..."` analogue). Every model is
+    registered as a temp view named layer__name; views resolve to
+    materialized parquet when present, else to their logical plan."""
+    from .models import REGISTRY
+    from .models.registry import ModelContext
+
+    runner = _runner(args)
+    ctx = ModelContext(
+        spark=runner.spark, data_root=args.data_root,
+        start_ds="2001-01-01", end_ds="2100-01-01",
+    )
+    for name in REGISTRY.names():
+        try:
+            runner.resolve(name, ctx).createOrReplaceTempView(
+                name.replace(".", "__")
+            )
+        except Exception:
+            # partial data roots are normal (e.g. one source extracted);
+            # only the views the query touches need to exist
+            continue
+    runner.spark.sql(args.query).show(args.limit, truncate=False)
+    return 0
+
+
 def cmd_backfill(args: argparse.Namespace) -> int:
     """Per-interval incremental materialization (sqlmesh plan/run)."""
     from datetime import date
@@ -319,6 +346,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("audit", help="run data-quality audits")
     common(sp)
     sp.set_defaults(fn=cmd_audit)
+
+    sp = sub.add_parser("sql", help="ad-hoc SQL over the warehouse views")
+    common(sp)
+    sp.add_argument("query")
+    sp.add_argument("--limit", type=int, default=50)
+    sp.set_defaults(fn=cmd_sql)
 
     sp = sub.add_parser("backfill", help="per-interval incremental run")
     common(sp)

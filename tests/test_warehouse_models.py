@@ -428,3 +428,19 @@ def test_backfill_rejects_non_incremental(runner):
     with _pytest.raises(ValueError, match="not incremental"):
         runner.plan_backfill("raw.src_sra_experiments", date(2024, 1, 1),
                              date(2024, 1, 2))
+
+
+def test_cli_sql_over_views(spark, data_root, tmp_path, capsys):
+    import argparse
+
+    from omicidx_gh_etl_spark import cli
+
+    ns = argparse.Namespace(
+        cmd="sql", cpus=8, data_root=data_root,
+        warehouse_root=str(tmp_path / "wh"), export_root=None,
+        query="SELECT count(*) AS n FROM raw__src_sra_accessions",
+        limit=10,
+    )
+    assert cli.cmd_sql(ns) == 0
+    out = capsys.readouterr().out
+    assert "|n  |" in out or "| n " in out or "|8  |" in out  # table output
