@@ -136,6 +136,81 @@ def lsh_bucket_pairs(
     )
 
 
+def kmeans_fit(
+    emb: DataFrame,
+    k: int,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train IVF centroids with Lloyd's k-means over DataFrames →
+    (centroid_id, cv array<double>). The missing third of the ANN
+    story: fit (here) → assign (:func:`ivf_assign`) → search
+    (:func:`ivf_search`).
+
+    Initialization is deterministic (first ``k`` vectors by id — the
+    reproducibility-over-randomness tradeoff this repo makes
+    everywhere; callers wanting k-means++ pass better seeds by
+    pre-selecting rows). Each iteration:
+
+    1. assignment: broadcast centroids, map-side nearest-centroid
+       (one pass over the corpus, no shuffle of the big side);
+    2. update: posexplode vectors → groupBy (centroid, dim) mean —
+       ONE shuffle keyed on (centroid, dim), uniform by construction;
+    3. centroids collect to the driver (k × dims doubles — tiny by
+       contract) for the next broadcast.
+
+    Iterative fixpoint with driver-held centroids is the canonical
+    distributed k-means shape (same as MLlib's); per-iteration work is
+    fully distributed and lineage does not grow (each round reads the
+    same cached corpus).
+
+    Assignment uses cosine (matching the ANN operators) with plain
+    mean updates — spherical k-means without the normalization step,
+    which is equivalent for assignment because cosine is
+    scale-invariant in the centroid.
+    """
+    e = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    seed = e.orderBy(id_col).limit(k).collect()
+    centroids = [(i, list(r["v"])) for i, r in enumerate(seed)]
+    dims = len(centroids[0][1])
+    for _ in range(max_iter):
+        cdf = e.sparkSession.createDataFrame(
+            centroids, "centroid_id int, cv array<double>"
+        )
+        assigned = ivf_assign(e, cdf, id_col=id_col, vec_col="v")
+        new = (
+            e.join(assigned.select(id_col, "centroid_id"), id_col)
+            .select("centroid_id", F.posexplode("v").alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "centroid_id",
+                F.expr("transform(pm, p -> p.m)").alias("cv"),
+            )
+            .collect()
+        )
+        updated = {r["centroid_id"]: list(r["cv"]) for r in new}
+        # empty cells keep their previous centroid (standard Lloyd's)
+        next_centroids = [
+            (cid, updated.get(cid, cvec)) for cid, cvec in centroids
+        ]
+        if all(
+            abs(a - b) < 1e-9
+            for (_, ca), (_, cb) in zip(centroids, next_centroids)
+            for a, b in zip(ca, cb)
+        ):
+            centroids = next_centroids
+            break
+        centroids = next_centroids
+    assert all(len(c) == dims for _, c in centroids)
+    return e.sparkSession.createDataFrame(
+        centroids, "centroid_id int, cv array<double>"
+    )
+
+
 def ivf_search(
     emb: DataFrame,
     centroids: DataFrame,

@@ -630,3 +630,21 @@ def text_langid_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         list(text.DEFAULT_LANG_PROFILE), "lang string, token string, weight double"
     )
     return text.langid_profile(d, "text", "doc_id", profile)
+
+
+@register(
+    "similarity_kmeans_fit",
+    None,  # iterative fixpoint — not expressible as a single SQL query
+    tags=("similarity", "ml", "iterative"),
+)
+def similarity_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means training over the embeddings (k=8,
+    deterministic first-k init, cosine assignment): the fit step of
+    the IVF fit→assign→search story. Iterative — driver-held centroids
+    rebroadcast each round — so it carries no SQL oracle; cluster
+    separation is pytest-pinned instead (tests/test_operators.py)."""
+    e = load_spread(spark, sf_dir, "embeddings", "vec_id")
+    cents = similarity.kmeans_fit(e, k=8, max_iter=5)
+    return cents.select(
+        "centroid_id", F.posexplode("cv").alias("pos", "v")
+    ).select("centroid_id", "pos", F.round("v", 6).alias("v"))

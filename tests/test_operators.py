@@ -348,3 +348,31 @@ def test_containment_catches_embedded_doc(spark):
     jac = {(r["d1"], r["d2"]) for r in
            dedup.jaccard_pairs(sh, "doc_id", threshold=0.8).collect()}
     assert (1, 2) not in jac  # symmetric jaccard misses it
+
+
+def test_kmeans_fit_separates_clusters(spark):
+    from pyspark.sql import functions as F
+
+    from omicidx_gh_etl_spark.operators import similarity
+
+    # two tight clusters around orthogonal axes (+x and +y), noisy ids
+    rows = []
+    for i in range(30):
+        rows.append((i, [1.0, 0.02 * (i % 5)]))        # x-cluster
+        rows.append((100 + i, [0.02 * (i % 5), 1.0]))  # y-cluster
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.kmeans_fit(emb, k=2, max_iter=8)
+    got = {r["centroid_id"]: r["cv"] for r in cents.collect()}
+    assert len(got) == 2
+    # each learned centroid aligns with one axis
+    axes = sorted((max(cv), cv.index(max(cv))) for cv in got.values())
+    assert {a[1] for a in axes} == {0, 1}
+    # assignments split the clusters exactly
+    asg = similarity.ivf_assign(emb, cents)
+    by_cell = {}
+    for r in asg.collect():
+        by_cell.setdefault(r["centroid_id"], set()).add(r["vec_id"])
+    groups = sorted(by_cell.values(), key=len)
+    assert {frozenset(g) for g in groups} == {
+        frozenset(range(30)), frozenset(range(100, 130))
+    }
