@@ -133,3 +133,72 @@ def test_exact_dedup_partitions_docs(spark, texts):
     for i, t in enumerate(texts):
         firsts.setdefault(t, i)
     assert {r["keeper"] for r in out} == set(firsts.values())
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    base=st.lists(st.sampled_from("abcdefgh"), min_size=5, max_size=10),
+    n_copies=st.integers(2, 4),
+    extras=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=5, max_size=10),
+        min_size=0, max_size=3,
+    ),
+)
+def test_minhash_identical_docs_always_candidates(spark, base, n_copies, extras):
+    """Exact duplicates have identical MinHash signatures, so EVERY
+    duplicate pair must surface as an LSH candidate (recall=1 on
+    jaccard=1) — for arbitrary corpora."""
+    text = " ".join(base)
+    docs = [(i, text) for i in range(n_copies)]
+    docs += [(100 + j, " ".join(t)) for j, t in enumerate(extras)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sh = dedup.shingles(df, "text", "doc_id", n=3, distinct=False)
+    got = {(r["d1"], r["d2"]) for r in
+           dedup.minhash_lsh_candidates(sh, "doc_id").collect()}
+    dup_pairs = {(a, b) for a in range(n_copies) for b in range(n_copies) if a < b}
+    assert dup_pairs <= got
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=3, max_size=12),
+        min_size=2, max_size=5,
+    )
+)
+def test_containment_dominates_jaccard(spark, texts):
+    """containment = inter/min ≥ jaccard = inter/union for every pair,
+    and both lie in (0, 1]."""
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sh = dedup.shingles(df, "text", "doc_id", n=3)
+    jac = {(r["d1"], r["d2"]): r["jaccard"]
+           for r in dedup.jaccard_pairs(sh, "doc_id", threshold=0.0).collect()}
+    cont = {(r["d1"], r["d2"]): r["containment"]
+            for r in dedup.containment_pairs(sh, "doc_id", threshold=0.0).collect()}
+    assert set(jac) == set(cont)  # same candidate pairs (shared shingle)
+    for pair, j in jac.items():
+        assert 0 < j <= cont[pair] <= 1.0
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(sigs=st.lists(st.integers(0, 2**32 - 1), min_size=2, max_size=10))
+def test_simhash_band_pairs_equals_bruteforce(spark, sigs):
+    """Banded hamming search is EXACT for d < bands (pigeonhole):
+    band-bucket candidates + filter == brute-force n² — for arbitrary
+    32-bit signatures."""
+    df = spark.createDataFrame(list(enumerate(sigs)), "doc_id long, simhash long")
+    got = {(r["d1"], r["d2"], r["hamming"]) for r in
+           dedup.simhash_band_pairs(df, "doc_id", bits=32, bands=4,
+                                    max_hamming=3).collect()}
+    want = set()
+    for i, a in enumerate(sigs):
+        for j in range(i + 1, len(sigs)):
+            h = bin(a ^ sigs[j]).count("1")
+            if h <= 3:
+                want.add((i, j, h))
+    assert got == want
