@@ -1,6 +1,6 @@
 """Query registry — import all query modules to populate REGISTRY."""
 
-from . import advanced, core, llmops, streaming_ops  # noqa: F401  (registration)
+from . import advanced, core, llmops, streaming_ops, tpch  # noqa: F401  (registration)
 from .base import REGISTRY, Query, oracle_queries, register, spark_queries
 
 __all__ = [
