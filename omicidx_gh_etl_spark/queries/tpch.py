@@ -1,4 +1,4 @@
-"""Literal TPC-H queries (Q1, Q3, Q5) on the synthetic star schema.
+"""Literal TPC-H queries (Q1, Q3, Q5, Q7, Q8, Q18) on the synthetic star schema.
 
 The reference's workload never exceeds single-key joins + counts
 (SURVEY.md §2.3-2.4); these classical queries demonstrate the OLAP
@@ -161,4 +161,213 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .groupBy("n_name")
         .agg(F.sum(rev).alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    """
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+           sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(8,4)))) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                           AND TIMESTAMP '1997-12-31'
+    GROUP BY 1, 2, 3
+    """,
+    tags=("tpch", "J5", "A2"),
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 volume shipping: lineitem joined to BOTH ends of the
+    trade (supplier nation and customer nation) with a symmetric
+    two-nation predicate, grouped by ship year. Scale: the nation
+    filter reaches the fact scan only through the joins, so the big
+    tables shuffle once each on their join keys while the two nation
+    lookups broadcast; the OR-pair predicate evaluates post-join
+    inside codegen. l_year is BIGINT to match EXTRACT's type."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01").cast("timestamp_ntz"),
+            F.lit("1997-12-31").cast("timestamp_ntz"),
+        )
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1) - F.col("l_discount").cast("decimal(8,4)")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(F.sum(rev).alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    """
+    WITH all_nations AS (
+        SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+               CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l.l_discount AS DECIMAL(8,4))) AS volume,
+               n2.n_name AS nation
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        JOIN region r ON n1.n_regionkey = r.r_regionkey
+        JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        WHERE r.r_name = 'AMERICA'
+          AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                                AND TIMESTAMP '1997-12-31'
+          AND p.p_type = 'ECONOMY'
+    )
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume
+                               ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 4) AS mkt_share
+    FROM all_nations
+    GROUP BY o_year
+    """,
+    tags=("tpch", "J5", "F7"),
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 national market share: 8-way join with nation joined
+    twice (customer side filters the region, supplier side labels the
+    share), then a conditional-aggregate ratio per order year. Scale:
+    every dimension broadcasts; lineitem⋈orders is the lone shuffled
+    join, and the CASE/ratio runs in the final single-stage aggregate.
+    Parity: volume stays DECIMAL through both sums; the ratio is
+    computed in double and rounded to 4 (per base.py rule 2) because
+    decimal division precision rules differ across engines."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(
+            F.lit("1996-01-01").cast("timestamp_ntz"),
+            F.lit("1997-12-31").cast("timestamp_ntz"),
+        )
+    )
+    c = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    volume = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1) - F.col("l_discount").cast("decimal(8,4)")
+    )
+    nations = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == r["r_regionkey"])
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            volume.alias("volume"),
+            "nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(28,6)")
+    return nations.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(zero)
+            ).cast("double")
+            / F.sum("volume").cast("double"),
+            4,
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "tpch_q18_large_volume_customer",
+    """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           CAST(o.o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+           sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250
+    )
+    GROUP BY 1, 2, 3, 4, 5
+    ORDER BY o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+    tags=("tpch", "J5", "A8", "O1"),
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume customers: a group-by-HAVING subquery
+    selecting heavy orders, re-joined (left-semi) against the fact
+    tables, re-aggregated, top-100. Scale: the heavy-order key set is
+    produced by one partial-aggregated pass over lineitem and then
+    BROADCAST as the semi-join side — it is tiny after HAVING — so
+    lineitem is scanned twice but shuffled only once; the final top-k
+    is TakeOrderedAndProject, never a full sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    qty = F.col("l_quantity").cast(_DEC)
+    heavy = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("q"))
+        .filter(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(F.broadcast(heavy), "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast(_DEC).alias("o_totalprice"),
+        )
+        .agg(F.sum(qty).alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
     )

@@ -132,3 +132,31 @@ def test_ivf_search_candidate_join_broadcasts_probes(spark):
     assert count_op(tree, "BroadcastNestedLoopJoin") == 2
     # rank-k pushdown active (WindowGroupLimit, Spark 3.5+)
     assert count_op(tree, "WindowGroupLimit") >= 1
+
+
+def test_tpch_q18_semi_join_broadcasts_heavy_keys(spark):
+    """Q18's HAVING subquery result (heavy orders) is small by
+    construction — it must broadcast into a semi-join, and lineitem
+    must shuffle only for the two aggregates, never for the semi."""
+    tree = plan_of(spark, "tpch_q18_large_volume_customer").split("\n\n")[0]
+    assert count_op(tree, "LeftSemi") >= 1
+    assert count_op(tree, "SortMergeJoin") == 0
+    # heavy-keys agg + final agg: exactly two hash shuffles
+    assert count_shuffles(tree) == 2
+    # top-100 is TakeOrderedAndProject, not a global Sort
+    assert count_op(tree, "TakeOrderedAndProject") == 1
+
+
+@pytest.mark.parametrize(
+    "name", ["tpch_q7_volume_shipping", "tpch_q8_market_share"]
+)
+def test_tpch_multiway_joins_never_sort_merge_at_test_sf(spark, name):
+    """Q7/Q8 dimension joins broadcast (nation/supplier/customer/part
+    are orders of magnitude under lineitem); the only hash shuffle is
+    the final group-by. At bench SF the lineitem⋈orders join may
+    legitimately become SMJ under AQE — this pins the small-SF shape
+    where everything under the broadcast threshold must broadcast."""
+    tree = plan_of(spark, name).split("\n\n")[0]
+    assert count_op(tree, "SortMergeJoin") == 0
+    assert count_op(tree, "CartesianProduct") == 0
+    assert count_shuffles(tree) == 1
