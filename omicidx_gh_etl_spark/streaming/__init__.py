@@ -1,5 +1,6 @@
 from .dedup import dedup_stream, run_dedup_stream
 from .stateful import run_sessionize_stream, sessionize_stream
+from .tws import run_sessionize_stream_tws, sessionize_stream_tws
 from .windows import run_streaming_window_counts, streaming_window_counts
 
 __all__ = [
@@ -7,6 +8,8 @@ __all__ = [
     "run_streaming_window_counts",
     "sessionize_stream",
     "run_sessionize_stream",
+    "sessionize_stream_tws",
+    "run_sessionize_stream_tws",
     "dedup_stream",
     "run_dedup_stream",
 ]

@@ -119,3 +119,119 @@ def test_streaming_dedup_drops_redelivered_records(spark, sf_dir):
     n_events = load_events(spark, sf_dir).count()
     assert out.count() == n_events  # 2x-delivered stream → exactly-once output
     assert out.select("event_id").distinct().count() == n_events
+
+
+# ---- transformWithStateInPandas twin (tws.py) ------------------------
+# The e2e path needs protobuf (absent here; see tws.PROTOBUF_AVAILABLE)
+# so the processor's fold/timer logic is unit-tested against stub state
+# primitives, and the e2e equivalence test self-skips.
+
+import pandas as pd
+
+from omicidx_gh_etl_spark.streaming import tws
+
+
+class _StubValueState:
+    def __init__(self):
+        self.value = None
+
+    def exists(self):
+        return self.value is not None
+
+    def get(self):
+        return self.value
+
+    def update(self, v):
+        self.value = tuple(v)
+
+    def clear(self):
+        self.value = None
+
+
+class _StubHandle:
+    def __init__(self):
+        self.state = _StubValueState()
+        self.timers: set[int] = set()
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return self.state
+
+    def registerTimer(self, ms):
+        self.timers.add(ms)
+
+    def deleteTimer(self, ms):
+        self.timers.discard(ms)
+
+
+class _ExpiredInfo:
+    def __init__(self, ms):
+        self._ms = ms
+
+    def getExpiryTimeInMs(self):
+        return self._ms
+
+
+def _feed(proc, rows):
+    """rows: (event_id, ts_us, value) → emitted closed sessions."""
+    pdf = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts_us": [r[1] for r in rows],
+            "value": [r[2] for r in rows],
+        }
+    )
+    out = list(proc.handleInputRows((7,), iter([pdf]), None))
+    return pd.concat(out) if out else pd.DataFrame(columns=tws._OUT_COLS)
+
+
+def test_tws_processor_gap_close_and_state():
+    gap = 30 * 60 * 1_000_000
+    proc = tws.SessionizeProcessor(gap, use_timers=True)
+    h = _StubHandle()
+    proc.init(h)
+    t0 = 1_700_000_000_000_000
+    # batch 1: one session, nothing closed, timer registered at last+gap
+    out = _feed(proc, [(1, t0, 1.0), (2, t0 + 60_000_000, 2.0)])
+    assert out.empty
+    assert h.state.value == (t0, t0 + 60_000_000, 2, 3.0)
+    assert h.timers == {proc._expiry_ms(t0 + 60_000_000)}
+    # batch 2: an event past the gap closes session 1, re-arms the timer
+    out = _feed(proc, [(3, t0 + 2 * gap, 5.0)])
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["user_id"], r["session_start_us"], r["session_end_us"]) == (
+        7, t0, t0 + 60_000_000,
+    )
+    assert r["n_events"] == 2 and r["total_value"] == pytest.approx(3.0)
+    assert h.timers == {proc._expiry_ms(t0 + 2 * gap)}  # old timer deleted
+
+
+def test_tws_processor_timer_emits_and_evicts():
+    gap = 30 * 60 * 1_000_000
+    proc = tws.SessionizeProcessor(gap, use_timers=True)
+    h = _StubHandle()
+    proc.init(h)
+    t0 = 1_700_000_000_000_000
+    _feed(proc, [(1, t0, 1.0)])
+    expiry = proc._expiry_ms(t0)
+    out = list(proc.handleExpiredTimer((7,), None, _ExpiredInfo(expiry)))
+    assert len(out) == 1 and out[0].iloc[0]["n_events"] == 1
+    assert h.state.value is None  # evicted
+    # a second (stale) firing emits nothing
+    assert list(proc.handleExpiredTimer((7,), None, _ExpiredInfo(expiry))) == []
+
+
+def test_tws_unavailable_raises_cleanly(spark):
+    if tws.PROTOBUF_AVAILABLE:
+        pytest.skip("protobuf present: covered by the e2e test")
+    with pytest.raises(NotImplementedError, match="protobuf"):
+        tws.sessionize_stream_tws(spark, "/tmp/nope.parquet")
+
+
+@pytest.mark.skipif(
+    not tws.PROTOBUF_AVAILABLE, reason="transformWithState needs protobuf"
+)
+def test_tws_matches_applyinpandaswithstate(spark, sf_dir):
+    old = run_sessionize_stream(spark, f"{sf_dir}/events.parquet")
+    new = tws.run_sessionize_stream_tws(spark, f"{sf_dir}/events.parquet")
+    assert {tuple(r) for r in old.collect()} == {tuple(r) for r in new.collect()}
