@@ -102,3 +102,32 @@ def streaming_dedup_watermark_query(spark: SparkSession, sf_dir: str) -> DataFra
     which IS the oracle."""
     out = run_dedup_stream(spark, f"{sf_dir}/events.parquet", key_cols=["event_id"])
     return out.select("event_id", "user_id", "event_type", "ts_us")
+
+
+@register(
+    "streaming_join_attribution",
+    """
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.user_id,
+           epoch_us(c.ts) AS click_ts_us,
+           epoch_us(p.ts) AS purchase_ts_us,
+           round(p.value, 4) AS purchase_value
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+    tags=("streaming", "join"),
+)
+def streaming_join_attribution_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream event-time interval join (click→purchase
+    attribution within 30 min, both sides watermarked so join state is
+    evictable). Inner joins emit eagerly on match, so draining the
+    bounded source yields exactly the batch-join answer — the
+    oracle."""
+    from ..streaming import run_attribution_join_stream
+
+    return run_attribution_join_stream(spark, f"{sf_dir}/events.parquet")

@@ -1,4 +1,5 @@
 from .dedup import dedup_stream, run_dedup_stream
+from .join import attribution_join_stream, run_attribution_join_stream
 from .stateful import run_sessionize_stream, sessionize_stream
 from .tws import run_sessionize_stream_tws, sessionize_stream_tws
 from .windows import run_streaming_window_counts, streaming_window_counts
@@ -12,4 +13,6 @@ __all__ = [
     "run_sessionize_stream_tws",
     "dedup_stream",
     "run_dedup_stream",
+    "attribution_join_stream",
+    "run_attribution_join_stream",
 ]

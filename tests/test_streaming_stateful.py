@@ -235,3 +235,49 @@ def test_tws_matches_applyinpandaswithstate(spark, sf_dir):
     old = run_sessionize_stream(spark, f"{sf_dir}/events.parquet")
     new = tws.run_sessionize_stream_tws(spark, f"{sf_dir}/events.parquet")
     assert {tuple(r) for r in old.collect()} == {tuple(r) for r in new.collect()}
+
+
+# ---- stream-stream attribution join (join.py) ------------------------
+
+def _write_typed_events(
+    path: str, rows: list[tuple[int, int, int, float, str]]
+) -> None:
+    """rows: (event_id, ts_us, user_id, value, event_type)."""
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] * 1000 for r in rows], pa.int64()),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[4] for r in rows]),
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        ),
+        path,
+    )
+
+
+def test_stream_join_matches_across_micro_batches(spark, tmp_path):
+    """A click buffered in join state from batch 1 must match a
+    purchase arriving in batch 2 (within horizon); a purchase outside
+    the horizon must not match."""
+    from omicidx_gh_etl_spark.streaming import run_attribution_join_stream
+
+    src = tmp_path / "events"
+    src.mkdir()
+    t0 = 1_700_000_000_000_000
+    minute = 60_000_000
+    _write_typed_events(str(src / "b1.parquet"), [(1, t0, 1, 0.0, "click")])
+    time.sleep(0.05)
+    _write_typed_events(
+        str(src / "b2.parquet"),
+        [
+            (2, t0 + 10 * minute, 1, 9.5, "purchase"),  # in horizon
+            (3, t0 + 45 * minute, 1, 1.0, "purchase"),  # out of horizon
+            (4, t0 + 5 * minute, 2, 2.0, "purchase"),  # other user
+        ],
+    )
+    out = run_attribution_join_stream(spark, str(src))
+    rows = [tuple(r) for r in out.collect()]
+    assert rows == [(1, 2, 1, t0, t0 + 10 * minute, 9.5)]
