@@ -136,22 +136,86 @@ def lsh_bucket_pairs(
     )
 
 
+def kmeans_pp_init(
+    emb: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic k-means++-style seeding: greedy farthest-point
+    (Gonzalez k-center) in cosine distance.
+
+    Classic k-means++ samples each next center ∝ D(x)²; this repo
+    trades the randomness for the deterministic limit of that rule —
+    always take the point FARTHEST from its nearest chosen center —
+    keeping the spread property (2-approximation for k-center cover)
+    while staying exactly reproducible across runs and engines.
+
+    Scale shape (the reason this is not a driver loop over collected
+    vectors): one pass per round, zero shuffles —
+
+    1. keep a running ``d2`` = distance to the nearest chosen center,
+       updated incrementally with ``least(d2, dist(v, newest))`` — one
+       O(dims) codegen'd cosine per row per round, NOT a recompute
+       against all chosen centers;
+    2. the next center is ``max(struct(d2, id, v))`` — a global
+       aggregate whose partial step reduces every partition to one
+       candidate row, so the "reduce" moves n_partitions rows;
+    3. lineage is truncated every 8 rounds (localCheckpoint) so the
+       incremental column never builds an O(k)-deep plan.
+
+    Returns driver-side centers (k × dims doubles — tiny by the same
+    contract as :func:`kmeans_fit`), ordered by selection round.
+    """
+    e = emb.select(F.col(id_col).alias("_id"), _as_double(vec_col).alias("v"))
+    first = e.orderBy("_id").limit(1).collect()[0]["v"]
+    centers: list[list[float]] = [list(first)]
+    # d2 vs the first center; cosine distance, rounded like ivf_assign
+    # so ties resolve identically everywhere (id tiebreak below).
+    cur = e.select(
+        "_id", "v", _cos_dist_to(F.array(*[F.lit(x) for x in first])).alias("d2")
+    )
+    for i in range(1, k):
+        far = cur.agg(F.max(F.struct("d2", "_id", "v")).alias("far")).collect()[0][
+            "far"
+        ]
+        nxt = list(far["v"])
+        centers.append(nxt)
+        cur = cur.select(
+            "_id",
+            "v",
+            F.least(
+                "d2", _cos_dist_to(F.array(*[F.lit(x) for x in nxt]))
+            ).alias("d2"),
+        )
+        if i % 8 == 0:
+            cur = cur.localCheckpoint(eager=False)
+    return centers
+
+
+def _cos_dist_to(center: Column) -> Column:
+    """Rounded cosine distance from the row vector ``v`` to a center."""
+    return F.round(1.0 - cosine_sim_expr(F.col("v"), center), 4)
+
+
 def kmeans_fit(
     emb: DataFrame,
     k: int,
     max_iter: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init: str = "first-k",
 ) -> DataFrame:
     """Train IVF centroids with Lloyd's k-means over DataFrames →
     (centroid_id, cv array<double>). The missing third of the ANN
     story: fit (here) → assign (:func:`ivf_assign`) → search
     (:func:`ivf_search`).
 
-    Initialization is deterministic (first ``k`` vectors by id — the
-    reproducibility-over-randomness tradeoff this repo makes
-    everywhere; callers wanting k-means++ pass better seeds by
-    pre-selecting rows). Each iteration:
+    Initialization (``init``) is deterministic either way:
+    ``"first-k"`` seeds with the first ``k`` vectors by id (cheapest,
+    order-biased); ``"farthest"`` runs :func:`kmeans_pp_init`
+    (k-means++-style greedy spread — better-separated seeds, fewer
+    Lloyd's rounds to converge, still reproducible). Each iteration:
 
     1. assignment: broadcast centroids, map-side nearest-centroid
        (one pass over the corpus, no shuffle of the big side);
@@ -171,8 +235,15 @@ def kmeans_fit(
     scale-invariant in the centroid.
     """
     e = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
-    seed = e.orderBy(id_col).limit(k).collect()
-    centroids = [(i, list(r["v"])) for i, r in enumerate(seed)]
+    if init == "farthest":
+        centroids = [
+            (i, c) for i, c in enumerate(kmeans_pp_init(emb, k, id_col, vec_col))
+        ]
+    elif init == "first-k":
+        seed = e.orderBy(id_col).limit(k).collect()
+        centroids = [(i, list(r["v"])) for i, r in enumerate(seed)]
+    else:
+        raise ValueError(f"unknown init: {init!r}")
     dims = len(centroids[0][1])
     for _ in range(max_iter):
         cdf = e.sparkSession.createDataFrame(

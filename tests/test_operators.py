@@ -376,3 +376,40 @@ def test_kmeans_fit_separates_clusters(spark):
     assert {frozenset(g) for g in groups} == {
         frozenset(range(30)), frozenset(range(100, 130))
     }
+
+
+def test_kmeans_pp_init_spreads_seeds(spark):
+    """Farthest-point seeding must pick one seed per true cluster;
+    first-k seeding on id-sorted data pathologically picks all seeds
+    from ONE cluster — the exact failure mode ++ init exists to fix."""
+    from omicidx_gh_etl_spark.operators import similarity
+
+    # three tight clusters on orthogonal axes; ids ordered so the
+    # first k=3 vectors all land in the x-cluster
+    rows = []
+    for i in range(20):
+        rows.append((i, [1.0, 0.01 * (i % 4), 0.0]))
+        rows.append((100 + i, [0.01 * (i % 4), 1.0, 0.0]))
+        rows.append((200 + i, [0.0, 0.01 * (i % 4), 1.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    seeds = similarity.kmeans_pp_init(emb, k=3)
+    assert len(seeds) == 3
+    axes = {max(range(3), key=lambda d: s[d]) for s in seeds}
+    assert axes == {0, 1, 2}  # one seed per cluster
+
+    # and kmeans_fit(init="farthest") nails the clustering in ONE round
+    cents = similarity.kmeans_fit(emb, k=3, max_iter=1, init="farthest")
+    asg = similarity.ivf_assign(emb, cents)
+    cells = {}
+    for r in asg.collect():
+        cells.setdefault(r["centroid_id"], set()).add(r["vec_id"] // 100)
+    assert all(len(v) == 1 for v in cells.values()) and len(cells) == 3
+
+    # first-k with one round CANNOT separate three clusters: its three
+    # seeds are all x-cluster points
+    naive = similarity.kmeans_fit(emb, k=3, max_iter=1, init="first-k")
+    cells_n = {}
+    for r in similarity.ivf_assign(emb, naive).collect():
+        cells_n.setdefault(r["centroid_id"], set()).add(r["vec_id"] // 100)
+    assert len(cells_n) < 3 or any(len(v) > 1 for v in cells_n.values())
