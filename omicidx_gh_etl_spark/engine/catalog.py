@@ -67,6 +67,154 @@ def scan_parquet_metadata(spark: SparkSession, root: str) -> DataFrame:
     return paths_df.mapInPandas(_read_footers, ROWGROUP_SCHEMA)
 
 
+COLSTATS_SCHEMA = (
+    "file_name string, row_group_id int, column string, "
+    "min_num double, max_num double, min_str string, max_str string, "
+    "null_count long, num_rows long"
+)
+
+
+def scan_column_stats(
+    spark: SparkSession, root: str, columns: list[str] | None = None
+) -> DataFrame:
+    """Per-column min/max footer statistics, one row per
+    (file, row group, column) — the data-skipping index.
+
+    This is what table formats (Delta/Iceberg) persist as file-level
+    stats; parquet already has it in every footer, so the catalog just
+    surfaces it. Numeric/temporal minima go to ``min_num``/``max_num``
+    (temporals as epoch micros), strings to ``min_str``/``max_str``;
+    columns whose chunks carry no statistics yield a row with nulls —
+    :func:`prune_files` treats those files as always-matching
+    (skipping must be conservative, never wrong).
+
+    Same execution shape as :func:`scan_parquet_metadata`: driver lists
+    paths, executors read only footers.
+    """
+    files = sorted(str(p) for p in Path(root).rglob("*.parquet") if p.is_file())
+    if not files:
+        return spark.createDataFrame([], COLSTATS_SCHEMA)
+    paths_df = spark.createDataFrame([(f,) for f in files], "path string").repartition(
+        min(len(files), spark.sparkContext.defaultParallelism)
+    )
+    wanted = set(columns) if columns else None
+
+    def _stat_cells(path, md):
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                cc = g.column(ci)
+                name = cc.path_in_schema
+                if wanted is not None and name not in wanted:
+                    continue
+                st = cc.statistics
+                mn = mx = None
+                mns = mxs = None
+                nulls = None
+                if st is not None and st.has_min_max:
+                    mn, mx = _stat_num(st.min), _stat_num(st.max)
+                    if mn is None:
+                        mns, mxs = _stat_str(st.min), _stat_str(st.max)
+                if st is not None and st.has_null_count:
+                    nulls = st.null_count
+                yield (path, rg, name, mn, mx, mns, mxs, nulls, g.num_rows)
+
+    def _read_stats(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for path in pdf["path"]:
+                md = pq.ParquetFile(path).metadata
+                out.extend(_stat_cells(path, md))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "file_name", "row_group_id", "column", "min_num",
+                    "max_num", "min_str", "max_str", "null_count", "num_rows",
+                ],
+            )
+
+    return paths_df.mapInPandas(_read_stats, COLSTATS_SCHEMA)
+
+
+def _stat_num(v) -> float | None:
+    """Numeric/temporal statistic → double (temporal = epoch micros)."""
+    from datetime import date, datetime
+
+    if isinstance(v, bool) or not isinstance(v, (int, float, datetime, date)):
+        return None
+    if isinstance(v, datetime):
+        return v.timestamp() * 1e6 if v.tzinfo else (
+            (v - datetime(1970, 1, 1)).total_seconds() * 1e6
+        )
+    if isinstance(v, date):
+        return (v - date(1970, 1, 1)).days * 86_400e6
+    return float(v)
+
+
+def _stat_str(v) -> str | None:
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    return v if isinstance(v, str) else None
+
+
+def prune_files(
+    stats: DataFrame,
+    column: str,
+    lo=None,
+    hi=None,
+) -> list[str]:
+    """Files that MAY contain ``column`` values in ``[lo, hi]`` per the
+    footer stats — the data-skipping core. A file is pruned only when
+    EVERY row group's [min, max] provably misses the bound; missing
+    statistics keep the file (conservative). Numeric/temporal bounds
+    compare on ``min_num``/``max_num`` (pass temporals as epoch
+    micros), strings on ``min_str``/``max_str``."""
+    is_str = isinstance(lo, str) or isinstance(hi, str)
+    mn = F.col("min_str" if is_str else "min_num")
+    mx = F.col("max_str" if is_str else "max_num")
+    overlaps = F.lit(True)
+    if lo is not None:
+        overlaps = overlaps & (mx >= F.lit(lo))
+    if hi is not None:
+        overlaps = overlaps & (mn <= F.lit(hi))
+    keep = (
+        stats.filter(F.col("column") == column)
+        .filter(mn.isNull() | mx.isNull() | overlaps)
+        .select("file_name")
+        .distinct()
+    )
+    return sorted(r["file_name"] for r in keep.collect())
+
+
+def skipping_read(
+    spark: SparkSession,
+    root: str,
+    column: str,
+    lo=None,
+    hi=None,
+    stats: DataFrame | None = None,
+) -> DataFrame:
+    """Read only the files whose footer stats admit ``column ∈ [lo,
+    hi]``. Callers still apply the exact row filter — this prunes I/O,
+    not rows (exactly what partition pruning does for directories,
+    extended to unpartitioned files via min/max). Pass a cached
+    ``stats`` catalog to amortize footer scans across queries."""
+    if stats is None:
+        stats = scan_column_stats(spark, root, [column])
+    files = prune_files(stats, column, lo, hi)
+    if not files:
+        first = next(iter(Path(root).rglob("*.parquet")), None)
+        schema = spark.read.parquet(str(first)).schema if first else None
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(*files)
+
+
 def catalog_global_stats(meta: DataFrame) -> DataFrame:
     """Global rollup (catalog.py:61-68): files, rows, bytes, row groups."""
     return meta.agg(

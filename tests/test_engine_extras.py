@@ -208,3 +208,65 @@ def test_remote_views_db_roundtrip(spark, tmp_path):
         assert version == cat["version"]
     finally:
         con.close()
+
+
+def test_column_stats_and_file_skipping(spark, tmp_path):
+    """Footer min/max catalog prunes files a range predicate cannot
+    touch, and the pruned read returns exactly the full-scan answer —
+    the data-skipping contract (conservative, never wrong)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from omicidx_gh_etl_spark.engine.catalog import (
+        prune_files,
+        scan_column_stats,
+        skipping_read,
+    )
+
+    root = tmp_path / "ds"
+    root.mkdir()
+    # 5 files, disjoint id ranges [0,99], [100,199], ... + a name column
+    for i in range(5):
+        ids = list(range(i * 100, i * 100 + 100))
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array(ids, pa.int64()),
+                    "name": pa.array([f"n{v:05d}" for v in ids]),
+                }
+            ),
+            str(root / f"part-{i}.parquet"),
+        )
+
+    stats = scan_column_stats(spark, str(root))
+    by_file = {
+        r["file_name"].rsplit("/", 1)[-1]: (r["min_num"], r["max_num"])
+        for r in stats.filter(F.col("column") == "id").collect()
+    }
+    assert by_file["part-0.parquet"] == (0.0, 99.0)
+    assert by_file["part-4.parquet"] == (400.0, 499.0)
+
+    # numeric range hitting files 1 and 2 only
+    kept = prune_files(stats, "id", lo=150, hi=250)
+    assert [f.rsplit("/", 1)[-1] for f in kept] == [
+        "part-1.parquet", "part-2.parquet",
+    ]
+    pruned = skipping_read(spark, str(root), "id", 150, 250, stats=stats)
+    assert len(pruned.inputFiles()) == 2
+    full = spark.read.parquet(str(root))
+    want = full.filter(F.col("id").between(150, 250))
+    got = pruned.filter(F.col("id").between(150, 250))
+    assert sorted(r["id"] for r in got.collect()) == sorted(
+        r["id"] for r in want.collect()
+    )
+
+    # string bounds prune on min_str/max_str
+    kept_s = prune_files(stats, "name", lo="n00350", hi="n00420")
+    assert [f.rsplit("/", 1)[-1] for f in kept_s] == [
+        "part-3.parquet", "part-4.parquet",
+    ]
+
+    # out-of-range → everything pruned, empty (schema-stable) read
+    assert prune_files(stats, "id", lo=10_000) == []
+    assert skipping_read(spark, str(root), "id", 10_000, stats=stats).count() == 0
