@@ -1,4 +1,7 @@
-"""Literal TPC-H queries (Q1, Q3, Q5, Q7, Q8, Q18) on the synthetic star schema.
+"""Literal TPC-H queries on the synthetic star schema
+(Q1 Q3 Q5 Q6 Q7 Q8 Q10 Q13 Q14 Q15 Q17 Q18 Q19 Q22 — every TPC-H
+query expressible without the partsupp table and the comment/date
+columns the synthetic schema omits).
 
 The reference's workload never exceeds single-key joins + counts
 (SURVEY.md §2.3-2.4); these classical queries demonstrate the OLAP
@@ -370,4 +373,361 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(qty).alias("sum_qty"))
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
+    )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    """
+    SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(8,4))) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN CAST(0.05 AS DOUBLE) AND CAST(0.07 AS DOUBLE)
+      AND l_quantity < 24
+    """,
+    tags=("tpch", "P3", "A7"),
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecasting revenue change: pure scan-filter-aggregate,
+    no join, no grouping — the pushdown showcase. All three predicates
+    reach the parquet scan (date + two numeric ranges are all
+    min/max-skippable), and the single global sum partial-aggregates
+    to one row per partition before a one-row exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(
+            F.col("l_extendedprice").cast(_DEC)
+            * F.col("l_discount").cast("decimal(8,4)")
+        ).alias("revenue")
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name,
+           sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(8,4)))) AS revenue,
+           CAST(c.c_acctbal AS DECIMAL(18,2)) AS c_acctbal,
+           n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY 1, 2, 4, 5
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("tpch", "J5", "O1"),
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 returned-item reporting: who returned the most value
+    this quarter. Scale: the returnflag filter prunes lineitem at the
+    scan; customer and nation broadcast; one shuffle joins the
+    surviving facts; top-20 is TakeOrderedAndProject."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1) - F.col("l_discount").cast("decimal(8,4)")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            F.col("c_acctbal").cast(_DEC).alias("c_acctbal"),
+            "n_name",
+        )
+        .agg(F.sum(rev).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT OUTER JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+    tags=("tpch", "J5", "A1"),
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer order-count distribution: LEFT OUTER join
+    (customers with zero orders MUST survive with c_count=0 — the
+    shape inner joins cannot express), per-customer count, then a
+    histogram of the counts. Scale: outer join shuffles on custkey;
+    both aggregates partial-combine; the second groupBy's key space is
+    tiny (distinct counts)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "tpch_q14_promo_effect",
+    """
+    SELECT round(
+        100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                    THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l.l_discount AS DECIMAL(8,4)))
+                    ELSE 0 END) AS DOUBLE)
+        / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l.l_discount AS DECIMAL(8,4)))) AS DOUBLE),
+        4) AS promo_revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1996-02-01'
+    """,
+    tags=("tpch", "F7"),
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promotion effect: conditional-aggregate ratio over a
+    broadcast part join. Parity: both sums stay decimal (exact), the
+    ratio is double rounded to 4 (base.py rule 2)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp_ntz"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1) - F.col("l_discount").cast("decimal(8,4)")
+    )
+    zero = F.lit(0).cast("decimal(28,6)")
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double"),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    """
+    WITH revenue0 AS (
+        SELECT l_suppkey AS supplier_no,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue0 r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue0)
+    """,
+    tags=("tpch", "A8", "J5"),
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier: an aggregate view joined against its
+    own scalar max — the high-watermark pattern (SURVEY.md §2.4 A8).
+    Scale: revenue0 is one shuffled aggregate over the filtered scan;
+    its max is a one-row broadcast; matching suppliers resolve with a
+    broadcast join. Exact decimal equality makes the max-match
+    deterministic across engines (never compare double aggregates for
+    equality)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1) - F.col("l_discount").cast("decimal(8,4)")
+    )
+    revenue0 = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(rev).alias("total_revenue")
+    )
+    best = revenue0.agg(F.max("total_revenue").alias("best_revenue"))
+    return (
+        revenue0.join(
+            F.broadcast(best),
+            revenue0["total_revenue"] == best["best_revenue"],
+        )
+        .join(F.broadcast(s), F.col("supplier_no") == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    """
+    SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                      AS DOUBLE) / 7.0, 4) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3'
+      AND l.l_quantity < (
+          SELECT round(0.2 * avg(l2.l_quantity), 6)
+          FROM lineitem l2
+          WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+    tags=("tpch", "A8", "J5"),
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 small-quantity-order revenue: a correlated scalar
+    subquery (per-part average quantity) gating the outer scan —
+    decorrelated the Spark way into a per-key aggregate joined back.
+    The brand filter is applied FIRST (broadcast semi through the tiny
+    part side), so the per-part averages aggregate only the brand's
+    lineitems — equivalent because the correlation key is p_partkey
+    and every lineitem of a qualifying part survives the brand join.
+    Parity: the 0.2·avg threshold is double; both engines round it to
+    6 decimals before the comparison so last-ulp noise in the average
+    cannot flip a row at the boundary."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(p.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
+    thresholds = li.groupBy("l_partkey").agg(
+        F.round(0.2 * F.avg("l_quantity"), 6).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(thresholds), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double") / 7.0,
+                4,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "tpch_q19_discounted_revenue",
+    """
+    SELECT sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(8,4)))) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("tpch", "P7", "J5"),
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 discounted revenue: a three-way disjunction mixing
+    columns from BOTH join sides — the predicate can only be evaluated
+    post-join, but its single-side implications still prune: Catalyst
+    infers p_brand IN (…) and p_size/l_quantity range envelopes and
+    pushes them below the join (constraint propagation), so both scans
+    shrink before the broadcast join evaluates the full OR."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1) - F.col("l_discount").cast("decimal(8,4)")
+    )
+    disjunct = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(disjunct)
+        .agg(F.sum(rev).alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q22_global_sales_opportunity",
+    """
+    SELECT c_nationkey % 5 AS cntrycode,
+           count(*) AS numcust,
+           sum(CAST(c_acctbal AS DECIMAL(18,2))) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+            SELECT round(avg(c_acctbal), 6) FROM customer
+            WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (
+            SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY 1
+    """,
+    tags=("tpch", "A8", "U3"),
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 global sales opportunity: rich customers who never
+    ordered — an uncorrelated scalar average plus an ANTI join
+    (NOT EXISTS). The reference's country-code substring becomes
+    nationkey % 5 (no phone column in the synthetic schema). Scale:
+    the average is a one-row broadcast; the anti join broadcasts
+    nothing small — it shuffles on custkey like any big-big join and
+    left_anti drops matches map-side after the hash lookup. Parity:
+    the avg threshold is rounded to 6 before comparing (boundary
+    noise), the output sum is decimal."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    thr = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.round(F.avg("c_acctbal"), 6).alias("bal_threshold")
+    )
+    return (
+        c.join(F.broadcast(thr), c["c_acctbal"] > thr["bal_threshold"])
+        .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy((F.col("c_nationkey") % 5).alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast(_DEC)).alias("totacctbal"),
+        )
     )

@@ -160,3 +160,28 @@ def test_tpch_multiway_joins_never_sort_merge_at_test_sf(spark, name):
     assert count_op(tree, "SortMergeJoin") == 0
     assert count_op(tree, "CartesianProduct") == 0
     assert count_shuffles(tree) == 1
+
+
+def test_tpch_q19_disjunction_propagates_to_both_scans(spark):
+    """The OR mixes columns from both join sides, so it evaluates
+    post-join — but Catalyst must still push each side's envelope
+    (quantity ranges to lineitem, brand/size to part) into the scans."""
+    plan = plan_of(spark, "tpch_q19_discounted_revenue")
+    pushed = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
+    assert any("l_quantity" in p and "Or(" in p for p in pushed)
+    assert any("p_brand" in p and "Or(" in p for p in pushed)
+
+
+def test_tpch_q13_left_outer_preserves_zero_order_customers(spark):
+    tree = plan_of(spark, "tpch_q13_customer_distribution").split("\n\n")[0]
+    assert count_op(tree, "LeftOuter") == 1
+    assert count_op(tree, "CartesianProduct") == 0
+    # per-customer count + histogram: two hash shuffles, no more
+    assert count_shuffles(tree) == 2
+
+
+def test_tpch_q22_not_exists_is_anti_join(spark):
+    tree = plan_of(spark, "tpch_q22_global_sales_opportunity").split("\n\n")[0]
+    assert count_op(tree, "LeftAnti") == 1
+    assert count_op(tree, "CartesianProduct") == 0
+    assert count_shuffles(tree) <= 2
