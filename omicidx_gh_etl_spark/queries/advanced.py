@@ -415,3 +415,67 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
     )
+
+
+@register(
+    "asof_join_last_click",
+    """
+    WITH clicks AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS click_id
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    purchases AS (
+        SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS ts_us,
+               value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id, p.user_id, p.ts_us AS purchase_ts_us,
+           round(p.value, 4) AS purchase_value,
+           c.click_id, c.ts_us AS click_ts_us,
+           p.ts_us - c.ts_us AS lag_us
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+    """,
+    tags=("asof", "window"),
+)
+def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each purchase matched to the
+    user's most recent click at-or-before it — DuckDB's native ASOF
+    JOIN is the oracle. The Spark side is the union-interleave
+    formulation: no join node, one shuffle on user_id, one sort,
+    a running last() window. Clicks are pre-deduped to one per
+    (user, ts) (max event_id) so ties are deterministic in both
+    engines."""
+    from ..operators.asof import asof_join
+
+    ev = load_events(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts_us").alias("purchase_ts_us"),
+        F.round("value", 4).alias("purchase_value"),
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        by=["user_id"],
+        left_ts="purchase_ts_us",
+        right_ts="ts_us",
+        payload_cols=["ts_us", "click_id"],
+        right_prefix="click_",
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts_us",
+        "purchase_value",
+        F.col("click_click_id").alias("click_id"),
+        F.col("click_ts_us"),
+        (F.col("purchase_ts_us") - F.col("click_ts_us")).alias("lag_us"),
+    )

@@ -413,3 +413,57 @@ def test_kmeans_pp_init_spreads_seeds(spark):
     for r in similarity.ivf_assign(emb, naive).collect():
         cells_n.setdefault(r["centroid_id"], set()).add(r["vec_id"] // 100)
     assert len(cells_n) < 3 or any(len(v) > 1 for v in cells_n.values())
+
+
+def test_asof_join_directions_tolerance_and_ties(spark):
+    from omicidx_gh_etl_spark.operators.asof import asof_join
+
+    quotes = spark.createDataFrame(
+        [
+            (1, 10, 100.0),
+            (1, 20, 101.0),
+            (1, 20, 102.0),  # tie on (key, ts): greatest payload wins
+            (1, 40, 103.0),
+            (2, 15, 200.0),
+        ],
+        "sym long, ts long, px double",
+    )
+    trades = spark.createDataFrame(
+        [(1, 1, 9), (2, 1, 20), (3, 1, 25), (4, 1, 100), (5, 3, 50)],
+        "trade_id long, sym long, ts long",
+    )
+
+    back = {
+        r["trade_id"]: (r["q_ts"], r["q_px"])
+        for r in asof_join(
+            trades, quotes, by=["sym"], left_ts="ts", right_ts="ts",
+            payload_cols=["ts", "px"], right_prefix="q_",
+        ).collect()
+    }
+    assert back[1] == (None, None)          # nothing at-or-before ts=9
+    assert back[2] == (20, 102.0)           # equal ts matches; tie → max px
+    assert back[3] == (20, 102.0)
+    assert back[4] == (40, 103.0)
+    assert back[5] == (None, None)          # key with no right rows
+
+    fwd = {
+        r["trade_id"]: (r["q_ts"], r["q_px"])
+        for r in asof_join(
+            trades, quotes, by=["sym"], left_ts="ts", right_ts="ts",
+            payload_cols=["ts", "px"], direction="forward", right_prefix="q_",
+        ).collect()
+    }
+    assert fwd[1] == (10, 100.0)            # nearest at-or-after
+    assert fwd[2] == (20, 101.0)            # equal ts; forward tie → min px
+    assert fwd[3] == (40, 103.0)
+    assert fwd[4] == (None, None)           # nothing after ts=100
+
+    tol = {
+        r["trade_id"]: r["q_ts"]
+        for r in asof_join(
+            trades, quotes, by=["sym"], left_ts="ts", right_ts="ts",
+            payload_cols=["ts", "px"], tolerance=5, right_prefix="q_",
+        ).collect()
+    }
+    assert tol[3] == 20                     # lag 5 ≤ tolerance
+    assert tol[4] is None                   # lag 60 > tolerance voided

@@ -185,3 +185,17 @@ def test_tpch_q22_not_exists_is_anti_join(spark):
     assert count_op(tree, "LeftAnti") == 1
     assert count_op(tree, "CartesianProduct") == 0
     assert count_shuffles(tree) <= 2
+
+
+def test_asof_join_is_window_not_join(spark):
+    """The as-of operator's whole point: union + window, never a join
+    node — one shuffle on the key, no pairwise row blowup."""
+    tree = plan_of(spark, "asof_join_last_click").split("\n\n")[0]
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin",
+                    "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert count_op(tree, join_op) == 0
+    assert count_op(tree, "Window") == 1
+    # two exchanges total: the click-dedup groupBy owns one; the asof
+    # operator itself owns exactly one (key partitioning for the scan)
+    assert count_shuffles(tree) == 2
+    assert count_op(tree, "Union") == 1
