@@ -479,3 +479,47 @@ def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("click_ts_us"),
         (F.col("purchase_ts_us") - F.col("click_ts_us")).alias("lag_us"),
     )
+
+
+@register(
+    "window_moving_stats",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT day, revenue,
+           round(avg(CAST(revenue AS DOUBLE)) OVER (
+               ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ), 4) AS ma7,
+           revenue - lag(revenue) OVER (ORDER BY day) AS delta,
+           ntile(4) OVER (ORDER BY revenue, day) AS quartile
+    FROM daily
+    """,
+    tags=("window", "A10"),
+)
+def window_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-frame analytics over the daily revenue series: 7-row
+    trailing average (ROWS frame), day-over-day delta (lag), and
+    revenue quartile (ntile). Scale: the series is one shuffled
+    aggregate; the three windows share ONE unpartitioned sort — fine
+    here because the frame is over *days* (post-aggregation, tiny),
+    never over raw facts; ntile's own ordering is a second tiny sort.
+    Parity: the moving average is double rounded to 4; delta stays
+    decimal-exact; day is unique so every ordering is total."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue")
+    )
+    w_ma = W.orderBy("day").rowsBetween(-6, W.currentRow)
+    w_lag = W.orderBy("day")
+    w_nt = W.orderBy("revenue", "day")
+    return daily.select(
+        "day",
+        "revenue",
+        F.round(F.avg(F.col("revenue").cast("double")).over(w_ma), 4).alias("ma7"),
+        (F.col("revenue") - F.lag("revenue").over(w_lag)).alias("delta"),
+        F.ntile(4).over(w_nt).alias("quartile"),
+    )
