@@ -850,3 +850,33 @@ def incremental_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
         )
     )
+
+
+@register(
+    "variant_json_shredding",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+               AS k_bucket,
+           count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("F6", "variant"),
+)
+def variant_json_shredding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON via Spark 4's VARIANT type: ``parse_json``
+    once, then typed ``variant_get`` paths — the engine-native path
+    for JSON columns (README.md:137 contributor json; SURVEY §1.2).
+    Unlike per-path ``get_json_object`` string re-parsing, the variant
+    parses each document ONCE into a binary-shredded value that all
+    downstream extractions share — the difference between O(paths)
+    and O(1) parses per row at 100 TB. The oracle uses DuckDB's JSON
+    extraction over the same column."""
+    ev = load_events(spark, sf_dir)
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        ev.select(k.alias("k_val"))
+        .groupBy((F.col("k_val") % 10).alias("k_bucket"))
+        .agg(F.count("*").alias("n"), F.sum("k_val").alias("k_sum"))
+    )

@@ -648,3 +648,38 @@ def similarity_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cents.select(
         "centroid_id", F.posexplode("cv").alias("pos", "v")
     ).select("centroid_id", "pos", F.round("v", 6).alias("v"))
+
+
+@register(
+    "text_chunk_udtf",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_id,
+           array_to_string(t[i*40+1 : i*40+50], ' ') AS chunk,
+           CAST(len(t[i*40+1 : i*40+50]) AS INT) AS n_chunk_tokens
+    FROM toks,
+         LATERAL (SELECT unnest(range(0,
+             1 + CAST(floor(CAST(greatest(len(t) - 1, 0) AS DOUBLE) / 40)
+                      AS BIGINT))) AS i)
+    WHERE i * 40 < len(t)
+    """,
+    tags=("udtf", "text", "llm"),
+)
+def text_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token chunking (window 50, stride 40) via a Python
+    UDTF in a SQL LATERAL join — the one-row-to-many extension surface
+    (SURVEY.md §2.10 D1) exposed to SQL. The oracle reproduces the
+    chunking with DuckDB list slicing."""
+    from ..functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("__docs_chunk")
+    return spark.sql(
+        "SELECT c.* FROM __docs_chunk d, "
+        "LATERAL chunk_text(d.doc_id, d.text) c"
+    )

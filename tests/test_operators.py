@@ -467,3 +467,31 @@ def test_asof_join_directions_tolerance_and_ties(spark):
     }
     assert tol[3] == 20                     # lag 5 ≤ tolerance
     assert tol[4] is None                   # lag 60 > tolerance voided
+
+
+def test_chunk_text_udtf_overlap_and_edges(spark):
+    from omicidx_gh_etl_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(90))),  # starts 0/40/80
+            (2, "one two"),                              # single short chunk
+            (3, ""),                                     # no rows
+            (4, "   "),                                  # whitespace → no rows
+        ],
+        "doc_id long, text string",
+    )
+    docs.createOrReplaceTempView("__chunk_docs")
+    rows = spark.sql(
+        "SELECT c.* FROM __chunk_docs d, LATERAL chunk_text(d.doc_id, d.text) c"
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert sorted(by_doc) == [1, 2]
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["n_chunk_tokens"] for r in c1] == [50, 50, 10]
+    # stride 40: second chunk starts at w40 → 10-token overlap
+    assert c1[0]["chunk"].split()[40:] == c1[1]["chunk"].split()[:10]
+    assert by_doc[2][0]["chunk"] == "one two"
