@@ -523,3 +523,110 @@ def window_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("revenue") - F.lag("revenue").over(w_lag)).alias("delta"),
         F.ntile(4).over(w_nt).alias("quartile"),
     )
+
+
+@register(
+    "funnel_signup_click_purchase",
+    """
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY 1
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts >= s1.t1
+        GROUP BY 1
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+        GROUP BY 1
+    )
+    SELECT (SELECT count(*) FROM s1) AS n_signup,
+           (SELECT count(*) FROM s2) AS n_then_click,
+           (SELECT count(*) FROM s3) AS n_then_purchase
+    """,
+    tags=("events", "funnel"),
+)
+def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel: users who signed up, then clicked
+    AFTER the signup, then purchased AFTER that click — the in-order
+    constraint is what a plain type-count can't express. Shape: three
+    chained filtered min-aggregates, each joined to the previous
+    stage's earliest-completion time (first-completion semantics makes
+    the funnel monotone: n1 ≥ n2 ≥ n3). Scale: every stage shuffles on
+    user_id, so AQE reuses the partitioning; stage outputs are one row
+    per surviving user."""
+    ev = load_events(spark, sf_dir)
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count("*").alias("n_signup"))
+        .crossJoin(s2.agg(F.count("*").alias("n_then_click")))
+        .crossJoin(s3.agg(F.count("*").alias("n_then_purchase")))
+    )
+
+
+@register(
+    "retention_cohorts",
+    """
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY 1
+    )
+    SELECT CAST(f.cohort_week AS DATE) AS cohort_week,
+           CAST((epoch_us(date_trunc('week', e.ts))
+                 - epoch_us(f.cohort_week)) / 604800000000 AS BIGINT)
+               AS week_offset,
+           count(DISTINCT e.user_id) AS n_active
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    tags=("events", "cohort"),
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen week,
+    activity counted per week offset — the standard retention matrix.
+    Week truncation is ISO-Monday in both engines; the offset is exact
+    integer arithmetic on week-aligned epochs (never float division of
+    raw timestamps). Scale: one shuffle builds the cohort map, the
+    fact join shuffles on user_id, and count(DISTINCT) partial-
+    aggregates per (cohort, offset)."""
+    ev = load_events(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    offset = (
+        (
+            F.unix_micros(F.date_trunc("week", F.col("ts")).cast("timestamp"))
+            - F.unix_micros(F.col("cohort_week").cast("timestamp"))
+        )
+        / F.lit(604_800_000_000)
+    ).cast("bigint")
+    return (
+        ev.join(firsts, "user_id")
+        .groupBy(
+            F.col("cohort_week").cast("date").alias("cohort_week"),
+            offset.alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
