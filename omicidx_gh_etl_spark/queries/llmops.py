@@ -683,3 +683,90 @@ def text_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT c.* FROM __docs_chunk d, "
         "LATERAL chunk_text(d.doc_id, d.text) c"
     )
+
+
+def _hash_bucket(col, buckets: int = 100):
+    """Deterministic [0, buckets) bucket from md5 — reproducible across
+    engines and runs, unlike rand()/TABLESAMPLE (the only acceptable
+    sampling basis for a training pipeline that must be re-runnable).
+    DuckDB twin: ('0x' || substr(md5(x), 1, 15))::BIGINT % buckets."""
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    return h % buckets
+
+
+@register(
+    "sample_hash_stratified",
+    """
+    SELECT event_type, count(*) AS n_sampled,
+           sum(CAST(value AS DECIMAL(18,2))) AS value_sampled
+    FROM (
+        SELECT event_type, value,
+               ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 100 AS bucket
+        FROM events)
+    WHERE (event_type = 'purchase')
+       OR (event_type = 'click' AND bucket < 10)
+       OR (event_type = 'view' AND bucket < 1)
+    GROUP BY 1
+    """,
+    tags=("sampling", "llm"),
+)
+def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling at per-class rates (purchases 100%,
+    clicks 10%, views 1%) on a content hash — the class-rebalancing
+    step of a curation pipeline, exactly reproducible in any engine.
+    Scale: a map-only filter (no shuffle until the audit aggregate);
+    at 100 TB the same expression drops rows at scan speed without
+    any global coordination, unlike reservoir/exact-quota sampling."""
+    from .tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    b = _hash_bucket(F.col("event_id"))
+    keep = (
+        (F.col("event_type") == "purchase")
+        | ((F.col("event_type") == "click") & (b < 10))
+        | ((F.col("event_type") == "view") & (b < 1))
+    )
+    return (
+        ev.filter(keep)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("value_sampled"),
+        )
+    )
+
+
+@register(
+    "split_train_val_test",
+    """
+    SELECT CASE WHEN bucket < 8 THEN 'train'
+                WHEN bucket = 8 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           sum(CAST(n_chars AS BIGINT)) AS total_chars
+    FROM (
+        SELECT n_chars,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 10 AS bucket
+        FROM documents)
+    GROUP BY 1
+    """,
+    tags=("sampling", "llm"),
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test split on a doc-id hash: membership is a
+    pure function of the id, so the split is stable under re-runs,
+    engine changes, and data appends (new docs land in a split without
+    moving old ones) — properties a rand() split lacks. Map-only."""
+    d = load_table(spark, sf_dir, "documents")
+    b = _hash_bucket(F.col("doc_id"), 10)
+    split = (
+        F.when(b < 8, "train").when(b == 8, "val").otherwise("test")
+    )
+    return d.groupBy(split.alias("split")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"),
+    )
