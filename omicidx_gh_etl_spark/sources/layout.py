@@ -131,6 +131,31 @@ def zorder_write(
     )
 
 
+def sorted_write(
+    df: DataFrame,
+    dest_dir: str,
+    col: str,
+    num_files: int,
+    compression: str = "zstd",
+) -> None:
+    """Range-clustered write on one column: ``repartitionByRange``
+    (sampled range boundaries, balanced files) + ``sortWithinPartitions``
+    + parquet. Produces files whose ``col`` min/max ranges are pairwise
+    disjoint, which is what makes the footer-stats catalog
+    (engine/catalog.py::scan_column_stats → prune_files) actually
+    prune: a point or range predicate on ``col`` touches O(1) of the
+    files instead of all of them. The single-column complement of
+    :func:`zorder_write` — stronger skipping on ONE column, none on
+    the others. One shuffle; the sort is partition-local."""
+    (
+        df.repartitionByRange(num_files, F.col(col))
+        .sortWithinPartitions(col)
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .parquet(dest_dir)
+    )
+
+
 def compact(
     spark: SparkSession,
     src_dir: str,

@@ -96,3 +96,45 @@ def test_zorder_write_clusters_both_columns(spark, tmp_path):
     assert sum(areas) / len(areas) < 0.35
     # and no data was lost or duplicated
     assert spark.read.parquet(dest).count() == n
+
+
+def test_sorted_write_disjoint_ranges_enable_skipping(spark, tmp_path):
+    """sorted_write + footer-stats catalog end to end: files carry
+    pairwise-disjoint [min,max] ranges on the cluster column, so a
+    narrow range predicate prunes to O(1) files and the pruned read
+    equals the full-scan answer."""
+    from omicidx_gh_etl_spark.engine.catalog import (
+        prune_files,
+        scan_column_stats,
+        skipping_read,
+    )
+    from omicidx_gh_etl_spark.sources.layout import sorted_write
+
+    n, n_files = 10_000, 8
+    df = spark.range(n).select(
+        (F.col("id") * 7919 % n).alias("k"), F.col("id").alias("payload")
+    )
+    dest = str(tmp_path / "sorted")
+    sorted_write(df, dest, "k", n_files)
+
+    stats = scan_column_stats(spark, dest, ["k"])
+    ranges = sorted(
+        (r["min_num"], r["max_num"])
+        for r in stats.groupBy("file_name")
+        .agg(F.min("min_num").alias("min_num"), F.max("max_num").alias("max_num"))
+        .collect()
+    )
+    assert len(ranges) == n_files
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi < lo  # pairwise disjoint — the skipping precondition
+
+    lo, hi = 4000, 4100
+    kept = prune_files(stats, "k", lo, hi)
+    assert 1 <= len(kept) <= 2  # narrow range → O(1) of the 8 files
+    got = skipping_read(spark, dest, "k", lo, hi, stats=stats).filter(
+        F.col("k").between(lo, hi)
+    )
+    want = spark.read.parquet(dest).filter(F.col("k").between(lo, hi))
+    assert sorted(r["payload"] for r in got.collect()) == sorted(
+        r["payload"] for r in want.collect()
+    )
