@@ -1,0 +1,92 @@
+"""Merge-upsert: apply an update batch to a parquet target,
+latest-version-wins — batch CDC without a table format.
+
+The reference defers this exact problem downstream: re-extracted days
+re-fetch updated records and "downstream processing must deduplicate
+by accession + update timestamp"
+(/root/reference/omicidx_etl/ebi_biosample/README.md "Known Issues
+#4"). This makes the apply step a first-class operator: target ∪
+updates → arg-max per key → atomically republished.
+
+Scale design:
+- The version resolution is a ``max_by(payload, version)`` AGGREGATE,
+  not a ranking window: partial aggregation reduces each map
+  partition to one candidate row per key before the single shuffle
+  (the same argmax-over-window choice as ``dedup_latest_by_key`` —
+  the exchange carries |keys| rows, not |rows| sorted).
+- The rewrite cost is the whole target — correct for the reference's
+  <100 GB envelope; at 100 TB the target should be date-partitioned
+  and merged per affected partition (compose with
+  ``runner``'s dynamic partition overwrite), or held in a table
+  format (Delta/Iceberg) whose MERGE INTO is this same plan plus
+  file-level pruning.
+- Publication is write-new → swap, so readers never see a half
+  merge; the swap is atomic only on a real filesystem (object-store
+  deployments should publish to a versioned path and flip a pointer).
+
+Soft deletes: a boolean ``delete_col`` on updates tombstones a key —
+if the winning version is a tombstone the key is dropped from the
+merged output (the standard CDC convention).
+"""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_dir: str,
+    updates: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    delete_col: str | None = None,
+) -> int:
+    """Merge ``updates`` into the parquet directory ``target_dir``.
+
+    ``order_cols`` order versions ascending (later = wins); include a
+    unique tiebreak column for total order. Returns the merged row
+    count. Creates the target if absent.
+    """
+    target = Path(target_dir)
+    if target.exists() and any(target.rglob("*.parquet")):
+        # pin the schema so an empty/partial target can't drift it
+        base = spark.read.schema(updates.schema).parquet(str(target))
+        combined = base.unionByName(updates)
+    else:
+        combined = updates
+
+    payload = [c for c in updates.columns if c not in keys]
+    merged = (
+        combined.groupBy(*keys)
+        .agg(
+            F.max_by(
+                F.struct(*payload), F.struct(*order_cols)
+            ).alias("__winner")
+        )
+        .select(*keys, "__winner.*")
+        # restore the input column order
+        .select(*updates.columns)
+    )
+    if delete_col is not None:
+        merged = merged.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
+
+    tmp = target.parent / f"{target.name}.__merge_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").option("compression", "zstd").parquet(
+        str(tmp)
+    )
+    n = spark.read.parquet(str(tmp)).count()
+    old = target.parent / f"{target.name}.__old_{uuid.uuid4().hex[:8]}"
+    if target.exists():
+        target.rename(old)
+    tmp.rename(target)
+    if old.exists():
+        shutil.rmtree(old)
+    return n
