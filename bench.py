@@ -66,6 +66,26 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    # The reference's one concrete figure is build+EXPORT (49.4M rows →
+    # zstd parquet in 6.9 s, EXPORT_DEPLOYMENT.md:247-252) — time the
+    # same shape end-to-end: mart join + COPY TO parquet.
+    import shutil
+    import tempfile
+
+    export_dir = tempfile.mkdtemp(prefix="bench_export_")
+    try:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df = REGISTRY["mart_denormalized"].builder(spark, sf_dir)
+            df.write.mode("overwrite").option("compression", "zstd").parquet(
+                f"{export_dir}/mart"
+            )
+            best = min(best, time.perf_counter() - t0)
+        timings["mart_export_parquet"] = round(best, 3)
+    finally:
+        shutil.rmtree(export_dir, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
