@@ -630,3 +630,83 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("n_active"))
     )
+
+
+@register(
+    "grouping_sets_explicit",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           count(*) AS n,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+    tags=("A10", "olap"),
+)
+def grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — two independent summaries in ONE scan
+    and one expanded aggregate (the non-hierarchical cousin of
+    rollup/cube), with grouping_id() disambiguating which set each
+    output row belongs to (both engines: bit=1 ⇔ column aggregated
+    away)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"]],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.grouping_id("o_orderstatus", "o_orderpriority")
+        .cast("bigint")
+        .alias("gid"),
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+    )
+
+
+@register(
+    "event_bigram_paths",
+    """
+    WITH seq AS (
+        SELECT user_id, list(event_type ORDER BY ts, event_id) AS types
+        FROM events GROUP BY 1
+    )
+    SELECT bigram, count(*) AS n FROM (
+        SELECT unnest(list_transform(range(1, len(types)),
+                      i -> types[i] || '>' || types[i+1])) AS bigram
+        FROM seq)
+    GROUP BY 1
+    ORDER BY n DESC, bigram
+    LIMIT 10
+    """,
+    tags=("events", "sequence"),
+)
+def event_bigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence mining: top event-type transitions (bigrams) across
+    per-user event paths. The path build is an aggregate of
+    (ts, event_id, type) structs sorted IN the aggregation buffer
+    (sort_array, deterministic total order) — never a window + lead
+    over raw events, which would shuffle the fact stream twice. The
+    bigram expansion is an indexed transform over the tiny per-user
+    array, exploded and counted."""
+    ev = load_events(spark, sf_dir)
+    seq = ev.groupBy("user_id").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(ts_us, event_id, "
+            "event_type))), s -> s.event_type)"
+        ).alias("types")
+    )
+    bigrams = seq.select(
+        F.explode(
+            F.expr(
+                "transform(slice(types, 1, size(types) - 1), "
+                "(x, i) -> concat(x, '>', element_at(types, i + 2)))"
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(10)
+    )
