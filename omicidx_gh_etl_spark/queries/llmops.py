@@ -770,3 +770,59 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"),
     )
+
+
+@register(
+    "dedup_edit_distance_blocked",
+    """
+    WITH docs AS (
+        SELECT doc_id, lang, text, n_chars // 50 AS blk
+        FROM documents
+    )
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist,
+           round(1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+                     / greatest(len(a.text), len(b.text)), 4) AS edit_sim
+    FROM docs a
+    JOIN docs b ON a.lang = b.lang AND a.blk = b.blk
+               AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.text, b.text) < 50
+    """,
+    tags=("dedup", "llm"),
+)
+def dedup_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup verification under blocking: candidate
+    pairs come from cheap equi-join blocks (language × length bucket),
+    and only those pairs pay the O(len²) levenshtein — the
+    block-then-verify pattern that keeps exact edit distance viable
+    (all-pairs would be |docs|² DP computations). Like LSH banding,
+    the block is a recall/cost tradeoff — pairs straddling a bucket
+    boundary are missed; overlapping buckets (join on blk AND blk±1)
+    recover them at 2× candidate cost. Both engines implement classic
+    Levenshtein, so the values match exactly."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", (F.col("n_chars") / 50).cast("long").alias("blk")
+    )
+    a = d.select(*[F.col(c).alias(f"a_{c}") for c in d.columns])
+    b = d.select(*[F.col(c).alias(f"b_{c}") for c in d.columns])
+    dist = F.levenshtein("a_text", "b_text")
+    return (
+        a.join(
+            b,
+            (F.col("a_lang") == F.col("b_lang"))
+            & (F.col("a_blk") == F.col("b_blk"))
+            & (F.col("a_doc_id") < F.col("b_doc_id")),
+        )
+        .select(
+            F.col("a_doc_id").alias("d1"),
+            F.col("b_doc_id").alias("d2"),
+            dist.cast("bigint").alias("dist"),
+            F.round(
+                F.lit(1.0)
+                - dist.cast("double")
+                / F.greatest(F.length("a_text"), F.length("b_text")),
+                4,
+            ).alias("edit_sim"),
+        )
+        .filter(F.col("dist") < 50)
+    )
