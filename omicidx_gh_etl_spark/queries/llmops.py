@@ -11,6 +11,7 @@ embedding cosine tops out ≈ 0.51 on a ≈ N(0, 0.125) background.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..operators import dedup, multimodal, similarity, text
@@ -825,4 +826,113 @@ def dedup_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("edit_sim"),
         )
         .filter(F.col("dist") < 50)
+    )
+
+
+@register(
+    "text_tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+      GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 4) AS tfidf
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+    SELECT doc_id, term, tfidf, CAST(rk AS INT) AS rk FROM (
+      SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+      FROM scored)
+    WHERE rk <= 3
+    """,
+    tags=("text", "llm"),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document — the IR scoring primitive for
+    corpus curation (distinctive-term extraction, topic drift checks).
+    Shape: one explode → (doc, term) counts; document frequency is a
+    second tiny aggregate joined back BROADCAST (|terms| ≪ |rows|);
+    the per-doc top-k is a ranking window with WindowGroupLimit
+    pushdown. Ranking orders by the ROUNDED score so a last-ulp ln()
+    difference between engines cannot flip ranks (term tiebreak)."""
+    d = load_spread(spark, sf_dir, "documents", "doc_id")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.expr("filter(split(text, ' '), x -> x != '')")).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = d.count()
+    score = F.round(
+        F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 4
+    )
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id", "term", score.alias("tfidf")
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf", "rk")
+    )
+
+
+@register(
+    "contamination_test_train",
+    _SHINGLE_CTE
+    + """,
+    split AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 % 10 AS bucket
+      FROM documents)
+    SELECT te.doc_id AS test_doc, tr.doc_id AS train_doc,
+           count(*) AS n_shared_shingles
+    FROM sh te
+    JOIN split ste ON te.doc_id = ste.doc_id AND ste.bucket = 9
+    JOIN sh tr ON te.shingle = tr.shingle
+    JOIN split str ON tr.doc_id = str.doc_id AND str.bucket < 8
+    GROUP BY 1, 2
+    HAVING count(*) >= 3
+    """,
+    tags=("dedup", "llm", "sampling"),
+)
+def contamination_test_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination detection: test-split documents that
+    share ≥3 distinct trigram shingles with any train-split document —
+    the leakage check every eval pipeline needs, composed from this
+    repo's own primitives (hash split × shingle inverted index). The
+    shingle join is the same sub-quadratic index as the Jaccard
+    operator; split membership broadcasts."""
+    d = load_spread(spark, sf_dir, "documents", "doc_id")
+    sh = dedup.shingles(d, "text", "doc_id", n=3)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 10
+    )
+    split = d.select("doc_id", bucket.alias("bucket"))
+    test_ids = split.filter(F.col("bucket") == 9).select(
+        F.col("doc_id").alias("test_doc")
+    )
+    train_ids = split.filter(F.col("bucket") < 8).select(
+        F.col("doc_id").alias("train_doc")
+    )
+    te = sh.join(
+        F.broadcast(test_ids), sh["doc_id"] == F.col("test_doc")
+    ).select("test_doc", "shingle")
+    tr = sh.join(
+        F.broadcast(train_ids), sh["doc_id"] == F.col("train_doc")
+    ).select("train_doc", "shingle")
+    return (
+        te.join(tr, "shingle")
+        .groupBy("test_doc", "train_doc")
+        .agg(F.count("*").alias("n_shared_shingles"))
+        .filter(F.col("n_shared_shingles") >= 3)
     )
