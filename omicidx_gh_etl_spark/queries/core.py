@@ -880,3 +880,57 @@ def variant_json_shredding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy((F.col("k_val") % 10).alias("k_bucket"))
         .agg(F.count("*").alias("n"), F.sum("k_val").alias("k_sum"))
     )
+
+
+@register(
+    "histogram_equi_width",
+    """
+    SELECT event_type,
+           CAST(least(floor(value / 50.0), 9) AS BIGINT) AS bucket,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("A10", "olap"),
+)
+def histogram_equi_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (10 × 50-unit buckets, top bucket open):
+    the profiling primitive behind range-partition boundary picking and
+    skew diagnosis. Pure map + one tiny shuffle; the bucket expression
+    is identical integer arithmetic in both engines (no width_bucket —
+    DuckDB lacks it)."""
+    ev = load_events(spark, sf_dir)
+    bucket = F.least(F.floor(F.col("value") / 50.0), F.lit(9)).cast("bigint")
+    return (
+        ev.groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "agg_stats_moments",
+    """
+    SELECT event_type,
+           round(avg(value), 4) AS mean_value,
+           round(stddev_samp(value), 4) AS sd_value,
+           round(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_value_user,
+           round(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS covar_value_user
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("A10", "stats"),
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics per group (stddev, correlation,
+    covariance) — data-profiling aggregates both engines compute with
+    single-pass covariance accumulators (partial-aggregatable; one
+    shuffle). round(4) absorbs accumulation-order float noise, which
+    is larger here than for sums (see base.py rule 2)."""
+    ev = load_events(spark, sf_dir)
+    u = F.col("user_id").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 4).alias("mean_value"),
+        F.round(F.stddev_samp("value"), 4).alias("sd_value"),
+        F.round(F.corr(F.col("value"), u), 4).alias("corr_value_user"),
+        F.round(F.covar_samp(F.col("value"), u), 4).alias("covar_value_user"),
+    )
