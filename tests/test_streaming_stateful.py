@@ -281,3 +281,31 @@ def test_stream_join_matches_across_micro_batches(spark, tmp_path):
     out = run_attribution_join_stream(spark, str(src))
     rows = [tuple(r) for r in out.collect()]
     assert rows == [(1, 2, 1, t0, t0 + 10 * minute, 9.5)]
+
+
+# ---- foreachBatch upsert sink (upsert_sink.py) -----------------------
+
+def test_stream_upsert_sink_merges_micro_batches(spark, tmp_path):
+    """Change stream → merged parquet: a later-version redelivery in a
+    later micro-batch replaces the earlier row; unrelated keys append;
+    final state is latest-version-wins across ALL batches."""
+    from omicidx_gh_etl_spark.streaming import run_events_upsert_stream
+
+    src = tmp_path / "changes"
+    src.mkdir()
+    t0 = 1_700_000_000_000_000
+    # batch 1: ids 1, 2   batch 2: id 1 updated (later ts), id 3 new
+    _write_events(str(src / "b1.parquet"), [(1, t0, 10, 1.0), (2, t0, 20, 2.0)])
+    time.sleep(0.05)
+    _write_events(
+        str(src / "b2.parquet"), [(1, t0 + 5_000_000, 10, 9.0), (3, t0, 30, 3.0)]
+    )
+    final = run_events_upsert_stream(
+        spark, str(src), str(tmp_path / "tgt"), max_files_per_trigger=1
+    )
+    got = {r["event_id"]: (r["ts"], r["value"]) for r in final.collect()}
+    assert got == {
+        1: ((t0 + 5_000_000) * 1000, 9.0),
+        2: (t0 * 1000, 2.0),
+        3: (t0 * 1000, 3.0),
+    }
