@@ -202,3 +202,51 @@ def test_simhash_band_pairs_equals_bruteforce(spark, sigs):
             if h <= 3:
                 want.add((i, j, h))
     assert got == want
+
+
+# -- as-of join vs pandas.merge_asof (independent reference impl) ----------
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)),  # (key, ts)
+        min_size=0, max_size=25,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 999)),
+        min_size=0, max_size=25,
+    ),
+)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    """Backward as-of join ≡ the brute-force definition (max right ts
+    ≤ left ts per key, at-or-before semantics) for arbitrary inputs.
+
+    Right rows are deduped to one per (key, ts) keeping the max value,
+    so every left row has a unique match candidate — the same
+    tie-resolution the operator's payload-struct ordering produces.
+    """
+    from omicidx_gh_etl_spark.operators.asof import asof_join
+
+    l_rows = [(i, k, t) for i, (k, t) in enumerate(left)]
+    r_best: dict[tuple[int, int], int] = {}
+    for k, t, v in right:
+        r_best[(k, t)] = max(r_best.get((k, t), -1), v)
+    r_rows = [(k, t, v) for (k, t), v in sorted(r_best.items())]
+
+    ldf = spark.createDataFrame(l_rows, "lid long, k long, ts long")
+    rdf = spark.createDataFrame(r_rows, "k long, ts long, v long")
+
+    got = {
+        r["lid"]: (r["r_ts"], r["r_v"])
+        for r in asof_join(
+            ldf, rdf, by=["k"], left_ts="ts", right_ts="ts",
+            payload_cols=["ts", "v"], right_prefix="r_",
+        ).collect()
+    }
+    want = {}
+    for lid, k, t in l_rows:
+        cands = [(rt, rv) for (rk, rt, rv) in r_rows if rk == k and rt <= t]
+        want[lid] = max(cands) if cands else (None, None)
+    assert got == want
