@@ -141,6 +141,7 @@ def kmeans_pp_init(
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    metric: str = "cosine",
 ) -> list[list[float]]:
     """Deterministic k-means++-style seeding: greedy farthest-point
     (Gonzalez k-center) in cosine distance.
@@ -167,13 +168,14 @@ def kmeans_pp_init(
     Returns driver-side centers (k × dims doubles — tiny by the same
     contract as :func:`kmeans_fit`), ordered by selection round.
     """
+    dist_to = _cos_dist_to if metric == "cosine" else _l2_dist_to
     e = emb.select(F.col(id_col).alias("_id"), _as_double(vec_col).alias("v"))
     first = e.orderBy("_id").limit(1).collect()[0]["v"]
     centers: list[list[float]] = [list(first)]
-    # d2 vs the first center; cosine distance, rounded like ivf_assign
-    # so ties resolve identically everywhere (id tiebreak below).
+    # d2 vs the first center; distance rounded like ivf_assign so ties
+    # resolve identically everywhere (id tiebreak below).
     cur = e.select(
-        "_id", "v", _cos_dist_to(F.array(*[F.lit(x) for x in first])).alias("d2")
+        "_id", "v", dist_to(F.array(*[F.lit(x) for x in first])).alias("d2")
     )
     for i in range(1, k):
         far = cur.agg(F.max(F.struct("d2", "_id", "v")).alias("far")).collect()[0][
@@ -185,7 +187,7 @@ def kmeans_pp_init(
             "_id",
             "v",
             F.least(
-                "d2", _cos_dist_to(F.array(*[F.lit(x) for x in nxt]))
+                "d2", dist_to(F.array(*[F.lit(x) for x in nxt]))
             ).alias("d2"),
         )
         if i % 8 == 0:
@@ -198,6 +200,12 @@ def _cos_dist_to(center: Column) -> Column:
     return F.round(1.0 - cosine_sim_expr(F.col("v"), center), 4)
 
 
+def _l2_dist_to(center: Column) -> Column:
+    """Rounded squared-L2 distance from ``v`` to a center (PQ metric —
+    defined for zero vectors, which cosine is not)."""
+    return F.round(sqdist_expr(F.col("v"), center), 6)
+
+
 def kmeans_fit(
     emb: DataFrame,
     k: int,
@@ -205,6 +213,7 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     init: str = "first-k",
+    metric: str = "cosine",
 ) -> DataFrame:
     """Train IVF centroids with Lloyd's k-means over DataFrames →
     (centroid_id, cv array<double>). The missing third of the ANN
@@ -237,7 +246,10 @@ def kmeans_fit(
     e = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
     if init == "farthest":
         centroids = [
-            (i, c) for i, c in enumerate(kmeans_pp_init(emb, k, id_col, vec_col))
+            (i, c)
+            for i, c in enumerate(
+                kmeans_pp_init(emb, k, id_col, vec_col, metric=metric)
+            )
         ]
     elif init == "first-k":
         seed = e.orderBy(id_col).limit(k).collect()
@@ -249,7 +261,10 @@ def kmeans_fit(
         cdf = e.sparkSession.createDataFrame(
             centroids, "centroid_id int, cv array<double>"
         )
-        assigned = ivf_assign(e, cdf, id_col=id_col, vec_col="v")
+        if metric == "cosine":
+            assigned = ivf_assign(e, cdf, id_col=id_col, vec_col="v")
+        else:
+            assigned = _l2_assign(e, cdf, id_col=id_col, vec_col="v")
         new = (
             e.join(assigned.select(id_col, "centroid_id"), id_col)
             .select("centroid_id", F.posexplode("v").alias("pos", "x"))
@@ -414,4 +429,188 @@ def ivf_assign(
         id_col,
         F.col(f"best.{centroid_id_col}").alias(centroid_id_col),
         F.col("best.cos_sim").alias("cos_sim"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ): the memory-bound ANN path
+# --------------------------------------------------------------------------
+
+
+def sqdist_expr(a: Column, b: Column) -> Column:
+    """Σ (aᵢ−bᵢ)² via zip_with + aggregate — codegen'd, no UDF."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _l2_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Nearest centroid by squared L2 — :func:`ivf_assign`'s plan
+    (broadcast cross join, MAX-of-struct argmin) with the metric PQ
+    needs (defined on zero vectors; rounded + id-tiebroken so the
+    argmin is deterministic)."""
+    e = emb.select(F.col(id_col), _as_double(vec_col).alias("__v"))
+    c = centroids.select("centroid_id", _as_double("cv").alias("__cv"))
+    d2 = F.round(sqdist_expr(F.col("__v"), F.col("__cv")), 6)
+    return (
+        e.crossJoin(F.broadcast(c))
+        .select(id_col, "centroid_id", d2.alias("d2"))
+        .groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    (-F.col("d2")).alias("neg_d2"),
+                    (-F.col("centroid_id")).alias("neg_cid"),
+                    F.col("centroid_id"),
+                )
+            ).alias("best")
+        )
+        .select(id_col, F.col("best.centroid_id").alias("centroid_id"))
+    )
+
+
+def pq_fit(
+    emb: DataFrame,
+    m: int = 2,
+    k: int = 16,
+    dims: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 5,
+) -> DataFrame:
+    """Train PQ codebooks: split vectors into ``m`` contiguous
+    subspaces, k-means each → (subspace, centroid_id, cv).
+
+    PQ completes the ANN triad (IVF partitions the corpus, LSH buckets
+    it, PQ COMPRESSES it): each vector becomes ``m`` one-byte-ish
+    codes, so a billion-vector index fits in memory where raw floats
+    cannot — the standard recipe (IVF-PQ) composes both. Training
+    reuses :func:`kmeans_fit` per subspace on sliced vectors
+    (farthest-point seeding), so each subspace's rounds follow the
+    same one-shuffle-per-iteration plan.
+    """
+    if dims is None:
+        dims = len(emb.select(_as_double(vec_col).alias("v")).first()["v"])
+    assert dims % m == 0, f"dims {dims} not divisible by m={m}"
+    sub = dims // m
+    books = []
+    for s in range(m):
+        sliced = emb.select(
+            F.col(id_col),
+            F.slice(_as_double(vec_col), s * sub + 1, sub).alias("subv"),
+        )
+        cb = kmeans_fit(
+            sliced, k=k, max_iter=max_iter, id_col=id_col, vec_col="subv",
+            init="farthest", metric="l2",
+        )
+        books.append(cb.select(F.lit(s).alias("subspace"), "centroid_id", "cv"))
+    out = books[0]
+    for b in books[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors → long-form codes (vec_id, subspace, code).
+
+    One map-side pass per subspace (broadcast codebook, argmin L2 over
+    k candidates — same MAX-of-struct partial-agg shape as
+    :func:`ivf_assign`); the union keeps codes long-form, which is
+    exactly what the ADC join in :func:`pq_search` wants (wide-form
+    arrays would need re-explosion there).
+    """
+    sub = dims // m
+    parts = []
+    for s in range(m):
+        sliced = emb.select(
+            F.col(id_col),
+            F.slice(_as_double(vec_col), s * sub + 1, sub).alias("v"),
+        )
+        cb = codebooks.filter(F.col("subspace") == s).select("centroid_id", "cv")
+        best = _l2_assign(sliced, cb, id_col=id_col, vec_col="v").select(
+            id_col,
+            F.lit(s).alias("subspace"),
+            F.col("centroid_id").alias("code"),
+        )
+        parts.append(best)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def pq_search(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    m: int,
+    dims: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    query_id_col: str = "q_id",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-``k``: approximate L2 between each
+    query and every ENCODED vector without touching raw vectors.
+
+    The PQ trick made a Spark plan: the per-query lookup table
+    (|queries| × m × k partial squared distances, query-sub vs
+    codebook entry) is tiny and BROADCASTS; the big codes table joins
+    it map-side on (subspace, code), and the approximate distance is
+    a plain SUM over each vector's m partials — one shuffle keyed
+    (q_id, vec_id), partial-aggregated. Ranking is the WindowGroupLimit
+    top-k. Raw vectors never move; the corpus-side payload is m small
+    ints per vector.
+    """
+    sub = dims // m
+    q = queries.select(
+        F.col(query_id_col), _as_double(query_vec_col).alias("qv")
+    )
+    subq = q.select(
+        query_id_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("subspace"),
+                    F.slice("qv", s * sub + 1, sub).alias("sq"),
+                )
+                for s in range(m)
+            ])
+        ).alias("p"),
+    ).select(query_id_col, "p.subspace", "p.sq")
+    lut = (
+        subq.join(F.broadcast(codebooks), "subspace")
+        .select(
+            query_id_col,
+            "subspace",
+            F.col("centroid_id").alias("code"),
+            F.round(sqdist_expr(F.col("sq"), F.col("cv")), 6).alias("partial"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["subspace", "code"])
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum("partial"), 6).alias("adc_dist"))
+    )
+    w = W.partitionBy(query_id_col).orderBy(
+        F.asc("adc_dist"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(query_id_col, id_col, "adc_dist", "rk")
     )

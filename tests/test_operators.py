@@ -495,3 +495,47 @@ def test_chunk_text_udtf_overlap_and_edges(spark):
     # stride 40: second chunk starts at w40 → 10-token overlap
     assert c1[0]["chunk"].split()[40:] == c1[1]["chunk"].split()[:10]
     assert by_doc[2][0]["chunk"] == "one two"
+
+
+def test_pq_fit_encode_search_recovers_neighbors(spark):
+    """PQ pipeline end to end on 3 well-separated 4-d clusters:
+    codebooks quantize each 2-d subspace, codes are in-range and
+    deterministic, and ADC top-1 retrieves a member of the query's own
+    cluster without touching raw vectors."""
+    from omicidx_gh_etl_spark.operators import similarity
+
+    rows = []
+    for i in range(12):
+        e = 0.01 * (i % 4)
+        rows.append((i, [1.0, e, 0.0, e]))          # cluster A
+        rows.append((100 + i, [0.0, e, 1.0, e]))    # cluster B
+        rows.append((200 + i, [e, 1.0, e, 1.0]))    # cluster C
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    books = similarity.pq_fit(emb, m=2, k=4, dims=4, max_iter=3)
+    got_books = books.collect()
+    assert {r["subspace"] for r in got_books} == {0, 1}
+    assert all(len(r["cv"]) == 2 for r in got_books)
+
+    codes = similarity.pq_encode(emb, books, m=2, dims=4)
+    c_rows = codes.collect()
+    assert len(c_rows) == len(rows) * 2  # one code per (vec, subspace)
+    assert all(0 <= r["code"] < 4 for r in c_rows)
+    # determinism: re-encoding yields identical codes
+    again = similarity.pq_encode(emb, books, m=2, dims=4).collect()
+    assert sorted(map(tuple, c_rows)) == sorted(map(tuple, again))
+
+    queries = spark.createDataFrame(
+        [(0, [0.98, 0.0, 0.02, 0.0]), (1, [0.02, 0.0, 0.98, 0.0]),
+         (2, [0.0, 0.97, 0.0, 0.99])],
+        "q_id long, qv array<double>",
+    )
+    top1 = {
+        r["q_id"]: r["vec_id"]
+        for r in similarity.pq_search(
+            codes, books, queries, m=2, dims=4, k=1
+        ).collect()
+    }
+    assert top1[0] < 100            # cluster A member
+    assert 100 <= top1[1] < 200     # cluster B member
+    assert top1[2] >= 200           # cluster C member
