@@ -614,3 +614,93 @@ def pq_search(
         .filter(F.col("rk") <= k)
         .select(query_id_col, id_col, "adc_dist", "rk")
     )
+
+
+def ivfpq_search(
+    emb: DataFrame,
+    coarse_centroids: DataFrame,
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    m: int,
+    dims: int,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    query_id_col: str = "q_id",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """IVF-PQ: coarse cells bound WHICH vectors are scored, PQ codes
+    bound WHAT is read per vector — the composition behind
+    billion-scale ANN indexes (e.g. the classic IVFADC layout).
+
+    Plan: vectors carry a coarse cell (one broadcast argmax pass,
+    :func:`ivf_assign`); each query picks its ``nprobe`` nearest cells
+    (tiny broadcast cross join); the ADC scoring of :func:`pq_search`
+    then runs with an extra equi-join key — (cell ∈ probed cells) —
+    so the codes table is filtered map-side to candidate cells before
+    any distance math. Raw vectors are touched only by the offline
+    assign/encode passes, never at query time.
+
+    Simplification vs the literature: codes quantize the raw vectors,
+    not the cell residuals — residual encoding needs per-cell
+    codebooks (m × k × |cells| floats) and buys precision, not a
+    different plan shape; the join/broadcast structure is identical.
+    """
+    sub = dims // m
+    cells = ivf_assign(emb, coarse_centroids, id_col=id_col).select(
+        id_col, F.col("centroid_id").alias("cell")
+    )
+    coded = codes.join(cells, id_col)
+
+    q = queries.select(
+        F.col(query_id_col), _as_double(query_vec_col).alias("qv")
+    )
+    c = coarse_centroids.select(
+        F.col("centroid_id").alias("cell"), _as_double("cv").alias("ccv")
+    )
+    cell_sim = F.round(cosine_sim_expr(F.col("qv"), F.col("ccv")), 4)
+    wq = W.partitionBy(query_id_col).orderBy(
+        F.desc("cell_sim"), F.asc("cell")
+    )
+    probed = (
+        q.crossJoin(F.broadcast(c))
+        .select(query_id_col, "cell", cell_sim.alias("cell_sim"))
+        .withColumn("prk", F.row_number().over(wq))
+        .filter(F.col("prk") <= nprobe)
+        .select(query_id_col, "cell")
+    )
+
+    subq = q.select(
+        query_id_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("subspace"),
+                    F.slice("qv", s * sub + 1, sub).alias("sq"),
+                )
+                for s in range(m)
+            ])
+        ).alias("p"),
+    ).select(query_id_col, "p.subspace", "p.sq")
+    lut = subq.join(F.broadcast(codebooks), "subspace").select(
+        query_id_col,
+        "subspace",
+        F.col("centroid_id").alias("code"),
+        F.round(sqdist_expr(F.col("sq"), F.col("cv")), 6).alias("partial"),
+    )
+    # candidate filter (query × cell) and LUT both broadcast — the big
+    # codes table is filtered and scored without shuffling until the
+    # final per-(query, vector) sum
+    scored = (
+        coded.join(F.broadcast(probed), "cell")
+        .join(F.broadcast(lut), [query_id_col, "subspace", "code"])
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum("partial"), 6).alias("adc_dist"))
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.asc("adc_dist"), F.asc(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(query_id_col, id_col, "adc_dist", "rk")
+    )

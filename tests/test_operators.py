@@ -539,3 +539,38 @@ def test_pq_fit_encode_search_recovers_neighbors(spark):
     assert top1[0] < 100            # cluster A member
     assert 100 <= top1[1] < 200     # cluster B member
     assert top1[2] >= 200           # cluster C member
+
+
+def test_ivfpq_search_probes_cells_then_adc(spark):
+    """IVF-PQ composition: probing only the query's nearest coarse
+    cell(s) still retrieves the right cluster's member via ADC, and
+    vectors in unprobed cells never appear."""
+    from omicidx_gh_etl_spark.operators import similarity
+
+    rows = []
+    for i in range(12):
+        e = 0.01 * (i % 4)
+        rows.append((i, [1.0, e, 0.0, e]))
+        rows.append((100 + i, [0.0, e, 1.0, e]))
+        rows.append((200 + i, [e, 1.0, e, 1.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    coarse = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 0.0, 1.0, 0.0]),
+         (2, [0.0, 1.0, 0.0, 1.0])],
+        "centroid_id int, cv array<double>",
+    )
+    books = similarity.pq_fit(emb, m=2, k=4, dims=4, max_iter=3)
+    codes = similarity.pq_encode(emb, books, m=2, dims=4)
+    queries = spark.createDataFrame(
+        [(0, [0.98, 0.0, 0.02, 0.0]), (1, [0.0, 0.96, 0.0, 1.0])],
+        "q_id long, qv array<double>",
+    )
+    out = similarity.ivfpq_search(
+        emb, coarse, codes, books, queries, m=2, dims=4, k=3, nprobe=1
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["q_id"], []).append(r["vec_id"])
+    # nprobe=1 → only the home cell's vectors are candidates
+    assert all(v < 100 for v in by_q[0]) and len(by_q[0]) == 3
+    assert all(v >= 200 for v in by_q[1]) and len(by_q[1]) == 3
