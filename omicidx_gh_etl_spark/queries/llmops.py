@@ -936,3 +936,27 @@ def contamination_test_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared_shingles"))
         .filter(F.col("n_shared_shingles") >= 3)
     )
+
+
+@register(
+    "similarity_pq_search",
+    None,  # codebooks come from an iterative fit — no SQL oracle
+    tags=("similarity", "ml", "iterative"),
+)
+def similarity_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN over the embeddings table: per-subspace
+    L2 codebooks (m=4), codes, and asymmetric-distance top-5 for the
+    first three vectors as probes. Iterative fit ⇒ rows-only for the
+    driver; cluster recall and code determinism are pytest-pinned
+    (tests/test_operators.py)."""
+    e = load_spread(spark, sf_dir, "embeddings", "vec_id")
+    dims = len(e.select("embedding").first()["embedding"])
+    m = 4 if dims % 4 == 0 else 2
+    books = similarity.pq_fit(e, m=m, k=16, dims=dims, max_iter=3)
+    codes = similarity.pq_encode(e, books, m=m, dims=dims)
+    queries = (
+        e.orderBy("vec_id")
+        .limit(3)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
+    )
+    return similarity.pq_search(codes, books, queries, m=m, dims=dims, k=5)
