@@ -339,3 +339,51 @@ def test_merge_upsert_chains_onto_merged_target(spark, tmp_path):
     )
     got = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
     assert got == {1: "a1", 2: "b0"}
+
+
+def test_scd2_apply_versions_and_as_of(spark):
+    """SCD2 lifecycle: init → update (closes old version) → no-op
+    redelivery (minted nothing) → late splice; point-in-time reads."""
+    from pyspark.sql import functions as F
+
+    from omicidx_gh_etl_spark.engine.scd import scd2_apply, scd2_as_of
+
+    upd = spark.createDataFrame(
+        [("A", 100, "active"), ("B", 100, "active")],
+        "acc string, ts long, status string",
+    )
+    h1 = scd2_apply(None, upd, ["acc"], "ts", ["status"])
+    rows = {(r["acc"], r["valid_from"]): (r["valid_to"], r["status"]) for r in h1.collect()}
+    assert rows == {("A", 100): (None, "active"), ("B", 100): (None, "active")}
+
+    # change A at 200; redeliver B unchanged (no-op)
+    upd2 = spark.createDataFrame(
+        [("A", 200, "suppressed"), ("B", 200, "active")],
+        "acc string, ts long, status string",
+    )
+    h2 = scd2_apply(h1, upd2, ["acc"], "ts", ["status"])
+    rows = {(r["acc"], r["valid_from"]): (r["valid_to"], r["status"]) for r in h2.collect()}
+    assert rows == {
+        ("A", 100): (200, "active"),
+        ("A", 200): (None, "suppressed"),
+        ("B", 100): (None, "active"),  # no-op minted no version
+    }
+
+    # late splice: A was briefly 'review' at 150 — history re-threads
+    late = spark.createDataFrame(
+        [("A", 150, "review")], "acc string, ts long, status string"
+    )
+    h3 = scd2_apply(h2, late, ["acc"], "ts", ["status"])
+    a_hist = sorted(
+        (r["valid_from"], r["valid_to"], r["status"])
+        for r in h3.filter(F.col("acc") == "A").collect()
+    )
+    assert a_hist == [
+        (100, 150, "active"), (150, 200, "review"), (200, None, "suppressed"),
+    ]
+
+    # point-in-time reads
+    at_150 = {r["acc"]: r["status"] for r in scd2_as_of(h3, 175).collect()}
+    assert at_150 == {"A": "review", "B": "active"}
+    now = {r["acc"]: r["status"] for r in scd2_as_of(h3, 10_000).collect()}
+    assert now == {"A": "suppressed", "B": "active"}
