@@ -78,10 +78,15 @@ def merge_upsert(
             ~F.coalesce(F.col(delete_col), F.lit(False))
         ).drop(delete_col)
 
-    tmp = target.parent / f"{target.name}.__merge_{uuid.uuid4().hex[:8]}"
-    merged.write.mode("overwrite").option("compression", "zstd").parquet(
-        str(tmp)
-    )
+    return publish_parquet(spark, merged, target)
+
+
+def publish_parquet(spark: SparkSession, df: DataFrame, target: Path) -> int:
+    """Write-new → swap publication (readers never see a half write;
+    atomic on a real filesystem — see module docstring for object
+    stores). Returns the published row count."""
+    tmp = target.parent / f"{target.name}.__new_{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").option("compression", "zstd").parquet(str(tmp))
     n = spark.read.parquet(str(tmp)).count()
     old = target.parent / f"{target.name}.__old_{uuid.uuid4().hex[:8]}"
     if target.exists():

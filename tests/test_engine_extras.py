@@ -387,3 +387,50 @@ def test_scd2_apply_versions_and_as_of(spark):
     assert at_150 == {"A": "review", "B": "active"}
     now = {r["acc"]: r["status"] for r in scd2_as_of(h3, 10_000).collect()}
     assert now == {"A": "suppressed", "B": "active"}
+
+
+def test_incremental_aggregate_refresh_equals_full_recompute(spark, tmp_path):
+    """Three disjoint delta batches merged incrementally produce
+    exactly the full-recompute aggregate — and each refresh reads only
+    its delta plus the O(|keys|) state, never history."""
+    from pyspark.sql import functions as F
+
+    from omicidx_gh_etl_spark.engine.incr_agg import refresh_aggregate
+
+    state = str(tmp_path / "agg_state")
+    batches = [
+        [("a", 1, 10.0), ("b", 2, 5.0)],
+        [("a", 3, 1.0), ("c", 4, 7.0)],
+        [("b", 5, 2.0), ("a", 6, 4.0)],
+    ]
+    aggs = {
+        "n": ("v", "count"),
+        "total": ("x", "sum"),
+        "lo": ("v", "min"),
+        "hi": ("v", "max"),
+    }
+    all_rows = []
+    for batch in batches:
+        all_rows += batch
+        delta = spark.createDataFrame(batch, "k string, v long, x double")
+        out = refresh_aggregate(spark, state, delta, ["k"], aggs)
+    full = (
+        spark.createDataFrame(all_rows, "k string, v long, x double")
+        .groupBy("k")
+        .agg(
+            F.count("v").alias("n"), F.sum("x").alias("total"),
+            F.min("v").alias("lo"), F.max("v").alias("hi"),
+        )
+    )
+    got = {r["k"]: (r["n"], r["total"], r["lo"], r["hi"]) for r in out.collect()}
+    want = {r["k"]: (r["n"], r["total"], r["lo"], r["hi"]) for r in full.collect()}
+    assert got == want
+
+    import pytest
+
+    with pytest.raises(ValueError, match="non-algebraic"):
+        refresh_aggregate(
+            spark, state,
+            spark.createDataFrame([("a", 1, 1.0)], "k string, v long, x double"),
+            ["k"], {"m": ("v", "median")},
+        )
