@@ -7,9 +7,13 @@ from .catalog import (
     write_catalog,
     write_catalog_json,
 )
+from .catalog import prune_files, scan_column_stats, skipping_read
 from .dag import DagCycleError, downstream_closure, topo_sort, upstream_closure
+from .incr_agg import refresh_aggregate
 from .intervals import Interval, IntervalStore, daily_intervals, monthly_intervals
+from .merge import merge_upsert, publish_parquet
 from .runner import RunResult, WarehouseRunner
+from .scd import scd2_apply, scd2_as_of
 
 __all__ = [
     "topo_sort",
@@ -29,4 +33,12 @@ __all__ = [
     "IntervalStore",
     "daily_intervals",
     "monthly_intervals",
+    "scan_column_stats",
+    "prune_files",
+    "skipping_read",
+    "merge_upsert",
+    "publish_parquet",
+    "refresh_aggregate",
+    "scd2_apply",
+    "scd2_as_of",
 ]
