@@ -199,3 +199,24 @@ def test_asof_join_is_window_not_join(spark):
     # operator itself owns exactly one (key partitioning for the scan)
     assert count_shuffles(tree) == 2
     assert count_op(tree, "Union") == 1
+
+
+def test_registry_wide_plan_hygiene(spark):
+    """Every registered batch query, forever: no CartesianProduct
+    (non-broadcast cross joins explode at scale; the intended tiny
+    broadcast crosses plan as BroadcastNestedLoopJoin and are
+    separately pinned) and no BatchEvalPython (row-at-a-time Python
+    UDFs are banned from the hot path — Arrow/pandas surfaces only).
+    One test so new queries inherit the gate without registering
+    themselves anywhere."""
+    offenders = []
+    for name, q in sorted(REGISTRY.items()):
+        if name.startswith("streaming"):
+            continue  # streaming builders start/stop real queries
+        tree = (
+            q.builder(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        )
+        for marker in ("CartesianProduct", "BatchEvalPython"):
+            if marker in tree:
+                offenders.append((name, marker))
+    assert offenders == []
