@@ -131,3 +131,23 @@ def streaming_join_attribution_query(spark: SparkSession, sf_dir: str) -> DataFr
     from ..streaming import run_attribution_join_stream
 
     return run_attribution_join_stream(spark, f"{sf_dir}/events.parquet")
+
+
+@register(
+    "streaming_static_join",
+    """
+    SELECT c.c_mktsegment, count(*) AS n
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+    tags=("streaming", "join"),
+)
+def streaming_static_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: streaming events × broadcast
+    static customer dimension, aggregated per market segment —
+    stateless on the join (the dimension is re-resolved per
+    micro-batch), so the only state is the complete-mode aggregate."""
+    from ..streaming.join import run_stream_static_join
+
+    return run_stream_static_join(spark, sf_dir)

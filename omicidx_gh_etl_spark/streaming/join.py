@@ -108,3 +108,43 @@ def run_attribution_join_stream(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def run_stream_static_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-static join driven over the bounded events source:
+    streaming facts enriched against a STATIC dimension (customer),
+    aggregated per segment.
+
+    The static side is a plain batch DataFrame inside a streaming
+    plan — Spark broadcasts it per micro-batch with no state at all
+    (nothing to watermark: the dimension is re-resolved each trigger,
+    so dimension updates between batches are picked up for free).
+    This is the cheapest streaming join shape and the right one
+    whenever one side is a slowly-changing lookup table — reach for
+    stream-stream state only when BOTH sides are unbounded.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(
+        f"{sf_dir}/events.parque*"
+    )
+    customers = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = events.join(
+        customers, events["user_id"] == customers["c_custkey"], "inner"
+    )
+    agg = joined.groupBy("c_mktsegment").agg(F.count("*").alias("n"))
+    name = f"ss_{uuid.uuid4().hex[:10]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
