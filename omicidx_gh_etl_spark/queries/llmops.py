@@ -960,3 +960,69 @@ def similarity_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
     )
     return similarity.pq_search(codes, books, queries, m=m, dims=dims, k=5)
+
+
+@register(
+    "curation_pipeline_summary",
+    _TOKS_CTE
+    + """,
+    scored AS (
+      SELECT doc_id, lang, len(t) AS n_tokens,
+             CASE WHEN len(t) >= 30
+                   AND round(CAST(len(list_distinct(t)) AS DOUBLE)
+                             / len(t), 4) >= 0.2
+                  THEN 'ok' ELSE 'low' END AS quality
+      FROM toks),
+    keepers AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    split AS (
+      SELECT doc_id,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                       ::BIGINT % 10 < 8 THEN 'train'
+                  WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                       ::BIGINT % 10 = 8 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+    SELECT s.lang, sp.split,
+           count(*) AS n_docs,
+           sum(CAST(s.n_tokens AS BIGINT)) AS total_tokens
+    FROM scored s
+    JOIN keepers k ON s.doc_id = k.doc_id
+    JOIN split sp ON s.doc_id = sp.doc_id
+    WHERE s.quality = 'ok'
+    GROUP BY 1, 2
+    """,
+    tags=("llm", "pipeline"),
+)
+def curation_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation pipeline in one plan — what this engine
+    exists for: quality-score → drop low-quality → keep one copy per
+    exact-duplicate cluster → assign hash splits → token budget per
+    (lang, split). Composed entirely from the repo's own operators
+    (text.quality_flag, dedup.exact_dedup keepers, the md5 split), so
+    the composition itself is oracle-checked, not just the pieces.
+    Scale: quality is map-only; the keeper set and split are one
+    aggregate + one map; everything joins on doc_id (the keeper set
+    semi-joins broadcast after its aggregate)."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = text.quality_flag(
+        d, "text", ["doc_id", "lang"], min_tokens=30, min_distinct_ratio=0.2
+    ).select("doc_id", "lang", "n_tokens", "quality")
+    keepers = dedup.exact_dedup(d, "text", "doc_id").select(
+        F.col("keeper").alias("doc_id")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 10
+    )
+    split = F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
+    return (
+        scored.filter(F.col("quality") == "ok")
+        .join(F.broadcast(keepers), "doc_id", "left_semi")
+        .groupBy("lang", split.alias("split"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_tokens").cast("bigint")).alias("total_tokens"),
+        )
+    )
