@@ -1,6 +1,13 @@
 """Query registry — import all query modules to populate REGISTRY."""
 
-from . import advanced, core, llmops, streaming_ops, tpch  # noqa: F401  (registration)
+from . import (  # noqa: F401  (registration)
+    advanced,
+    core,
+    llmops,
+    reshape,
+    streaming_ops,
+    tpch,
+)
 from .base import REGISTRY, Query, oracle_queries, register, spark_queries
 
 __all__ = [

@@ -1,0 +1,298 @@
+"""Reshape / sequence analytics operators: unpivot (melt), positional
+explode (ordinality), gaps-and-islands, interval coalescing, and the
+built-in dynamic session-window operator.
+
+These extend the reference's explode/union surface (SURVEY §2.7-2.8)
+with the wide→long and run-detection shapes a training-data pipeline
+needs (per-measure profiling, activity streaks, coverage spans).
+
+Same parity rules as queries/base.py. Scale notes are per-query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .base import register
+from .tables import load_events, load_table
+
+# --------------------------------------------------------------------------
+# Unpivot / melt (wide → long)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "unpivot_measures",
+    """
+    WITH long AS (
+      SELECT measure, val
+      FROM lineitem
+      UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax))
+    )
+    SELECT measure,
+           count(*) AS n,
+           sum(CAST(val AS DECIMAL(18,2))) AS total,
+           round(CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4)
+             AS avg_val
+    FROM long GROUP BY measure
+    """,
+    tags=("reshape", "olap"),
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt four numeric measure columns into (measure, val) long form,
+    then profile each measure in one pass.
+
+    Scale: unpivot is a map-side stack (no shuffle, no data copy beyond
+    the projection) followed by a 4-group aggregate — the plan is one
+    scan however many measures are melted, vs N scans for N per-column
+    profiles. The avg is derived from the exact DECIMAL total so the
+    double division happens once on an exact value (parity rule 1).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    total = F.sum(F.col("val").cast("decimal(18,2)")).alias("total")
+    return long.groupBy("measure").agg(
+        F.count("*").alias("n"),
+        total,
+        F.round(F.col("total").cast("double") / F.col("n"), 4).alias("avg_val"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Positional explode (UNNEST ... WITH ORDINALITY)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "posexplode_token_positions",
+    r"""
+    WITH toks AS (
+      SELECT generate_subscripts(regexp_split_to_array(lower(text), '\s+'), 1)
+               AS ordinal,
+             unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+      FROM documents)
+    SELECT ordinal, token, count(*) AS n
+    FROM toks
+    WHERE ordinal <= 3 AND token <> ''
+    GROUP BY ordinal, token
+    """,
+    tags=("F3", "reshape"),
+)
+def posexplode_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode: token + its 1-based ordinal within the
+    document, aggregated to leading-position token frequencies.
+
+    The ordinal is the information plain ``explode`` drops; DuckDB's
+    equivalent is ``unnest`` zipped with ``generate_subscripts``
+    (reference unnests are position-blind: geometadb/gse_gpl.sql:10).
+    Scale: posexplode is generated per-row in the scan stage (no
+    shuffle); the position filter lands *before* the aggregate, so only
+    3 tokens per document reach the shuffle regardless of document
+    length.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.posexplode(F.split(F.lower(F.col("text")), r"\s+")).alias("pos", "token")
+    )
+    return (
+        toks.filter((F.col("pos") < 3) & (F.col("token") != ""))
+        .select((F.col("pos") + 1).cast("bigint").alias("ordinal"), "token")
+        .groupBy("ordinal", "token")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Gaps and islands (consecutive-run detection)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "gaps_islands_active_days",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+    numbered AS (
+      SELECT user_id, day,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM days),
+    islands AS (
+      SELECT user_id, day - rn AS grp, count(*) AS len
+      FROM numbered GROUP BY user_id, day - rn)
+    SELECT user_id,
+           count(*) AS n_islands,
+           max(len) AS longest_run,
+           sum(len) AS active_days
+    FROM islands GROUP BY user_id
+    """,
+    tags=("sequence", "windows"),
+)
+def gaps_islands_active_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user runs of consecutive active days via
+    the day − row_number() constant-group trick, then streak stats.
+
+    Scale: one shuffle on user_id serves the window AND both
+    aggregations (same partitioning key flows through, no re-exchange);
+    the DISTINCT day projection collapses arbitrarily many events per
+    day to ≤1 row before the window sees them.
+    """
+    ev = load_events(spark, sf_dir)
+    days = ev.select(
+        "user_id", F.expr("ts_us div 86400000000").alias("day")
+    ).distinct()
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy("day"))
+    islands = (
+        days.withColumn("grp", F.col("day") - rn)
+        .groupBy("user_id", "grp")
+        .agg(F.count("*").alias("len"))
+    )
+    return islands.groupBy("user_id").agg(
+        F.count("*").alias("n_islands"),
+        F.max("len").alias("longest_run"),
+        F.sum("len").alias("active_days"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Interval coalescing (merge overlapping spans)
+# --------------------------------------------------------------------------
+
+_IV_ORACLE = """
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(CAST(value AS DECIMAL(18,2)) * 1000000 AS BIGINT)
+               AS e
+      FROM events),
+    win AS (
+      SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max_e
+      FROM iv),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN prev_max_e IS NULL OR s > prev_max_e THEN 1 ELSE 0 END
+               AS is_start
+      FROM win),
+    grouped AS (
+      SELECT user_id, s, e,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY s, e
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS gid
+      FROM flagged),
+    merged AS (
+      SELECT user_id, gid, min(s) AS ms, max(e) AS me
+      FROM grouped GROUP BY user_id, gid)
+    SELECT user_id,
+           count(*) AS n_spans,
+           sum(me - ms) AS covered_us,
+           max(me - ms) AS longest_span_us
+    FROM merged GROUP BY user_id
+"""
+
+
+@register("interval_coalesce_user_spans", _IV_ORACLE, tags=("sequence", "windows"))
+def interval_coalesce_user_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coalesce overlapping per-user activity intervals
+    [ts, ts + value seconds] into disjoint spans, then span stats.
+
+    A span starts where an interval's start exceeds the running max end
+    of everything before it — the standard cumulative-max merge.
+    Duration arithmetic goes through DECIMAL (value has 2dp) so both
+    engines compute identical BIGINT micros (double→int casts round
+    differently across engines).
+
+    Scale: like gaps_islands, a single user_id shuffle feeds both
+    windows and both aggregates; state per user is O(1) in the windows
+    (running max / running sum), so skewed users cost sort time, not
+    memory blowup.
+    """
+    ev = load_events(spark, sf_dir)
+    iv = ev.select(
+        "user_id",
+        F.col("ts_us").alias("s"),
+        (
+            F.col("ts_us")
+            + (F.col("value").cast("decimal(18,2)") * 1000000).cast("bigint")
+        ).alias("e"),
+    )
+    order = W.partitionBy("user_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(order.rowsBetween(W.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "is_start",
+        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1).otherwise(0),
+    )
+    gid = F.sum("is_start").over(order.rowsBetween(W.unboundedPreceding, W.currentRow))
+    merged = (
+        flagged.withColumn("gid", gid)
+        .groupBy("user_id", "gid")
+        .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
+    )
+    return merged.groupBy("user_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("me") - F.col("ms")).alias("covered_us"),
+        F.max(F.col("me") - F.col("ms")).alias("longest_span_us"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Built-in dynamic session windows (batch use of F.session_window)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "session_window_builtin",
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+    flagged AS (
+      SELECT user_id, ts_us,
+             CASE WHEN lag(ts_us) OVER w IS NULL
+                       OR ts_us - lag(ts_us) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS is_start
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+    grouped AS (
+      SELECT user_id, ts_us,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts_us
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS gid
+      FROM flagged)
+    SELECT user_id,
+           min(ts_us) AS session_start_us,
+           max(ts_us) + 1800000000 AS session_end_us,
+           count(*) AS n_events
+    FROM grouped GROUP BY user_id, gid
+    """,
+    tags=("windows", "streaming-twin"),
+)
+def session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic session windows via the built-in ``session_window``
+    operator (gap 30 min) — the native engine primitive behind
+    streaming sessionization, exercised in batch.
+
+    Semantics pinned by the oracle: a session is extended while the
+    next event lands strictly inside [last_ts, last_ts + gap); window
+    end = last event + gap. (``sessionize_events`` builds the same
+    thing manually with lag/sum — this is the one-operator form, and
+    the only form available under a streaming watermark.)
+
+    Scale: session_window aggregates hash-partition on user_id and
+    merge overlapping windows per key in one pass — no window-function
+    sort-the-world, state bounded by open sessions per key.
+    """
+    ev = load_events(spark, sf_dir)
+    sess = ev.groupBy(
+        "user_id", F.session_window(F.col("ts"), "30 minutes").alias("w")
+    ).agg(F.count("*").alias("n_events"))
+    return sess.select(
+        "user_id",
+        F.unix_micros(F.col("w.start").cast("timestamp")).alias("session_start_us"),
+        F.unix_micros(F.col("w.end").cast("timestamp")).alias("session_end_us"),
+        "n_events",
+    )
