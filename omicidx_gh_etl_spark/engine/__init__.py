@@ -14,6 +14,7 @@ from .intervals import Interval, IntervalStore, daily_intervals, monthly_interva
 from .merge import merge_upsert, publish_parquet
 from .runner import RunResult, WarehouseRunner
 from .scd import scd2_apply, scd2_as_of
+from .snapshots import Snapshot, SnapshotConflictError, SnapshotTable
 
 __all__ = [
     "topo_sort",
@@ -41,4 +42,7 @@ __all__ = [
     "refresh_aggregate",
     "scd2_apply",
     "scd2_as_of",
+    "SnapshotTable",
+    "Snapshot",
+    "SnapshotConflictError",
 ]

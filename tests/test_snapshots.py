@@ -1,0 +1,97 @@
+"""Snapshot-table lifecycle: time travel, append, metadata-only
+rollback, vacuum safety, and writer-conflict detection."""
+
+from __future__ import annotations
+
+import pytest
+
+from omicidx_gh_etl_spark.engine import SnapshotConflictError, SnapshotTable
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return SnapshotTable(str(tmp_path / "tbl"))
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.collect())
+
+
+def test_overwrite_append_time_travel(spark, table):
+    s0 = table.commit_overwrite(spark.range(0, 3))
+    s1 = table.commit_append(spark.range(10, 12))
+    s2 = table.commit_overwrite(spark.range(100, 101))
+
+    assert [s.version for s in table.history()] == [0, 1, 2]
+    assert (s0.n_rows, s1.n_rows, s2.n_rows) == (3, 5, 1)
+
+    assert _ids(table.read(spark, 0)) == [0, 1, 2]
+    assert _ids(table.read(spark, 1)) == [0, 1, 2, 10, 11]
+    assert _ids(table.read(spark)) == [100]
+
+
+def test_append_writes_only_new_files(spark, table):
+    s0 = table.commit_overwrite(spark.range(0, 3))
+    s1 = table.commit_append(spark.range(3, 5))
+    # the base version's files are referenced verbatim, not rewritten
+    assert set(s0.files) <= set(s1.files)
+
+
+def test_rollback_is_metadata_only(spark, table):
+    table.commit_overwrite(spark.range(0, 3))
+    table.commit_overwrite(spark.range(50, 55))
+    dirs_before = sorted(p.name for p in table.data_dir.iterdir())
+    snap = table.rollback(0)
+    dirs_after = sorted(p.name for p in table.data_dir.iterdir())
+    assert dirs_before == dirs_after  # no data written
+    assert snap.op == "rollback" and snap.version == 2
+    assert _ids(table.read(spark)) == [0, 1, 2]
+
+
+def test_read_as_of_timestamp(spark, table):
+    s0 = table.commit_overwrite(spark.range(0, 2))
+    s1 = table.commit_overwrite(spark.range(5, 6))
+    assert _ids(table.read_as_of(spark, s0.ts)) == [0, 1]
+    assert _ids(table.read_as_of(spark, s1.ts + 1)) == [5]
+    with pytest.raises(FileNotFoundError):
+        table.read_as_of(spark, s0.ts - 1)
+
+
+def test_vacuum_keeps_files_shared_by_retained_versions(spark, table):
+    table.commit_overwrite(spark.range(0, 3))  # v0
+    table.commit_append(spark.range(3, 5))  # v1 shares v0's files
+    table.commit_overwrite(spark.range(9, 10))  # v2
+    table.rollback(1)  # v3 references v0+v1 data
+
+    removed = table.vacuum(retain_last=2)  # keep v2, v3
+    # v3 still references v0's and v1's data dirs → they must survive
+    assert _ids(table.read(spark, 3)) == [0, 1, 2, 3, 4]
+    assert _ids(table.read(spark, 2)) == [9]
+    # expired manifests are gone
+    assert table.versions() == [2, 3]
+    assert any(r.startswith("_log/") for r in removed)
+
+    # dropping to retain_last=1 frees v0/v1 data dirs via v3 expiry
+    removed2 = table.vacuum(retain_last=1)
+    assert any("data" in r for r in removed2)
+    assert _ids(table.read(spark)) == [0, 1, 2, 3, 4]
+
+
+def test_conflict_detection(spark, table, monkeypatch):
+    table.commit_overwrite(spark.range(0, 2))
+    # two writers race: both read latest=0; the other lands v1 first
+    monkeypatch.setattr(table, "latest_version", lambda: 0)
+    (table.log_dir / "00000001.json").write_text(
+        (table.log_dir / "00000000.json").read_text().replace('"version": 0', '"version": 1')
+    )
+    with pytest.raises(SnapshotConflictError):
+        table._commit("overwrite", (), 0, "{}", "")
+
+
+def test_empty_snapshot_roundtrip(spark, table):
+    df = spark.range(0, 1).filter("id < 0")
+    snap = table.commit_overwrite(df)
+    assert snap.n_rows == 0
+    out = table.read(spark)
+    assert out.count() == 0
+    assert out.columns == ["id"]
