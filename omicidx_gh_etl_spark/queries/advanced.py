@@ -710,3 +710,35 @@ def event_bigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# Heavy hitters: Misra-Gries candidate pruning + exact verify
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sketch_heavy_hitters",
+    """
+    SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n
+    FROM events
+    GROUP BY user_id
+    HAVING count(*) > (SELECT count(user_id) FROM events) / 120.0
+    """,
+    tags=("sketch", "scale"),
+)
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact keys with frequency > n/k (k=120) found via per-partition
+    Misra-Gries summaries + a broadcast-semi-join exact recount — never
+    a full distinct-key shuffle.
+
+    The sketch only prunes candidates (MG guarantees zero false
+    negatives above n/k), so the output is exact and the oracle is a
+    plain GROUP BY ... HAVING. At 100 TB this is the difference between
+    shuffling billions of distinct tokens and shuffling ≤ k × partitions
+    candidate keys. Operator: operators/sketch.py::heavy_hitters.
+    """
+    from ..operators.sketch import heavy_hitters
+
+    ev = load_events(spark, sf_dir)
+    return heavy_hitters(ev, "user_id", 120)

@@ -296,3 +296,104 @@ def session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("w.end").cast("timestamp")).alias("session_end_us"),
         "n_events",
     )
+
+
+# --------------------------------------------------------------------------
+# Time-series densification (calendar spine, zero-fill)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "timeseries_densify_daily",
+    """
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             count(*) AS n_events,
+             sum(CAST(value AS DECIMAL(18,2))) AS total_value
+      FROM events GROUP BY 1),
+    bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+    spine AS (SELECT unnest(generate_series(lo, hi)) AS day FROM bounds)
+    SELECT s.day,
+           coalesce(d.n_events, 0) AS n_events,
+           coalesce(d.total_value, 0) AS total_value
+    FROM spine s LEFT JOIN daily d USING (day)
+    """,
+    tags=("sequence", "reshape"),
+)
+def timeseries_densify_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densify a daily time series: generate the full calendar spine
+    between min and max day (``sequence`` + explode) and left-join the
+    observed aggregates, zero-filling gaps.
+
+    Missing days silently vanish from plain GROUP BY output — trend /
+    moving-average math downstream needs the zeros. Scale: the spine is
+    tiny (days, not events) and broadcast to the join; the events table
+    is aggregated BEFORE joining, so the spine join touches |days|
+    rows, never |events|.
+    """
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(F.expr("ts_us div 86400000000").alias("day")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+    )
+    spine = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi")).select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    return spine.join(daily, "day", "left").select(
+        "day",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("total_value", F.lit(0).cast("decimal(18,2)")).alias("total_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Percent-of-total (ratio_to_report window)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "percent_of_total_revenue",
+    """
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, n.n_name)
+    SELECT region, nation, revenue,
+           round(CAST(revenue AS DOUBLE) /
+                 CAST(sum(revenue) OVER (PARTITION BY region) AS DOUBLE), 6)
+             AS region_share
+    FROM rev
+    """,
+    tags=("windows", "olap"),
+)
+def percent_of_total_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total: each nation's share of its region's revenue
+    (the ratio_to_report shape — window aggregate over a grouped
+    result).
+
+    Scale: the window runs over the AGGREGATED frame (|nations| rows),
+    not the fact table, so the sort is trivial; dimensions are
+    broadcast into the fact join. Shares divide two exact DECIMAL sums
+    once, in double, rounded — deterministic across engines.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"))
+    )
+    share = F.round(
+        F.col("revenue").cast("double")
+        / F.sum("revenue").over(W.partitionBy("region")).cast("double"),
+        6,
+    )
+    return rev.select("region", "nation", "revenue", share.alias("region_share"))

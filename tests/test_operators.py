@@ -574,3 +574,39 @@ def test_ivfpq_search_probes_cells_then_adc(spark):
     # nprobe=1 → only the home cell's vectors are candidates
     assert all(v < 100 for v in by_q[0]) and len(by_q[0]) == 3
     assert all(v >= 200 for v in by_q[1]) and len(by_q[1]) == 3
+
+
+# --------------------------------------------------------------------------
+# Heavy hitters (operators/sketch.py)
+# --------------------------------------------------------------------------
+
+
+def test_heavy_hitters_exact_above_threshold(spark):
+    """Skewed stream across multiple partitions, k far below the
+    distinct-key count so MG eviction actually runs: output must be
+    exactly the keys with count > n/k."""
+    from omicidx_gh_etl_spark.operators.sketch import heavy_hitters
+
+    rows = []
+    # 3 hot keys: 400, 300, 200 occurrences; 500 singleton cold keys
+    for key, cnt in (("hot_a", 400), ("hot_b", 300), ("hot_c", 200)):
+        rows += [(key,)] * cnt
+    rows += [(f"cold_{i}",) for i in range(500)]
+    # deterministic-but-mixed order so hot keys spread over partitions
+    rows.sort(key=lambda r: hash(r[0]) % 97)
+    df = spark.createDataFrame(rows, "k string").repartition(8)
+
+    n = len(rows)  # 1400
+    k = 10  # threshold 140 → hot_a, hot_b, hot_c qualify; eviction runs
+    got = {r["key"]: r["n"] for r in heavy_hitters(df, "k", k).collect()}
+    assert got == {"hot_a": 400, "hot_b": 300, "hot_c": 200}
+    assert all(v > n / k for v in got.values())
+
+
+def test_heavy_hitters_null_and_empty(spark):
+    from omicidx_gh_etl_spark.operators.sketch import heavy_hitters
+
+    df = spark.createDataFrame([("a",), (None,), ("a",), ("b",)], "k string")
+    got = {r["key"]: r["n"] for r in heavy_hitters(df, "k", 2).collect()}
+    # n=3 non-null, threshold 1.5 → only "a" (2 > 1.5)
+    assert got == {"a": 2}
