@@ -11,7 +11,7 @@ from .catalog import prune_files, scan_column_stats, skipping_read
 from .dag import DagCycleError, downstream_closure, topo_sort, upstream_closure
 from .incr_agg import refresh_aggregate
 from .intervals import Interval, IntervalStore, daily_intervals, monthly_intervals
-from .merge import merge_upsert, publish_parquet
+from .merge import merge_into_snapshot, merge_upsert, publish_parquet
 from .runner import RunResult, WarehouseRunner
 from .scd import scd2_apply, scd2_as_of
 from .snapshots import Snapshot, SnapshotConflictError, SnapshotTable
@@ -38,6 +38,7 @@ __all__ = [
     "prune_files",
     "skipping_read",
     "merge_upsert",
+    "merge_into_snapshot",
     "publish_parquet",
     "refresh_aggregate",
     "scd2_apply",

@@ -95,3 +95,46 @@ def publish_parquet(spark: SparkSession, df: DataFrame, target: Path) -> int:
     if old.exists():
         shutil.rmtree(old)
     return n
+
+
+def merge_into_snapshot(
+    table,
+    updates: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    delete_col: str | None = None,
+    note: str = "",
+):
+    """Merge ``updates`` into a :class:`~.snapshots.SnapshotTable` —
+    the same latest-version-wins plan as :func:`merge_upsert`, but the
+    result lands as a new snapshot version instead of an in-place swap.
+
+    This upgrades CDC apply from "readers see latest" to "readers pin a
+    version": a bad update batch is undone with ``table.rollback()``
+    (metadata-only) instead of recomputing, and audits can diff any two
+    versions. Returns the committed snapshot.
+    """
+    spark = updates.sparkSession
+    if table.latest_version() is not None:
+        base = table.read(spark)
+        # a tombstone merge commits WITHOUT delete_col — null-fill any
+        # update-side column the stored snapshot lacks
+        for c in updates.columns:
+            if c not in base.columns:
+                base = base.withColumn(c, F.lit(None).cast(updates.schema[c].dataType))
+        combined = base.select(*updates.columns).unionByName(updates)
+    else:
+        combined = updates
+
+    payload = [c for c in updates.columns if c not in keys]
+    merged = (
+        combined.groupBy(*keys)
+        .agg(F.max_by(F.struct(*payload), F.struct(*order_cols)).alias("__winner"))
+        .select(*keys, "__winner.*")
+        .select(*updates.columns)
+    )
+    if delete_col is not None:
+        merged = merged.filter(~F.coalesce(F.col(delete_col), F.lit(False))).drop(
+            delete_col
+        )
+    return table.commit_overwrite(merged, note=note or f"merge {len(keys)}-key upsert")

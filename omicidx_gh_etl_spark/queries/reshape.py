@@ -397,3 +397,62 @@ def percent_of_total_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return rev.select("region", "nation", "revenue", share.alias("region_share"))
+
+
+# --------------------------------------------------------------------------
+# Bad-record routing (try_cast quarantine)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "quarantine_bad_records",
+    r"""
+    WITH pm AS (
+      SELECT event_type,
+             CASE WHEN event_id % 7 = 0
+                  THEN regexp_replace(props, '\d+', '"x"', 'g')
+                  ELSE props END AS p
+      FROM events),
+    parsed AS (
+      SELECT event_type,
+             TRY_CAST(json_extract_string(p, '$.k') AS INTEGER) AS k
+      FROM pm)
+    SELECT event_type,
+           count(*) AS n_total,
+           sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS n_quarantined,
+           sum(k) AS sum_k
+    FROM parsed GROUP BY event_type
+    """,
+    tags=("F11", "etl"),
+)
+def quarantine_bad_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bad-record routing: extract a typed field with ``try_cast`` and
+    split the stream into good rows and a quarantine count instead of
+    failing the job (Spark 4 runs ANSI mode — a plain CAST on dirty
+    data *throws*; try_cast is the per-row PERMISSIVE escape hatch).
+
+    Dirty records are synthesized deterministically (every 7th event's
+    JSON value is type-mangled) so both engines see the same corruption.
+    Scale: the routing is a map-side CASE — one pass, no extra scan for
+    the quarantine leg; at 100 TB the quarantined rows would also be
+    written to a side sink from the same cached projection.
+
+    Reference: encoding-repair / PERMISSIVE handling (SURVEY §2.8 F11,
+    nih_reporter.py:125-137).
+    """
+    ev = load_events(spark, sf_dir)
+    pm = ev.withColumn(
+        "p",
+        F.when(
+            F.col("event_id") % 7 == 0,
+            F.regexp_replace("props", r"\d+", '"x"'),
+        ).otherwise(F.col("props")),
+    )
+    parsed = pm.withColumn(
+        "k", F.expr("try_cast(get_json_object(p, '$.k') as int)")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("n_quarantined"),
+        F.sum("k").alias("sum_k"),
+    )

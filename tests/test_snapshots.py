@@ -95,3 +95,39 @@ def test_empty_snapshot_roundtrip(spark, table):
     out = table.read(spark)
     assert out.count() == 0
     assert out.columns == ["id"]
+
+
+def test_merge_into_snapshot_cdc_with_history(spark, table):
+    from omicidx_gh_etl_spark.engine import merge_into_snapshot
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "id long, val string, version long, deleted boolean"
+        )
+
+    s0 = merge_into_snapshot(
+        table,
+        batch([(1, "a", 1, False), (2, "b", 1, False)]),
+        keys=["id"], order_cols=["version"], delete_col="deleted",
+    )
+    # update id=1, tombstone id=2, insert id=3
+    s1 = merge_into_snapshot(
+        table,
+        batch([(1, "a2", 2, False), (2, "b", 2, True), (3, "c", 2, False)]),
+        keys=["id"], order_cols=["version"], delete_col="deleted",
+    )
+    latest = {r["id"]: r["val"] for r in table.read(spark).collect()}
+    assert latest == {1: "a2", 3: "c"}
+    # time travel to pre-merge state
+    v0 = {r["id"]: r["val"] for r in table.read(spark, s0.version).collect()}
+    assert v0 == {1: "a", 2: "b"}
+    # a stale version on a live key must NOT resurrect it
+    merge_into_snapshot(
+        table,
+        batch([(1, "old", 0, False)]),
+        keys=["id"], order_cols=["version"], delete_col="deleted",
+    )
+    assert {r["id"]: r["val"] for r in table.read(spark).collect()} == {1: "a2", 3: "c"}
+    # bad batch? metadata-only undo
+    table.rollback(s1.version)
+    assert {r["id"]: r["val"] for r in table.read(spark).collect()} == {1: "a2", 3: "c"}
