@@ -1,3 +1,3 @@
-from . import dedup, multimodal, sketch, similarity, text
+from . import ann_index, dedup, multimodal, sketch, similarity, text
 
-__all__ = ["dedup", "similarity", "sketch", "text", "multimodal"]
+__all__ = ["ann_index", "dedup", "similarity", "sketch", "text", "multimodal"]

@@ -1,0 +1,135 @@
+"""Persisted IVF index: build-once / search-many ANN with versioned
+index artifacts.
+
+`similarity.ivf_search` recomputes cell assignments per query batch —
+right for one-shot analytics, wrong for a serving-shaped workload where
+the same corpus answers many query batches. This module splits the IVF
+lifecycle the way disk-based ANN systems do (FAISS's IVF file dumps,
+Lucene/Milvus segment indexes):
+
+- **build**: train centroids (k-means), assign every vector to its
+  cell, and persist BOTH as snapshot tables. The postings are written
+  range-clustered on ``centroid_id``, so each parquet file covers a
+  narrow centroid range → a probe's ``centroid_id IN (...)`` predicate
+  prunes at file/row-group granularity (footer min/max), not by
+  scanning the corpus.
+- **search**: read the (tiny) centroid table, pick ``nprobe`` cells
+  per query, then scan ONLY the probed cells' postings. The probed
+  cell list is collected to the driver (≤ |queries| × nprobe ints) and
+  inlined as a literal IN filter precisely so the pushdown is static —
+  visible in the scan's PushedFilters, no runtime filter needed.
+- **rebuild**: a new build commits new snapshot versions; readers
+  pinned to the old version keep consistent results, and a bad rebuild
+  is a metadata-only ``rollback()``.
+
+Determinism matches `ivf_search` exactly (rounded cosine, id
+tiebreaks), so the persisted path is verified by equality against the
+in-memory operator.
+
+At 100 TB: centroids stay driver/broadcast-sized by contract (√n cells
+over billions of vectors is ~10⁵ × dims doubles); postings are the
+corpus + one int column, written once per rebuild; per-batch search IO
+is |corpus| × nprobe / n_cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..engine.snapshots import SnapshotTable
+from .similarity import _as_double, cosine_sim_expr, ivf_assign, kmeans_fit
+
+
+class AnnIndex:
+    """IVF index persisted under ``index_dir`` as two snapshot tables:
+    ``centroids`` (centroid_id, cv) and ``postings``
+    (vec_id, centroid_id, v), range-clustered on centroid_id."""
+
+    def __init__(self, index_dir: str) -> None:
+        self.centroids = SnapshotTable(f"{index_dir}/centroids")
+        self.postings = SnapshotTable(f"{index_dir}/postings")
+
+    def build(
+        self,
+        emb: DataFrame,
+        n_centroids: int,
+        max_iter: int = 5,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        centroids: DataFrame | None = None,
+        note: str = "",
+    ) -> tuple[int, int]:
+        """Train (or accept) centroids, assign the corpus, persist
+        both. Returns (centroid_version, postings_version)."""
+        if centroids is None:
+            centroids = kmeans_fit(
+                emb, k=n_centroids, max_iter=max_iter, id_col=id_col, vec_col=vec_col
+            )
+        e = emb.select(F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("v"))
+        assigned = ivf_assign(e, centroids, id_col="vec_id", vec_col="v").select(
+            "vec_id", "centroid_id"
+        )
+        postings = (
+            e.join(assigned, "vec_id")
+            .select("vec_id", "centroid_id", "v")
+            # range-cluster so file/row-group min-max stats make the
+            # probe-time IN filter prune storage, not just rows
+            .repartitionByRange(F.col("centroid_id"))
+            .sortWithinPartitions("centroid_id", "vec_id")
+        )
+        cs = self.centroids.commit_overwrite(centroids, note=note or "ivf build")
+        ps = self.postings.commit_overwrite(postings, note=note or "ivf build")
+        return cs.version, ps.version
+
+    def search(
+        self,
+        spark: SparkSession,
+        queries: DataFrame,
+        k: int = 5,
+        nprobe: int = 2,
+        query_id_col: str = "q_id",
+        query_vec_col: str = "qv",
+        version: tuple[int | None, int | None] = (None, None),
+    ) -> DataFrame:
+        """Top-k by cosine per query over the probed cells of a pinned
+        index version. Same ranking semantics as
+        ``similarity.ivf_search``."""
+        c = self.centroids.read(spark, version[0]).select(
+            "centroid_id", _as_double("cv").alias("cvd")
+        )
+        q = queries.select(
+            F.col(query_id_col).alias("q_id"), _as_double(query_vec_col).alias("qvd")
+        )
+
+        probe_sim = F.round(cosine_sim_expr(F.col("qvd"), F.col("cvd")), 4)
+        probe_w = W.partitionBy("q_id").orderBy(F.desc("ps"), F.asc("centroid_id"))
+        probes = (
+            q.crossJoin(F.broadcast(c))
+            .select("q_id", "qvd", "centroid_id", probe_sim.alias("ps"))
+            .withColumn("rn", F.row_number().over(probe_w))
+            .filter(F.col("rn") <= nprobe)
+            .select("q_id", "qvd", "centroid_id")
+        )
+        # literal cell list → static parquet pushdown on the postings scan
+        cells = sorted(
+            r["centroid_id"] for r in probes.select("centroid_id").distinct().collect()
+        )
+        post = self.postings.read(spark, version[1]).filter(
+            F.col("centroid_id").isin(cells)
+        )
+        cand_sim = F.round(cosine_sim_expr(F.col("qvd"), F.col("v")), 4).alias(
+            "cos_sim"
+        )
+        cands = (
+            post.join(F.broadcast(probes), "centroid_id")
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .select("q_id", "vec_id", cand_sim)
+        )
+        topk_w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        return (
+            cands.withColumn("rn", F.row_number().over(topk_w))
+            .filter(F.col("rn") <= k)
+            .select("q_id", "vec_id", "cos_sim")
+        )

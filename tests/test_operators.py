@@ -610,3 +610,52 @@ def test_heavy_hitters_null_and_empty(spark):
     got = {r["key"]: r["n"] for r in heavy_hitters(df, "k", 2).collect()}
     # n=3 non-null, threshold 1.5 → only "a" (2 > 1.5)
     assert got == {"a": 2}
+
+
+# --------------------------------------------------------------------------
+# Persisted ANN index (operators/ann_index.py)
+# --------------------------------------------------------------------------
+
+
+def test_ann_index_matches_inmemory_ivf(spark, sf_dir, tmp_path):
+    from omicidx_gh_etl_spark.operators.ann_index import AnnIndex
+    from omicidx_gh_etl_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = similarity.kmeans_fit(emb, k=4, max_iter=3)
+    queries = emb.limit(3).select(
+        emb.vec_id.alias("q_id"), emb.embedding.alias("qv")
+    )
+
+    idx = AnnIndex(str(tmp_path / "ivf"))
+    idx.build(emb, n_centroids=4, centroids=cents)
+    got = idx.search(spark, queries, k=5, nprobe=2)
+
+    want = similarity.ivf_search(emb, cents, queries, k=5, nprobe=2)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # probe pushdown is static: the postings scan carries an In filter
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "centroid_id" in plan
+
+
+def test_ann_index_rebuild_pins_versions(spark, sf_dir, tmp_path):
+    from omicidx_gh_etl_spark.operators.ann_index import AnnIndex
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.limit(2).select(
+        emb.vec_id.alias("q_id"), emb.embedding.alias("qv")
+    )
+    idx = AnnIndex(str(tmp_path / "ivf"))
+    cv0, pv0 = idx.build(emb, n_centroids=3, max_iter=2)
+    r0 = sorted(map(tuple, idx.search(spark, queries, k=3).collect()))
+
+    # rebuild over half the corpus — latest changes, pinned v0 does not
+    cv1, pv1 = idx.build(emb.filter("vec_id % 2 = 0"), n_centroids=3, max_iter=2)
+    assert (cv1, pv1) == (cv0 + 1, pv0 + 1)
+    r0_again = sorted(
+        map(tuple, idx.search(spark, queries, k=3, version=(cv0, pv0)).collect())
+    )
+    assert r0_again == r0
+    latest_ids = {t[1] for t in idx.search(spark, queries, k=3).collect()}
+    assert all(v % 2 == 0 for v in latest_ids)
