@@ -1,3 +1,11 @@
-from . import ann_index, dedup, multimodal, sketch, similarity, text
+from . import ann_index, dedup, multimodal, sequences, sketch, similarity, text
 
-__all__ = ["ann_index", "dedup", "similarity", "sketch", "text", "multimodal"]
+__all__ = [
+    "ann_index",
+    "dedup",
+    "sequences",
+    "similarity",
+    "sketch",
+    "text",
+    "multimodal",
+]

@@ -143,20 +143,15 @@ def gaps_islands_active_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DISTINCT day projection collapses arbitrarily many events per
     day to ≤1 row before the window sees them.
     """
+    from ..operators.sequences import consecutive_islands
+
     ev = load_events(spark, sf_dir)
-    days = ev.select(
-        "user_id", F.expr("ts_us div 86400000000").alias("day")
-    ).distinct()
-    rn = F.row_number().over(W.partitionBy("user_id").orderBy("day"))
-    islands = (
-        days.withColumn("grp", F.col("day") - rn)
-        .groupBy("user_id", "grp")
-        .agg(F.count("*").alias("len"))
-    )
+    days = ev.select("user_id", F.expr("ts_us div 86400000000").alias("day"))
+    islands = consecutive_islands(days, ["user_id"], "day")
     return islands.groupBy("user_id").agg(
         F.count("*").alias("n_islands"),
-        F.max("len").alias("longest_run"),
-        F.sum("len").alias("active_days"),
+        F.max("island_len").alias("longest_run"),
+        F.sum("island_len").alias("active_days"),
     )
 
 
@@ -223,18 +218,9 @@ def interval_coalesce_user_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             + (F.col("value").cast("decimal(18,2)") * 1000000).cast("bigint")
         ).alias("e"),
     )
-    order = W.partitionBy("user_id").orderBy("s", "e")
-    prev_max_e = F.max("e").over(order.rowsBetween(W.unboundedPreceding, -1))
-    flagged = iv.withColumn(
-        "is_start",
-        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1).otherwise(0),
-    )
-    gid = F.sum("is_start").over(order.rowsBetween(W.unboundedPreceding, W.currentRow))
-    merged = (
-        flagged.withColumn("gid", gid)
-        .groupBy("user_id", "gid")
-        .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
-    )
+    from ..operators.sequences import coalesce_intervals
+
+    merged = coalesce_intervals(iv, ["user_id"], "s", "e")
     return merged.groupBy("user_id").agg(
         F.count("*").alias("n_spans"),
         F.sum(F.col("me") - F.col("ms")).alias("covered_us"),

@@ -250,3 +250,65 @@ def test_asof_join_matches_bruteforce(spark, left, right):
         cands = [(rt, rv) for (rk, rt, rv) in r_rows if rk == k and rt <= t]
         want[lid] = max(cands) if cands else (None, None)
     assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    spans=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 40), st.integers(0, 15)),
+        min_size=1, max_size=20,
+    )
+)
+def test_coalesce_intervals_equals_bruteforce(spark, spans):
+    """coalesce_intervals == classic sweep-line merge, per key."""
+    from omicidx_gh_etl_spark.operators.sequences import coalesce_intervals
+
+    rows = [(k, s, s + d) for k, s, d in spans]
+    df = spark.createDataFrame(rows, "k int, s int, e int")
+    got = {(r["k"], r["ms"], r["me"]) for r in
+           coalesce_intervals(df, ["k"], "s", "e").collect()}
+
+    want = set()
+    for k in {r[0] for r in rows}:
+        ivs = sorted((s, e) for kk, s, e in rows if kk == k)
+        cur_s, cur_e = ivs[0]
+        for s, e in ivs[1:]:
+            if s <= cur_e:
+                cur_e = max(cur_e, e)
+            else:
+                want.add((k, cur_s, cur_e))
+                cur_s, cur_e = s, e
+        want.add((k, cur_s, cur_e))
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 30)),
+        min_size=1, max_size=25,
+    )
+)
+def test_consecutive_islands_equals_bruteforce(spark, vals):
+    """consecutive_islands == run-length grouping of sorted distincts
+    (duplicates collapse first)."""
+    from omicidx_gh_etl_spark.operators.sequences import consecutive_islands
+
+    df = spark.createDataFrame(vals, "k int, v int")
+    got = {(r["k"], r["island_start"], r["island_len"]) for r in
+           consecutive_islands(df, ["k"], "v").collect()}
+
+    want = set()
+    for k in {k for k, _ in vals}:
+        vs = sorted({v for kk, v in vals if kk == k})
+        start, length = vs[0], 1
+        for prev, cur in zip(vs, vs[1:]):
+            if cur == prev + 1:
+                length += 1
+            else:
+                want.add((k, start, length))
+                start, length = cur, 1
+        want.add((k, start, length))
+    assert got == want
