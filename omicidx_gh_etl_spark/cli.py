@@ -280,6 +280,27 @@ def cmd_tables(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_snapshots(args: argparse.Namespace) -> int:
+    """Inspect / rollback / vacuum a snapshot table (engine.snapshots)."""
+    from .engine import SnapshotTable
+
+    table = SnapshotTable(args.table_dir)
+    if args.rollback is not None:
+        snap = table.rollback(args.rollback)
+        print(f"v{snap.version} <- rollback to v{args.rollback} ({snap.n_rows} rows)")
+        return 0
+    if args.vacuum is not None:
+        removed = table.vacuum(retain_last=args.vacuum)
+        print(f"vacuumed {len(removed)} paths (retained last {args.vacuum})")
+        return 0
+    for s in table.history():
+        print(
+            f"v{s.version} {s.op:10s} rows={s.n_rows:<12d} "
+            f"files={len(s.files):<5d} ts={s.ts:.0f} {s.note}"
+        )
+    return 0
+
+
 def cmd_show_config(args: argparse.Namespace) -> int:
     """Effective configuration (warehouse_cli.py:35-46)."""
     from .models import REGISTRY
@@ -376,6 +397,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("show-config", help="effective configuration")
     common(sp)
     sp.set_defaults(fn=cmd_show_config)
+
+    sp = sub.add_parser("snapshots", help="snapshot-table history/rollback/vacuum")
+    sp.add_argument("table_dir")
+    sp.add_argument("--rollback", type=int, default=None, metavar="VERSION")
+    sp.add_argument("--vacuum", type=int, default=None, metavar="RETAIN_LAST")
+    sp.set_defaults(fn=cmd_snapshots)
     return p
 
 

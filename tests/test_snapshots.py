@@ -131,3 +131,22 @@ def test_merge_into_snapshot_cdc_with_history(spark, table):
     # bad batch? metadata-only undo
     table.rollback(s1.version)
     assert {r["id"]: r["val"] for r in table.read(spark).collect()} == {1: "a2", 3: "c"}
+
+
+def test_cli_snapshots_history_rollback_vacuum(spark, table, capsys):
+    from omicidx_gh_etl_spark import cli
+
+    table.commit_overwrite(spark.range(0, 3))
+    table.commit_overwrite(spark.range(5, 9))
+    root = str(table.root)
+
+    assert cli.main(["snapshots", root]) == 0
+    out = capsys.readouterr().out
+    assert "v0" in out and "v1" in out
+
+    assert cli.main(["snapshots", root, "--rollback", "0"]) == 0
+    assert table.read(spark).count() == 3
+
+    assert cli.main(["snapshots", root, "--vacuum", "2"]) == 0
+    assert table.versions() == [1, 2]
+    assert table.read(spark).count() == 3
