@@ -104,6 +104,7 @@ def merge_into_snapshot(
     order_cols: list[str],
     delete_col: str | None = None,
     note: str = "",
+    meta: dict | None = None,
 ):
     """Merge ``updates`` into a :class:`~.snapshots.SnapshotTable` —
     the same latest-version-wins plan as :func:`merge_upsert`, but the
@@ -137,4 +138,6 @@ def merge_into_snapshot(
         merged = merged.filter(~F.coalesce(F.col(delete_col), F.lit(False))).drop(
             delete_col
         )
-    return table.commit_overwrite(merged, note=note or f"merge {len(keys)}-key upsert")
+    return table.commit_overwrite(
+        merged, note=note or f"merge {len(keys)}-key upsert", meta=meta
+    )

@@ -43,7 +43,7 @@ import json
 import shutil
 import time
 import uuid
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from pathlib import Path
 
 import pyarrow.parquet as pq
@@ -65,6 +65,7 @@ class Snapshot:
     n_rows: int
     schema_json: str
     note: str = ""
+    meta: dict = field(default_factory=dict)  # app-level commit metadata
 
 
 class SnapshotTable:
@@ -103,6 +104,7 @@ class SnapshotTable:
             n_rows=doc["n_rows"],
             schema_json=doc["schema"],
             note=doc.get("note", ""),
+            meta=doc.get("meta", {}),
         )
 
     def history(self) -> list[Snapshot]:
@@ -131,12 +133,16 @@ class SnapshotTable:
 
     # -- writes -------------------------------------------------------
 
-    def commit_overwrite(self, df: DataFrame, note: str = "") -> Snapshot:
+    def commit_overwrite(
+        self, df: DataFrame, note: str = "", meta: dict | None = None
+    ) -> Snapshot:
         """New version whose contents are exactly ``df``."""
         files, n_rows = self._write_data(df)
-        return self._commit("overwrite", files, n_rows, df.schema.json(), note)
+        return self._commit("overwrite", files, n_rows, df.schema.json(), note, meta)
 
-    def commit_append(self, df: DataFrame, note: str = "") -> Snapshot:
+    def commit_append(
+        self, df: DataFrame, note: str = "", meta: dict | None = None
+    ) -> Snapshot:
         """New version = previous files + ``df``'s files. O(new data):
         nothing existing is rewritten."""
         prev = self.latest_version()
@@ -147,7 +153,7 @@ class SnapshotTable:
             base, base_rows = snap.files, snap.n_rows
         files, n_rows = self._write_data(df)
         return self._commit(
-            "append", base + files, base_rows + n_rows, df.schema.json(), note
+            "append", base + files, base_rows + n_rows, df.schema.json(), note, meta
         )
 
     def rollback(self, version: int, note: str = "") -> Snapshot:
@@ -198,7 +204,13 @@ class SnapshotTable:
         return tuple(files), n_rows
 
     def _commit(
-        self, op: str, files: tuple[str, ...], n_rows: int, schema_json: str, note: str
+        self,
+        op: str,
+        files: tuple[str, ...],
+        n_rows: int,
+        schema_json: str,
+        note: str,
+        meta: dict | None = None,
     ) -> Snapshot:
         self.log_dir.mkdir(parents=True, exist_ok=True)
         prev = self.latest_version()
@@ -214,6 +226,7 @@ class SnapshotTable:
             "n_rows": n_rows,
             "schema": schema_json,
             "note": note,
+            "meta": meta or {},
         }
         tmp = self.log_dir / f".{final.name}.{uuid.uuid4().hex[:8]}.tmp"
         tmp.write_text(json.dumps(doc, indent=1))

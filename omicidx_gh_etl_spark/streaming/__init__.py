@@ -1,7 +1,12 @@
 from .dedup import dedup_stream, run_dedup_stream
 from .join import attribution_join_stream, run_attribution_join_stream
 from .stateful import run_sessionize_stream, sessionize_stream
-from .upsert_sink import run_events_upsert_stream, stream_upsert
+from .upsert_sink import (
+    make_snapshot_batch_fn,
+    run_events_upsert_stream,
+    stream_upsert,
+    stream_upsert_snapshot,
+)
 from .tws import run_sessionize_stream_tws, sessionize_stream_tws
 from .windows import run_streaming_window_counts, streaming_window_counts
 
@@ -18,4 +23,6 @@ __all__ = [
     "run_attribution_join_stream",
     "stream_upsert",
     "run_events_upsert_stream",
+    "make_snapshot_batch_fn",
+    "stream_upsert_snapshot",
 ]

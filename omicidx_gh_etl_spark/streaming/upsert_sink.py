@@ -92,3 +92,72 @@ def run_events_upsert_stream(
     finally:
         q.stop()
     return spark.read.parquet(target_dir)
+
+
+# --------------------------------------------------------------------------
+# Exactly-once variant: foreachBatch → versioned snapshot commits
+# --------------------------------------------------------------------------
+
+
+def make_snapshot_batch_fn(
+    table,
+    keys: list[str],
+    order_cols: list[str],
+    delete_col: str | None = None,
+):
+    """Build the ``foreachBatch`` function for streaming upserts into a
+    :class:`~..engine.snapshots.SnapshotTable` with exactly-once batch
+    application.
+
+    The streaming engine guarantees at-least-once ``foreachBatch``
+    delivery: on restart between sink write and checkpoint commit, the
+    last epoch is REPLAYED. The merge itself is idempotent on identical
+    input, but replay still costs a full rewrite — and a non-idempotent
+    sink (append) would duplicate. The fix is the table-format
+    transaction pattern (Delta's txnAppId/txnVersion): every commit
+    records its epoch id in the snapshot's ``meta``; a batch whose
+    epoch ≤ the last committed epoch is skipped entirely. Epoch ids are
+    monotonic per checkpoint, so one integer of state — stored in the
+    table's own log, crash-atomic with the data — is enough.
+    """
+    from ..engine.merge import merge_into_snapshot
+
+    def _apply(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        last = table.latest_version()
+        if last is not None:
+            applied = table.snapshot(last).meta.get("epoch_id")
+            if applied is not None and epoch_id <= applied:
+                return  # replayed batch — already durable in the log
+        merge_into_snapshot(
+            table,
+            batch,
+            keys=keys,
+            order_cols=order_cols,
+            delete_col=delete_col,
+            note=f"stream epoch {epoch_id}",
+            meta={"epoch_id": epoch_id},
+        )
+
+    return _apply
+
+
+def stream_upsert_snapshot(
+    df: DataFrame,
+    table,
+    keys: list[str],
+    order_cols: list[str],
+    delete_col: str | None = None,
+    query_name: str | None = None,
+):
+    """Attach an exactly-once snapshot upsert sink to a streaming
+    DataFrame; each micro-batch becomes one table version (time
+    travel over the ingest history comes free)."""
+    q = (
+        df.writeStream.outputMode("update")
+        .queryName(query_name or f"snap_upsert_{uuid.uuid4().hex[:10]}")
+        .foreachBatch(make_snapshot_batch_fn(table, keys, order_cols, delete_col))
+        .start()
+    )
+    return q

@@ -309,3 +309,71 @@ def test_stream_upsert_sink_merges_micro_batches(spark, tmp_path):
         2: (t0 * 1000, 2.0),
         3: (t0 * 1000, 3.0),
     }
+
+
+# ---- exactly-once snapshot upsert sink (upsert_sink.py) ---------------
+
+def test_snapshot_batch_fn_exactly_once_replay(spark, tmp_path):
+    """Replayed epochs (at-least-once foreachBatch) are skipped: one
+    table version per applied epoch, replay is a no-op, and ingest
+    history stays time-travelable."""
+    from omicidx_gh_etl_spark.engine import SnapshotTable
+    from omicidx_gh_etl_spark.streaming import make_snapshot_batch_fn
+
+    table = SnapshotTable(str(tmp_path / "tbl"))
+    fn = make_snapshot_batch_fn(table, keys=["id"], order_cols=["ver"])
+
+    def b(rows):
+        return spark.createDataFrame(rows, "id long, val string, ver long")
+
+    fn(b([(1, "a", 1), (2, "b", 1)]), 0)
+    fn(b([(1, "a2", 2)]), 1)
+    assert table.latest_version() == 1
+    assert table.snapshot(1).meta == {"epoch_id": 1}
+
+    # restart replays epoch 1 → must not create a new version
+    fn(b([(1, "a2", 2)]), 1)
+    assert table.latest_version() == 1
+    # stale epoch likewise
+    fn(b([(9, "x", 9)]), 0)
+    assert table.latest_version() == 1
+
+    # fresh epoch applies
+    fn(b([(3, "c", 3)]), 2)
+    assert {r["id"]: r["val"] for r in table.read(spark).collect()} == {
+        1: "a2", 2: "b", 3: "c",
+    }
+    # time travel over ingest history
+    assert {r["id"] for r in table.read(spark, 0).collect()} == {1, 2}
+
+
+def test_stream_upsert_snapshot_end_to_end(spark, tmp_path):
+    from omicidx_gh_etl_spark.engine import SnapshotTable
+    from omicidx_gh_etl_spark.streaming import stream_upsert_snapshot
+    from omicidx_gh_etl_spark.streaming.windows import EVENTS_RAW_SCHEMA
+
+    src = tmp_path / "changes"
+    src.mkdir()
+    t0 = 1_700_000_000_000_000
+    _write_events(str(src / "b1.parquet"), [(1, t0, 10, 1.0), (2, t0, 20, 2.0)])
+    time.sleep(0.05)
+    _write_events(str(src / "b2.parquet"), [(1, t0 + 5_000_000, 10, 9.0)])
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    table = SnapshotTable(str(tmp_path / "tbl"))
+    q = stream_upsert_snapshot(
+        stream, table, keys=["event_id"], order_cols=["ts", "value"]
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r["event_id"]: r["value"] for r in table.read(spark).collect()}
+    assert got == {1: 9.0, 2: 2.0}
+    assert len(table.history()) == 2  # one version per micro-batch
