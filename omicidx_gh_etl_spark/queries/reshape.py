@@ -442,3 +442,99 @@ def quarantine_bad_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("n_quarantined"),
         F.sum("k").alias("sum_k"),
     )
+
+
+# --------------------------------------------------------------------------
+# Full outer join (two-series reconciliation)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "full_outer_daily_reconciliation",
+    """
+    WITH c AS (
+      SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS n_clicks
+      FROM events WHERE event_type = 'click' GROUP BY 1),
+    p AS (
+      SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS n_purchases
+      FROM events WHERE event_type = 'purchase' GROUP BY 1)
+    SELECT coalesce(c.day, p.day) AS day,
+           coalesce(c.n_clicks, 0) AS n_clicks,
+           coalesce(p.n_purchases, 0) AS n_purchases
+    FROM c FULL OUTER JOIN p ON c.day = p.day
+    """,
+    tags=("join", "reshape"),
+)
+def full_outer_daily_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation of two daily series: days present in
+    either the click or the purchase stream, zero-filled on the missing
+    side (the only outer-join shape the repo didn't already cover; the
+    reference has no outer joins at all, SURVEY §2.3).
+
+    Scale: both inputs are aggregated to |days| rows BEFORE the outer
+    join, so the join is trivially small however large the fact stream;
+    the two aggregations share one scan of events (Spark reuses the
+    exchange under AQE when the filters diverge it falls back to two
+    scans of the same cached files — still |events| read once each).
+    """
+    ev = load_events(spark, sf_dir)
+    day = F.expr("ts_us div 86400000000").alias("day")
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(day)
+        .agg(F.count("*").alias("n_clicks"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(day)
+        .agg(F.count("*").alias("n_purchases"))
+    )
+    return c.join(p, "day", "full_outer").select(
+        "day",
+        F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+    )
+
+
+# --------------------------------------------------------------------------
+# INTERSECT / EXCEPT (set semantics the reference lacks, SURVEY §2.7)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "set_intersect_purchasing_clickers",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    tags=("U3", "setop"),
+)
+def set_intersect_purchasing_clickers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics): users appearing in both the
+    click and purchase streams. Plans as a hash semi-join over the two
+    deduplicated sides — same shuffle budget as semi_join_exists but
+    with SQL set semantics."""
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys)
+
+
+@register(
+    "set_except_nonpurchasing_clickers",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    tags=("U3", "setop"),
+)
+def set_except_nonpurchasing_clickers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct semantics): clickers who never purchased —
+    the set-algebra form of the anti join (anti_join_missing is the
+    keyed form)."""
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.subtract(buys)
