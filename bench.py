@@ -40,6 +40,9 @@ HEADLINE = [
     "text_winnow_fingerprints",  # rolling-hash fingerprints
     "range_join_events_windows",  # bin-bucketed interval join
     "sessionize_events",
+    "session_window_builtin",   # native dynamic session windows
+    "sketch_heavy_hitters",     # MG candidates + exact verify
+    "interval_coalesce_user_spans",  # one-shuffle span merge
 ]
 
 

@@ -58,11 +58,16 @@ def heavy_hitters(df: DataFrame, key: str | Column, k: int) -> DataFrame:
 
     candidates = keyed.mapInPandas(mg_partition, "key string").distinct()
 
-    total = keyed.where(F.col("key").isNotNull()).count()
-    threshold = total / k
+    # threshold as an in-plan broadcast scalar (1 row), not a separate
+    # driver-side count(): saves one full scan of the input
+    total = keyed.where(F.col("key").isNotNull()).agg(
+        F.count("*").alias("__total")
+    )
     return (
         keyed.join(F.broadcast(candidates), "key", "left_semi")
         .groupBy("key")
         .agg(F.count("*").alias("n"))
-        .where(F.col("n") > threshold)
+        .join(F.broadcast(total))
+        .where(F.col("n") > F.col("__total") / k)
+        .drop("__total")
     )
