@@ -742,3 +742,63 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_events(spark, sf_dir)
     return heavy_hitters(ev, "user_id", 120)
+
+
+@register(
+    "outliers_robust_zscore",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS absdev
+      FROM events e JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, quantile_cont(absdev, 0.5) AS mad
+      FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           count(*) AS n,
+           sum(CASE WHEN abs(d.value - d.med) > 3.0 * 1.4826 * m.mad
+                    THEN 1 ELSE 0 END) AS n_outliers,
+           round(m.mad, 4) AS mad
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type, m.mad
+    """,
+    tags=("olap", "quality"),
+)
+def outliers_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: |x − median| > 3·1.4826·MAD per group
+    (median/MAD instead of mean/stddev — one wild value can't mask
+    others by inflating the threshold).
+
+    Plan: two exact-percentile aggregates over the same scan (median,
+    then median of absolute deviations) broadcast back onto the facts.
+    Exact ``percentile`` == DuckDB ``quantile_cont`` keeps the oracle
+    tight; at 100 TB swap in ``approx_percentile`` and the plan shape —
+    two tiny broadcast joins, zero fact-side shuffles beyond the
+    group-by — is unchanged.
+    """
+    ev = load_events(spark, sf_dir).select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "absdev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("absdev", F.lit(0.5)).alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    return flagged.groupBy("event_type", "mad").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(
+                F.abs(F.col("value") - F.col("med"))
+                > 3.0 * 1.4826 * F.col("mad"),
+                1,
+            ).otherwise(0)
+        ).alias("n_outliers"),
+    ).select(
+        "event_type", "n", "n_outliers", F.round("mad", 4).alias("mad")
+    )

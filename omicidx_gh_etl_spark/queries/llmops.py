@@ -1026,3 +1026,73 @@ def curation_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("n_tokens").cast("bigint")).alias("total_tokens"),
         )
     )
+
+
+@register(
+    "lm_bigram_surprisal",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             generate_subscripts(regexp_split_to_array(lower(text), '\s+'), 1)
+               AS ord,
+             unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+      FROM documents),
+    bg AS (
+      SELECT a.doc_id, a.tok || ' ' || b.tok AS bigram
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+      WHERE a.tok <> '' AND b.tok <> ''),
+    freq AS (
+      SELECT bigram, count(*) AS n_bg,
+             sum(count(*)) OVER () AS n_total
+      FROM bg GROUP BY bigram)
+    SELECT bg.doc_id,
+           count(*) AS n_bigrams,
+           round(avg(-log2(CAST(f.n_bg AS DOUBLE) / f.n_total)), 4)
+             AS avg_surprisal
+    FROM bg JOIN freq f USING (bigram)
+    GROUP BY bg.doc_id
+    """,
+    tags=("text", "quality"),
+)
+def lm_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical language-model quality score: each document's mean
+    bigram surprisal −log₂ p(bigram) under the corpus's own bigram
+    distribution — boilerplate-heavy docs score low, out-of-domain /
+    noisy docs score high (the classic perplexity-filter signal for
+    training-data curation, computed without any external model).
+
+    Scale shape: bigrams are built IN the token array (transform +
+    slice — no positional self-join of an exploded token table, which
+    would shuffle |tokens| rows twice); the corpus distribution is a
+    bigram-keyed aggregate joined back in one pass. The oracle builds
+    the same bigrams via an ordinal self-join — same multiset, join
+    formulation is fine at oracle scale.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+        ).alias("t"),
+    )
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(t, 1, size(t) - 1), "
+                "(x, i) -> concat(x, ' ', element_at(t, i + 2)))"
+            )
+        ).alias("bigram"),
+    )
+    w_all = W.partitionBy()
+    freq = bg.groupBy("bigram").agg(F.count("*").alias("n_bg")).withColumn(
+        "n_total", F.sum("n_bg").over(w_all)
+    )
+    scored = bg.join(freq, "bigram")
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(
+            F.avg(-F.log2(F.col("n_bg").cast("double") / F.col("n_total"))), 4
+        ).alias("avg_surprisal"),
+    )

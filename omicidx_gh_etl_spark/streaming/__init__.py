@@ -8,11 +8,18 @@ from .upsert_sink import (
     stream_upsert_snapshot,
 )
 from .tws import run_sessionize_stream_tws, sessionize_stream_tws
-from .windows import run_streaming_window_counts, streaming_window_counts
+from .windows import (
+    run_streaming_session_counts,
+    run_streaming_window_counts,
+    streaming_session_counts,
+    streaming_window_counts,
+)
 
 __all__ = [
     "streaming_window_counts",
     "run_streaming_window_counts",
+    "streaming_session_counts",
+    "run_streaming_session_counts",
     "sessionize_stream",
     "run_sessionize_stream",
     "sessionize_stream_tws",

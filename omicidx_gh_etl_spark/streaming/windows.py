@@ -103,3 +103,62 @@ def run_streaming_window_counts(
     # The memory sink's table outlives the stopped query within the
     # session (driver-memory-bound: smoke/test path only).
     return spark.table(name)
+
+
+def streaming_session_counts(
+    spark: SparkSession,
+    source_path: str,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming dynamic session windows per user via the native
+    ``session_window`` operator (unstarted plan).
+
+    The engine merges overlapping [event, event+gap) windows per key in
+    the state store and closes a session when the watermark passes its
+    end — state is bounded by OPEN sessions per key, the property that
+    makes gap sessionization feasible on an unbounded stream (a
+    lag/sum window-function formulation needs the whole history).
+    Batch twin: queries/reshape.py::session_window_builtin (same gap
+    semantics, same oracle).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if source_path.endswith(".parquet"):
+        source_path = source_path[:-1] + "*"
+    events = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .parquet(source_path)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.col("user_id"), F.session_window(F.col("ts"), gap).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+def run_streaming_session_counts(
+    spark: SparkSession, source_path: str, gap: str = "30 minutes"
+) -> DataFrame:
+    """Drive the session-window stream over a bounded source (complete
+    mode + memory sink); equals the batch session_window answer."""
+    name = f"sess_{uuid.uuid4().hex[:10]}"
+    q = (
+        streaming_session_counts(spark, source_path, gap=gap)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

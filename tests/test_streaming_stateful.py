@@ -377,3 +377,21 @@ def test_stream_upsert_snapshot_end_to_end(spark, tmp_path):
     got = {r["event_id"]: r["value"] for r in table.read(spark).collect()}
     assert got == {1: 9.0, 2: 2.0}
     assert len(table.history()) == 2  # one version per micro-batch
+
+
+# ---- native streaming session windows (windows.py) --------------------
+
+def test_streaming_session_window_equals_batch(spark, sf_dir):
+    """Bounded stream through session_window == the batch
+    session_window plan (same gap, same boundaries)."""
+    from omicidx_gh_etl_spark.queries import REGISTRY
+    from omicidx_gh_etl_spark.streaming.windows import run_streaming_session_counts
+
+    got = sorted(
+        map(tuple, run_streaming_session_counts(
+            spark, f"{sf_dir}/events.parquet").collect())
+    )
+    want = sorted(
+        map(tuple, REGISTRY["session_window_builtin"].builder(spark, sf_dir).collect())
+    )
+    assert got == want
