@@ -11,7 +11,12 @@ from .catalog import prune_files, scan_column_stats, skipping_read
 from .dag import DagCycleError, downstream_closure, topo_sort, upstream_closure
 from .incr_agg import refresh_aggregate
 from .intervals import Interval, IntervalStore, daily_intervals, monthly_intervals
-from .merge import merge_into_snapshot, merge_upsert, publish_parquet
+from .merge import (
+    merge_into_snapshot,
+    merge_into_snapshot_partitions,
+    merge_upsert,
+    publish_parquet,
+)
 from .runner import RunResult, WarehouseRunner
 from .scd import scd2_apply, scd2_as_of
 from .snapshots import Snapshot, SnapshotConflictError, SnapshotTable
@@ -39,6 +44,7 @@ __all__ = [
     "skipping_read",
     "merge_upsert",
     "merge_into_snapshot",
+    "merge_into_snapshot_partitions",
     "publish_parquet",
     "refresh_aggregate",
     "scd2_apply",

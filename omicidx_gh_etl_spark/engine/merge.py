@@ -141,3 +141,58 @@ def merge_into_snapshot(
     return table.commit_overwrite(
         merged, note=note or f"merge {len(keys)}-key upsert", meta=meta
     )
+
+
+def merge_into_snapshot_partitions(
+    table,
+    updates: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    partition_col: str,
+    delete_col: str | None = None,
+    note: str = "",
+    meta: dict | None = None,
+):
+    """Partition-scoped CDC apply: merge ``updates`` into ONLY the
+    partitions they touch, commit as a ``replace_partitions`` snapshot.
+
+    The 100 TB shape `merge_upsert`'s docstring promises: the base read
+    is manifest-pruned to affected partitions (untouched partitions'
+    files are never opened, let alone rewritten), so cost is
+    O(affected partitions + updates), independent of table size.
+
+    Constraint (standard for partitioned CDC): a key's partition value
+    must be stable — an update that moves a key across partitions would
+    leave the old row in the unread partition. Date-grained tables
+    keyed by (accession) with partition=ingest_date satisfy this by
+    construction when merging per ingest run.
+    """
+    spark = updates.sparkSession
+    affected = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    if table.latest_version() is not None:
+        base = table.read(spark, partition_filter={partition_col: affected})
+        for c in updates.columns:
+            if c not in base.columns:
+                base = base.withColumn(c, F.lit(None).cast(updates.schema[c].dataType))
+        combined = base.select(*updates.columns).unionByName(updates)
+    else:
+        combined = updates
+
+    payload = [c for c in updates.columns if c not in keys]
+    merged = (
+        combined.groupBy(*keys)
+        .agg(F.max_by(F.struct(*payload), F.struct(*order_cols)).alias("__winner"))
+        .select(*keys, "__winner.*")
+        .select(*updates.columns)
+    )
+    if delete_col is not None:
+        merged = merged.filter(~F.coalesce(F.col(delete_col), F.lit(False))).drop(
+            delete_col
+        )
+    return table.commit_replace_partitions(
+        merged,
+        partition_by=partition_col,
+        note=note or f"merge partitions {sorted(map(str, affected))}",
+        meta=meta,
+        partitions=affected,  # a fully-tombstoned partition must still drop
+    )

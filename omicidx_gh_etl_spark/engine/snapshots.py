@@ -59,13 +59,15 @@ class Snapshot:
     """One committed version of a table."""
 
     version: int
-    op: str  # "overwrite" | "append" | "rollback"
+    op: str  # "overwrite" | "append" | "replace_partitions" | "rollback"
     ts: float
     files: tuple[str, ...]  # relative to the table root
     n_rows: int
     schema_json: str
     note: str = ""
     meta: dict = field(default_factory=dict)  # app-level commit metadata
+    # per-file detail: {"path", "rows", "part": {col: str(value)} | None}
+    file_infos: tuple[dict, ...] = ()
 
 
 class SnapshotTable:
@@ -96,15 +98,22 @@ class SnapshotTable:
                 raise FileNotFoundError(f"no snapshots in {self.root}")
         path = self.log_dir / f"{version:08d}.json"
         doc = json.loads(path.read_text())
+        # manifests store either plain path strings (early format) or
+        # {"path","rows","part"} dicts — normalize to dicts
+        infos = tuple(
+            f if isinstance(f, dict) else {"path": f, "rows": None, "part": None}
+            for f in doc["files"]
+        )
         return Snapshot(
             version=doc["version"],
             op=doc["op"],
             ts=doc["ts"],
-            files=tuple(doc["files"]),
+            files=tuple(i["path"] for i in infos),
             n_rows=doc["n_rows"],
             schema_json=doc["schema"],
             note=doc.get("note", ""),
             meta=doc.get("meta", {}),
+            file_infos=infos,
         )
 
     def history(self) -> list[Snapshot]:
@@ -112,11 +121,35 @@ class SnapshotTable:
 
     # -- reads --------------------------------------------------------
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        partition_filter: dict | None = None,
+    ) -> DataFrame:
         """Read a pinned snapshot (default: latest). Time travel =
-        pass any version from ``history()``."""
+        pass any version from ``history()``.
+
+        ``partition_filter={col: [v1, v2]}`` prunes at the MANIFEST
+        level: only files committed for those partition values are
+        listed to the scan (Delta-style log pruning — the planner never
+        even sees the other files). Files with no recorded partition
+        info are conservatively included.
+        """
         snap = self.snapshot(version)
-        paths = [str(self.root / f) for f in snap.files]
+        infos = snap.file_infos
+        if partition_filter:
+            wanted = {c: {str(v) for v in vs} for c, vs in partition_filter.items()}
+            infos = tuple(
+                i
+                for i in infos
+                if i.get("part") is None
+                or all(
+                    i["part"].get(c) is None or i["part"][c] in vs
+                    for c, vs in wanted.items()
+                )
+            )
+        paths = [str(self.root / i["path"]) for i in infos]
         if not paths:
             from pyspark.sql.types import StructType
 
@@ -134,11 +167,18 @@ class SnapshotTable:
     # -- writes -------------------------------------------------------
 
     def commit_overwrite(
-        self, df: DataFrame, note: str = "", meta: dict | None = None
+        self,
+        df: DataFrame,
+        note: str = "",
+        meta: dict | None = None,
+        partition_by: str | None = None,
     ) -> Snapshot:
-        """New version whose contents are exactly ``df``."""
-        files, n_rows = self._write_data(df)
-        return self._commit("overwrite", files, n_rows, df.schema.json(), note, meta)
+        """New version whose contents are exactly ``df``. With
+        ``partition_by``, data files are laid out per partition value
+        and the manifest records each file's partition — enabling
+        manifest-level pruned reads and partition-replace commits."""
+        infos, n_rows = self._write_data(df, partition_by)
+        return self._commit("overwrite", infos, n_rows, df.schema.json(), note, meta)
 
     def commit_append(
         self, df: DataFrame, note: str = "", meta: dict | None = None
@@ -146,14 +186,78 @@ class SnapshotTable:
         """New version = previous files + ``df``'s files. O(new data):
         nothing existing is rewritten."""
         prev = self.latest_version()
-        base: tuple[str, ...] = ()
+        base: tuple[dict, ...] = ()
         base_rows = 0
         if prev is not None:
             snap = self.snapshot(prev)
-            base, base_rows = snap.files, snap.n_rows
-        files, n_rows = self._write_data(df)
+            base, base_rows = snap.file_infos, snap.n_rows
+        infos, n_rows = self._write_data(df)
         return self._commit(
-            "append", base + files, base_rows + n_rows, df.schema.json(), note, meta
+            "append", base + infos, base_rows + n_rows, df.schema.json(), note, meta
+        )
+
+    def commit_replace_partitions(
+        self,
+        df: DataFrame,
+        partition_by: str,
+        note: str = "",
+        meta: dict | None = None,
+        partitions: list | None = None,
+    ) -> Snapshot:
+        """New version where ONLY the partitions present in ``df`` are
+        replaced; every other partition's files carry over untouched
+        (dynamic partition overwrite, versioned).
+
+        This is the 100 TB incremental-publish primitive: a daily CDC
+        batch touching 3 dates rewrites 3 partitions' files and one
+        manifest, not the table. Requires every prior file to carry
+        partition info for ``partition_by`` (i.e. the table has always
+        been committed partition-aware). Partition values must be
+        non-null and hive-encode as ``str(value)`` (ints, dates, plain
+        strings).
+
+        ``partitions`` overrides the affected set (default: the values
+        present in ``df``) — needed when a replace legitimately EMPTIES
+        a partition (e.g. a CDC batch that tombstones its every row):
+        the emptied partition has no rows in ``df`` but must still be
+        dropped from the carried-over files.
+        """
+        prev = self.latest_version()
+        kept: tuple[dict, ...] = ()
+        kept_rows = 0
+        if prev is not None:
+            snap = self.snapshot(prev)
+            bad = [
+                i["path"]
+                for i in snap.file_infos
+                if not (i.get("part") and i["part"].get(partition_by) is not None)
+            ]
+            if bad:
+                raise ValueError(
+                    f"cannot replace partitions: {len(bad)} file(s) lack "
+                    f"partition info for {partition_by!r} (e.g. {bad[0]})"
+                )
+            if partitions is not None:
+                affected = {str(v) for v in partitions}
+            else:
+                affected = {
+                    str(r[0])
+                    for r in df.select(partition_by).distinct().collect()
+                }
+            kept = tuple(
+                i
+                for i in snap.file_infos
+                if i["part"][partition_by] not in affected
+            )
+            kept_rows = sum(i["rows"] for i in kept)
+        infos, n_rows = self._write_data(df, partition_by)
+        return self._commit(
+            "replace_partitions",
+            kept + infos,
+            kept_rows + n_rows,
+            df.schema.json(),
+            note,
+            meta,
         )
 
     def rollback(self, version: int, note: str = "") -> Snapshot:
@@ -162,7 +266,7 @@ class SnapshotTable:
         snap = self.snapshot(version)
         return self._commit(
             "rollback",
-            snap.files,
+            snap.file_infos,
             snap.n_rows,
             snap.schema_json,
             note or f"rollback to v{version}",
@@ -192,21 +296,40 @@ class SnapshotTable:
 
     # -- internals ----------------------------------------------------
 
-    def _write_data(self, df: DataFrame) -> tuple[tuple[str, ...], int]:
+    def _write_data(
+        self, df: DataFrame, partition_by: str | None = None
+    ) -> tuple[tuple[dict, ...], int]:
         commit_id = uuid.uuid4().hex[:12]
         out = self.data_dir / commit_id
-        df.write.mode("overwrite").option("compression", "zstd").parquet(str(out))
-        files: list[str] = []
+        writer = df.write.mode("overwrite").option("compression", "zstd")
+        if partition_by is not None:
+            # duplicate the partition column: `__part` drives the hive
+            # directory layout, the original column stays IN the data
+            # files so explicit-path reads need no partition inference
+            df = df.withColumn("__part", df[partition_by])
+            writer = df.write.mode("overwrite").option(
+                "compression", "zstd"
+            ).partitionBy("__part")
+        writer.parquet(str(out))
+        infos: list[dict] = []
         n_rows = 0
-        for p in sorted(out.glob("*.parquet")):
-            files.append(str(p.relative_to(self.root)))
-            n_rows += pq.ParquetFile(p).metadata.num_rows
-        return tuple(files), n_rows
+        for p in sorted(out.rglob("*.parquet")):
+            rows = pq.ParquetFile(p).metadata.num_rows
+            part = None
+            if partition_by is not None:
+                # .../data/<commit>/__part=<value>/file.parquet
+                pdir = p.parent.name
+                part = {partition_by: pdir.split("=", 1)[1]}
+            infos.append(
+                {"path": str(p.relative_to(self.root)), "rows": rows, "part": part}
+            )
+            n_rows += rows
+        return tuple(infos), n_rows
 
     def _commit(
         self,
         op: str,
-        files: tuple[str, ...],
+        files: tuple[dict, ...],
         n_rows: int,
         schema_json: str,
         note: str,

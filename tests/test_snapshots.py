@@ -150,3 +150,101 @@ def test_cli_snapshots_history_rollback_vacuum(spark, table, capsys):
     assert cli.main(["snapshots", root, "--vacuum", "2"]) == 0
     assert table.versions() == [1, 2]
     assert table.read(spark).count() == 3
+
+
+# ---- partition-aware snapshots ----------------------------------------
+
+def _pdf(spark, rows):
+    return spark.createDataFrame(rows, "id long, day string, val string, ver long")
+
+
+def test_partitioned_commit_and_pruned_read(spark, table):
+    df = _pdf(spark, [(1, "d1", "a", 1), (2, "d1", "b", 1), (3, "d2", "c", 1)])
+    snap = table.commit_overwrite(df, partition_by="day")
+    # every file carries its partition value in the manifest
+    assert all(i["part"] == {"day": i["part"]["day"]} for i in snap.file_infos)
+    assert {i["part"]["day"] for i in snap.file_infos} == {"d1", "d2"}
+    # pruned read lists only d1 files; result columns are unchanged
+    d1 = table.read(spark, partition_filter={"day": ["d1"]})
+    assert sorted(r["id"] for r in d1.collect()) == [1, 2]
+    assert set(d1.columns) == {"id", "day", "val", "ver"}
+    # full read still returns everything
+    assert table.read(spark).count() == 3
+
+
+def test_replace_partitions_carries_untouched_files(spark, table):
+    table.commit_overwrite(
+        _pdf(spark, [(1, "d1", "a", 1), (3, "d2", "c", 1)]), partition_by="day"
+    )
+    d2_files_v0 = {
+        i["path"] for i in table.snapshot(0).file_infos if i["part"]["day"] == "d2"
+    }
+    snap = table.commit_replace_partitions(
+        _pdf(spark, [(1, "d1", "a2", 2), (2, "d1", "b", 2)]), partition_by="day"
+    )
+    # d2's physical files carried over byte-identical; only d1 rewritten
+    d2_files_v1 = {
+        i["path"] for i in snap.file_infos if i["part"]["day"] == "d2"
+    }
+    assert d2_files_v1 == d2_files_v0
+    got = {r["id"]: r["val"] for r in table.read(spark).collect()}
+    assert got == {1: "a2", 2: "b", 3: "c"}
+    assert snap.n_rows == 3
+    # time travel still sees the pre-replace table
+    assert {r["id"]: r["val"] for r in table.read(spark, 0).collect()} == {
+        1: "a", 3: "c",
+    }
+
+
+def test_replace_partitions_requires_partitioned_history(spark, table):
+    table.commit_overwrite(_pdf(spark, [(1, "d1", "a", 1)]))  # not partitioned
+    with pytest.raises(ValueError, match="lack partition info"):
+        table.commit_replace_partitions(
+            _pdf(spark, [(1, "d1", "a2", 2)]), partition_by="day"
+        )
+
+
+def test_merge_into_snapshot_partitions_cdc(spark, table):
+    from omicidx_gh_etl_spark.engine import merge_into_snapshot_partitions
+
+    def b(rows):
+        return spark.createDataFrame(
+            rows, "id long, day string, val string, ver long, deleted boolean"
+        )
+
+    merge_into_snapshot_partitions(
+        table,
+        b([(1, "d1", "a", 1, False), (2, "d1", "b", 1, False),
+           (3, "d2", "c", 1, False)]),
+        keys=["id"], order_cols=["ver"], partition_col="day",
+        delete_col="deleted",
+    )
+    d2_files = {
+        i["path"] for i in table.snapshot(0).file_infos if i["part"]["day"] == "d2"
+    }
+    # batch 2 touches only d1: update 1, tombstone 2
+    snap = merge_into_snapshot_partitions(
+        table,
+        b([(1, "d1", "a2", 2, False), (2, "d1", "b", 2, True)]),
+        keys=["id"], order_cols=["ver"], partition_col="day",
+        delete_col="deleted",
+    )
+    assert {r["id"]: r["val"] for r in table.read(spark).collect()} == {
+        1: "a2", 3: "c",
+    }
+    # d2 untouched physically
+    assert {
+        i["path"] for i in snap.file_infos if i["part"]["day"] == "d2"
+    } == d2_files
+
+    # batch 3 tombstones ALL of d2 — the partition must disappear
+    merge_into_snapshot_partitions(
+        table,
+        b([(3, "d2", "c", 3, True)]),
+        keys=["id"], order_cols=["ver"], partition_col="day",
+        delete_col="deleted",
+    )
+    assert {r["id"] for r in table.read(spark).collect()} == {1}
+    assert not any(
+        i["part"]["day"] == "d2" for i in table.snapshot(2).file_infos
+    )
