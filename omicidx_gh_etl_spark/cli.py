@@ -280,6 +280,22 @@ def cmd_tables(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_explain(args: argparse.Namespace) -> int:
+    """Print the optimized/physical plan of a registered query — the
+    per-operator plan-inspection loop (`.explain("formatted")`) as a
+    first-class command."""
+    from .queries import REGISTRY
+
+    if args.query not in REGISTRY:
+        print(f"unknown query: {args.query}", file=sys.stderr)
+        print("known:", ", ".join(sorted(REGISTRY)), file=sys.stderr)
+        return 2
+    spark = _spark(args)
+    df = REGISTRY[args.query].builder(spark, args.sf_dir)
+    df.explain(mode=args.mode)
+    return 0
+
+
 def cmd_snapshots(args: argparse.Namespace) -> int:
     """Inspect / rollback / vacuum a snapshot table (engine.snapshots)."""
     from .engine import SnapshotTable
@@ -397,6 +413,17 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("show-config", help="effective configuration")
     common(sp)
     sp.set_defaults(fn=cmd_show_config)
+
+    sp = sub.add_parser("explain", help="show a registered query's physical plan")
+    sp.add_argument("query")
+    sp.add_argument("--cpus", type=int, default=None)
+    sp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    sp.add_argument(
+        "--mode",
+        default="formatted",
+        choices=["simple", "extended", "formatted", "cost", "codegen"],
+    )
+    sp.set_defaults(fn=cmd_explain)
 
     sp = sub.add_parser("snapshots", help="snapshot-table history/rollback/vacuum")
     sp.add_argument("table_dir")

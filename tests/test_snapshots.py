@@ -248,3 +248,12 @@ def test_merge_into_snapshot_partitions_cdc(spark, table):
     assert not any(
         i["part"]["day"] == "d2" for i in table.snapshot(2).file_infos
     )
+
+
+def test_cli_explain(spark, capsys):
+    from omicidx_gh_etl_spark import cli
+
+    assert cli.main(["explain", "agg_multikey_pricing", "--cpus", "8"]) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "HashAggregate" in out
+    assert cli.main(["explain", "no_such_query", "--cpus", "8"]) == 2
