@@ -538,3 +538,96 @@ def set_except_nonpurchasing_clickers(spark: SparkSession, sf_dir: str) -> DataF
     clicks = ev.filter(F.col("event_type") == "click").select("user_id")
     buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
     return clicks.subtract(buys)
+
+
+# --------------------------------------------------------------------------
+# Quantile binning (ntile) and inter-arrival gaps
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ntile_value_quartiles",
+    """
+    WITH binned AS (
+      SELECT event_type, value,
+             ntile(4) OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS quartile
+      FROM events)
+    SELECT event_type, quartile,
+           count(*) AS n,
+           sum(CAST(value AS DECIMAL(18,2))) AS total_value,
+           round(min(value), 4) AS lo,
+           round(max(value), 4) AS hi
+    FROM binned GROUP BY event_type, quartile
+    """,
+    tags=("windows", "olap"),
+)
+def ntile_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency binning: ntile(4) quartiles of value per event
+    type with per-bucket boundaries — the quantile-bucketing shape
+    behind feature binning and load-balanced range partitioning.
+
+    The window order includes event_id so ties have a total order and
+    both engines assign identical buckets. Scale: ntile needs the full
+    per-key sort — for global binning at 100 TB prefer
+    ``approx_percentile`` boundaries + a map-side bucket join
+    (histogram_equi_width is that shape); per-KEY ntile like this
+    sorts each key's rows only.
+    """
+    ev = load_events(spark, sf_dir)
+    q = F.ntile(4).over(
+        W.partitionBy("event_type").orderBy("value", "event_id")
+    )
+    return (
+        ev.withColumn("quartile", q)
+        .groupBy("event_type", "quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+    )
+
+
+@register(
+    "interarrival_gap_stats",
+    """
+    WITH gaps AS (
+      SELECT user_id, event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts, event_id) AS gap_us
+      FROM events)
+    SELECT event_type,
+           count(gap_us) AS n_gaps,
+           min(gap_us) AS min_gap_us,
+           max(gap_us) AS max_gap_us,
+           sum(gap_us) AS total_gap_us
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+    tags=("windows", "sequence"),
+)
+def interarrival_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival analysis: time between consecutive events of the
+    same type per user (lag over the per-entity stream), aggregated to
+    per-type gap statistics — burstiness/cadence profiling.
+
+    Scale: one shuffle on (user_id, event_type) for the lag window;
+    sums are exact BIGINT micros so no float drift; first events (null
+    gap) are excluded in both engines identically.
+    """
+    ev = load_events(spark, sf_dir)
+    lag_ts = F.lag("ts_us").over(
+        W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    )
+    gaps = ev.withColumn("gap_us", F.col("ts_us") - lag_ts).filter(
+        F.col("gap_us").isNotNull()
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.sum("gap_us").alias("total_gap_us"),
+    )
