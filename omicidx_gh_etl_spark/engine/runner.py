@@ -133,7 +133,15 @@ class WarehouseRunner:
             return self._cache[name]
         m = self.registry.get(name)
         path = self._table_path(m)
-        if m.kind != "VIEW" and Path(path).exists():
+        if m.kind == "SNAPSHOT_TABLE" and Path(path, "_log").exists():
+            # manifest-pinned read — never a raw directory scan (the
+            # data dir holds every commit's files, not one version)
+            from .snapshots import SnapshotTable
+
+            df = SnapshotTable(path).read(self.spark)
+            self._cache[name] = df
+            return df
+        if m.kind not in ("VIEW", "SNAPSHOT_TABLE") and Path(path).exists():
             try:
                 df = self.spark.read.parquet(path)
             except Exception:
@@ -176,6 +184,18 @@ class WarehouseRunner:
                 F.col(m.time_column).between(ctx.start_ds, ctx.end_ds)
             ).count()
             self._cache[m.name] = out
+        elif m.kind == "SNAPSHOT_TABLE":
+            # versioned TABLE: each run commits a snapshot version —
+            # history/rollback via engine.snapshots (CLI `snapshots`);
+            # a bad build is a metadata-only rollback, not a recompute
+            from .snapshots import SnapshotTable
+
+            table = SnapshotTable(self._table_path(m))
+            snap = table.commit_overwrite(
+                df, note=f"warehouse run [{ctx.start_ds}..{ctx.end_ds}]"
+            )
+            rows = snap.n_rows
+            self._cache[m.name] = table.read(self.spark)
         else:  # TABLE
             path = self._table_path(m)
             df.write.mode("overwrite").option("compression", "zstd").parquet(path)

@@ -44,7 +44,7 @@ class ExportConfig:
 class Model:
     name: str  # e.g. "bronze.stg_sra_experiments"
     layer: str  # raw | bronze | geometadb | mart
-    kind: str  # VIEW | INCREMENTAL_BY_TIME_RANGE | TABLE
+    kind: str  # VIEW | INCREMENTAL_BY_TIME_RANGE | TABLE | SNAPSHOT_TABLE
     build: Callable[[Resolver, ModelContext], DataFrame]
     depends_on: tuple[str, ...] = ()
     time_column: str | None = None  # DATE column for incremental models
