@@ -49,7 +49,11 @@ def consecutive_islands(
     values per key. Returns one row per island: key_cols +
     (island_start, island_len).
     """
-    distinct = df.select(*key_cols, seq_col).distinct()
+    # one exchange total: hash-partitioning on key_cols alone satisfies
+    # BOTH the (key, seq) distinct's clustering requirement and the
+    # window's — without this, the distinct shuffles on (key, seq) and
+    # the window immediately re-shuffles on key
+    distinct = df.select(*key_cols, seq_col).repartition(*key_cols).distinct()
     rn = F.row_number().over(W.partitionBy(*key_cols).orderBy(seq_col))
     return (
         distinct.withColumn("__grp", F.col(seq_col) - rn)

@@ -220,3 +220,52 @@ def test_registry_wide_plan_hygiene(spark):
             if marker in tree:
                 offenders.append((name, marker))
     assert offenders == []
+
+
+def test_unpivot_is_map_side_single_scan(spark):
+    """Melt = Expand in the scan stage: one parquet scan, one shuffle
+    (the 4-group aggregate), no join or extra lineage."""
+    plan = plan_of(spark, "unpivot_measures")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    assert count_op(tree, "Expand") == 1
+    assert count_shuffles(tree) == 1
+
+
+def test_percent_of_total_window_over_aggregated_frame(spark):
+    """Dim joins broadcast; the ratio window sorts |nations| rows, not
+    the fact table — no SortMergeJoin anywhere."""
+    plan = plan_of(spark, "percent_of_total_revenue")
+    tree = plan.split("\n\n")[0]
+    assert count_op(tree, "BroadcastHashJoin") == 3
+    assert count_op(tree, "SortMergeJoin") == 0
+    assert count_op(tree, "Window") == 1
+
+
+def test_heavy_hitters_recount_is_broadcast_semi(spark):
+    """Candidates and the total-count scalar reach the recount via
+    broadcast — the only plain shuffle is the candidate-key groupBy."""
+    plan = plan_of(spark, "sketch_heavy_hitters")
+    tree = plan.split("\n\n")[0]
+    assert count_op(tree, "BroadcastHashJoin") >= 1  # semi join on candidates
+    assert count_op(tree, "SortMergeJoin") == 0
+
+
+def test_timeseries_spine_join_broadcasts(spark):
+    """The calendar spine joins the pre-aggregated dailies broadcast —
+    the events table itself is never on an outer-join shuffle."""
+    plan = plan_of(spark, "timeseries_densify_daily")
+    tree = plan.split("\n\n")[0]
+    assert count_op(tree, "SortMergeJoin") == 0
+    assert count_op(tree, "BroadcastHashJoin") + count_op(
+        tree, "BroadcastNestedLoopJoin"
+    ) >= 1
+
+
+def test_sequence_ops_single_key_shuffle(spark):
+    """Islands/interval-merge: ONE hash exchange on the key feeds the
+    window and every aggregate (Spark reuses child partitioning)."""
+    for name in ("gaps_islands_active_days", "interval_coalesce_user_spans"):
+        plan = plan_of(spark, name)
+        tree = plan.split("\n\n")[0]
+        assert count_shuffles(tree) == 1, name
