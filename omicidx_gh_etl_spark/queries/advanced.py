@@ -553,36 +553,51 @@ def window_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-sequence funnel: users who signed up, then clicked
     AFTER the signup, then purchased AFTER that click — the in-order
-    constraint is what a plain type-count can't express. Shape: three
-    chained filtered min-aggregates, each joined to the previous
-    stage's earliest-completion time (first-completion semantics makes
-    the funnel monotone: n1 ≥ n2 ≥ n3). Scale: every stage shuffles on
-    user_id, so AQE reuses the partitioning; stage outputs are one row
-    per surviving user."""
+    constraint is what a plain type-count can't express
+    (first-completion semantics makes the funnel monotone: n1 ≥ n2 ≥
+    n3).
+
+    Shape: ONE shuffle. The per-user funnel-relevant events are
+    gathered into a sorted in-buffer array (pre-filtered to the 3
+    funnel types, so the buffer is bounded by funnel activity, not
+    total activity) and each stage time is an in-array lookup — the
+    first qualifying event at-or-after the previous stage. The naive
+    formulation (3 filtered min-aggregates chained by joins) scans the
+    facts 3× and exchanges 8×; this scans once and exchanges on
+    user_id once, then reduces to a single row."""
     ev = load_events(spark, sf_dir)
-    s1 = (
-        ev.filter(F.col("event_type") == "signup")
+    g = (
+        ev.filter(F.col("event_type").isin("signup", "click", "purchase"))
         .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts_us", "event_id", "event_type"))
+            ).alias("evs")
+        )
     )
-    s2 = (
-        ev.filter(F.col("event_type") == "click")
-        .join(s1, "user_id")
-        .filter(F.col("ts") >= F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
+    staged = (
+        g.withColumn(
+            "t1", F.expr("get(filter(evs, x -> x.event_type = 'signup'), 0).ts_us")
+        )
+        .withColumn(
+            "t2",
+            F.expr(
+                "get(filter(evs, x -> x.event_type = 'click' "
+                "AND x.ts_us >= t1), 0).ts_us"
+            ),
+        )
+        .withColumn(
+            "t3",
+            F.expr(
+                "get(filter(evs, x -> x.event_type = 'purchase' "
+                "AND x.ts_us >= t2), 0).ts_us"
+            ),
+        )
     )
-    s3 = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(s2, "user_id")
-        .filter(F.col("ts") >= F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-    return (
-        s1.agg(F.count("*").alias("n_signup"))
-        .crossJoin(s2.agg(F.count("*").alias("n_then_click")))
-        .crossJoin(s3.agg(F.count("*").alias("n_then_purchase")))
+    return staged.agg(
+        F.count("t1").alias("n_signup"),
+        F.count("t2").alias("n_then_click"),
+        F.count("t3").alias("n_then_purchase"),
     )
 
 

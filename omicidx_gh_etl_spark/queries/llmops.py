@@ -1085,10 +1085,11 @@ def lm_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bigram"),
     )
-    w_all = W.partitionBy()
-    freq = bg.groupBy("bigram").agg(F.count("*").alias("n_bg")).withColumn(
-        "n_total", F.sum("n_bg").over(w_all)
-    )
+    counts = bg.groupBy("bigram").agg(F.count("*").alias("n_bg"))
+    # corpus total as a broadcast 1-row scalar — NOT a global window,
+    # which would collapse every distinct bigram into one partition
+    total = counts.agg(F.sum("n_bg").alias("n_total"))
+    freq = counts.join(F.broadcast(total))
     scored = bg.join(freq, "bigram")
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),

@@ -269,3 +269,21 @@ def test_sequence_ops_single_key_shuffle(spark):
         plan = plan_of(spark, name)
         tree = plan.split("\n\n")[0]
         assert count_shuffles(tree) == 1, name
+
+
+def test_funnel_single_scan_single_key_shuffle(spark):
+    """The ordered funnel reads the facts ONCE and shuffles on user_id
+    once (in-array stage lookups), then reduces to one row — not the
+    3-scan / 8-exchange chained-join formulation."""
+    plan = plan_of(spark, "funnel_signup_click_purchase")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    assert count_shuffles(tree) <= 2  # user_id shuffle + final 1-row agg
+
+
+def test_lm_surprisal_no_global_window(spark):
+    """Corpus total is a broadcast scalar — a global (unpartitioned)
+    Window would collapse every distinct bigram into one partition."""
+    plan = plan_of(spark, "lm_bigram_surprisal")
+    tree = plan.split("\n\n")[0]
+    assert count_op(tree, "Window") == 0
