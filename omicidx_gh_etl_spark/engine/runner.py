@@ -197,11 +197,17 @@ class WarehouseRunner:
             rows = snap.n_rows
             self._cache[m.name] = table.read(self.spark)
         else:  # TABLE
+            from pyspark.sql import Observation
+
             path = self._table_path(m)
-            df.write.mode("overwrite").option("compression", "zstd").parquet(path)
-            out = self.spark.read.schema(df.schema).parquet(path)
-            rows = out.count()
-            self._cache[m.name] = out
+            # row metric piggybacks on the write job (df.observe) — no
+            # second count scan over what was just written
+            obs = Observation()
+            df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+                "overwrite"
+            ).option("compression", "zstd").parquet(path)
+            rows = obs.get["rows"]
+            self._cache[m.name] = self.spark.read.schema(df.schema).parquet(path)
         if m.export is not None and self.export_root is not None:
             self._export(m, self._cache[m.name])
         return rows

@@ -631,3 +631,54 @@ def interarrival_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("gap_us").alias("max_gap_us"),
         F.sum("gap_us").alias("total_gap_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cumulative distribution / relative rank windows
+# --------------------------------------------------------------------------
+
+
+@register(
+    "percent_rank_order_totals",
+    """
+    WITH ranked AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             round(percent_rank() OVER w, 6) AS pct_rank,
+             round(cume_dist() OVER w, 6) AS cume
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey))
+    SELECT o_orderpriority,
+           count(*) AS n,
+           sum(CASE WHEN pct_rank >= 0.99 THEN 1 ELSE 0 END) AS n_top_pct,
+           round(max(CASE WHEN cume <= 0.5 THEN o_totalprice END), 2)
+             AS p50_by_cume
+    FROM ranked GROUP BY o_orderpriority
+    """,
+    tags=("windows", "olap"),
+)
+def percent_rank_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank windows: percent_rank + cume_dist per priority
+    class, reduced to tail counts and the cume-derived median — the
+    empirical-CDF shape behind percentile filtering and calibration.
+
+    Ties carry a key tiebreak so ranks are identical cross-engine;
+    ranks are rounded before comparison (float division). Scale: one
+    shuffle+sort per priority class; the reduction keeps the output
+    at |groups| rows so nothing rank-sized leaves the stage.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+    return ranked.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("pct_rank") >= 0.99, 1).otherwise(0)).alias("n_top_pct"),
+        F.round(
+            F.max(F.when(F.col("cume") <= 0.5, F.col("o_totalprice"))), 2
+        ).alias("p50_by_cume"),
+    )
