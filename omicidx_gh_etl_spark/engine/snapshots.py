@@ -260,6 +260,25 @@ class SnapshotTable:
             meta,
         )
 
+    def compact(
+        self,
+        spark: SparkSession,
+        max_files: int = 8,
+        note: str = "",
+    ) -> Snapshot:
+        """Rewrite the CURRENT version's data into ≤ ``max_files``
+        files and commit the result — contents identical, file count
+        bounded (the small-files answer for append/streaming-heavy
+        tables; SURVEY §7.4.5).
+
+        Old versions keep reading their original files (immutability),
+        so compaction never blocks time travel; vacuum reclaims the
+        fragmented files once their versions expire.
+        """
+        df = self.read(spark).coalesce(max_files)
+        snap = self.commit_overwrite(df, note=note or f"compact to ≤{max_files} files")
+        return snap
+
     def rollback(self, version: int, note: str = "") -> Snapshot:
         """Commit a new version with an old version's exact file list —
         metadata-only undo, no data moves."""

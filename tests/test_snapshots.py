@@ -257,3 +257,32 @@ def test_cli_explain(spark, capsys):
     out = capsys.readouterr().out
     assert "Physical Plan" in out and "HashAggregate" in out
     assert cli.main(["explain", "no_such_query", "--cpus", "8"]) == 2
+
+
+def test_compact_bounds_files_preserves_contents_and_history(spark, table):
+    for i in range(5):  # five appends → ≥5 fragment files
+        table.commit_append(spark.range(i * 10, i * 10 + 3))
+    before = table.snapshot()
+    assert len(before.files) >= 5
+    ids_before = _ids(table.read(spark))
+
+    snap = table.compact(spark, max_files=2)
+    assert len(snap.files) <= 2
+    assert _ids(table.read(spark)) == ids_before
+    # pre-compaction version still reads its fragmented layout
+    assert _ids(table.read(spark, before.version)) == ids_before
+    assert snap.n_rows == before.n_rows
+
+
+def test_schema_evolution_across_versions(spark, table):
+    """Append with a new column: old files lack it, reads null-fill via
+    mergeSchema — the union-by-name story (SURVEY §1.3) at the table
+    level."""
+    table.commit_overwrite(spark.range(0, 2))
+    from pyspark.sql import functions as F
+
+    table.commit_append(spark.range(10, 12).withColumn("tag", F.lit("new")))
+    rows = {r["id"]: r["tag"] for r in table.read(spark).collect()}
+    assert rows == {0: None, 1: None, 10: "new", 11: "new"}
+    # old pinned version still has the old schema
+    assert table.read(spark, 0).columns == ["id"]
