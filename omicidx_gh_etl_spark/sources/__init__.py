@@ -1,4 +1,5 @@
 from .readers import read_csv, read_ndjson, read_parquet_glob, read_table, read_tables
+from .rest_source import RestPagesDataSource
 from .writers import write_ndjson, write_parquet
 
 __all__ = [
@@ -9,4 +10,5 @@ __all__ = [
     "read_tables",
     "write_parquet",
     "write_ndjson",
+    "RestPagesDataSource",
 ]

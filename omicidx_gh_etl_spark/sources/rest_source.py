@@ -1,0 +1,138 @@
+"""Custom Spark 4 Python DataSource for page-paginated REST APIs —
+the idiomatic form of the reference's extractor loops.
+
+The reference pulls cursor/offset-paginated APIs with driver-side
+Python loops (EBI `SampleFetcher` follows `_links.next` with
+`size=200`, ebi_biosample/extract.py:88-192; GEO Entrez pages with
+`retstart += 5000`, geo/extract.py:198-221) and its `max_workers`
+flag never actually parallelizes (sra/extract.py:671-688). With the
+Python Data Source API (SPARK-44076, `pyspark.sql.datasource`) the
+same source becomes a first-class `spark.read.format(...)` table:
+
+- **planning**: the driver probes only the total count / page size and
+  emits one `InputPartition` per page range — no data moves through
+  the driver;
+- **execution**: each executor task fetches and parses ITS pages —
+  the fan-out the reference's flag promised but never did. Failed
+  pages retry with the task (Spark's retry machinery, not bespoke
+  loops);
+- **schema**: declared up front, so downstream pruning/pushdown see a
+  normal relation.
+
+Offline constraint: this container has no network, so the transport
+is pluggable — `PagedClient` defines the contract and
+`SyntheticClient` (deterministic fake records) stands in for httpx in
+tests; a real deployment supplies an HTTP-backed client with the same
+two methods. The Spark-side plumbing (partition planning, per-task
+iteration, Arrow-friendly row yield) is the real, tested artifact.
+
+Usage:
+    spark.dataSource.register(RestPagesDataSource)
+    df = (spark.read.format("rest_pages")
+          .option("total", 1000).option("page_size", 100).load())
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+REST_SCHEMA = StructType(
+    [
+        StructField("record_id", LongType()),
+        StructField("page", IntegerType()),
+        StructField("accession", StringType()),
+        StructField("payload", StringType()),
+    ]
+)
+
+
+class PagedClient:
+    """Transport contract: what a real HTTP client must provide."""
+
+    def total_records(self) -> int:  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def fetch_page(self, offset: int, limit: int) -> list[dict]:  # pragma: no cover
+        raise NotImplementedError
+
+
+class SyntheticClient(PagedClient):
+    """Deterministic offline stand-in for the HTTP transport."""
+
+    def __init__(self, total: int) -> None:
+        self.total = total
+
+    def total_records(self) -> int:
+        return self.total
+
+    def fetch_page(self, offset: int, limit: int) -> list[dict]:
+        hi = min(offset + limit, self.total)
+        return [
+            {
+                "record_id": i,
+                "accession": f"SAMEA{i:07d}",
+                "payload": f'{{"idx": {i}}}',
+            }
+            for i in range(offset, hi)
+        ]
+
+
+class PageRange(InputPartition):
+    def __init__(self, offset: int, limit: int, page_no: int) -> None:
+        self.offset = offset
+        self.limit = limit
+        self.page_no = page_no
+
+
+class RestPagesReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.total = int(options.get("total", "0"))
+        self.page_size = int(options.get("page_size", "200"))
+
+    def _client(self) -> PagedClient:
+        return SyntheticClient(self.total)
+
+    def partitions(self) -> list[PageRange]:
+        """One InputPartition per page: Spark schedules pages across
+        executors; a straggler/failed page retries alone."""
+        client = self._client()
+        total = client.total_records()
+        if total <= 0:
+            # the API requires ≥1 partition; an empty page yields 0 rows
+            return [PageRange(0, 0, 0)]
+        return [
+            PageRange(off, self.page_size, off // self.page_size)
+            for off in range(0, total, self.page_size)
+        ]
+
+    def read(self, partition: PageRange) -> Iterator[tuple]:
+        """Runs ON the executor: fetch + parse this task's page only."""
+        client = self._client()
+        for rec in client.fetch_page(partition.offset, partition.limit):
+            yield (
+                rec["record_id"],
+                partition.page_no,
+                rec["accession"],
+                rec["payload"],
+            )
+
+
+class RestPagesDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "rest_pages"
+
+    def schema(self) -> StructType:
+        return REST_SCHEMA
+
+    def reader(self, schema: StructType) -> RestPagesReader:
+        return RestPagesReader(self.options)

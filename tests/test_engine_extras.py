@@ -434,3 +434,36 @@ def test_incremental_aggregate_refresh_equals_full_recompute(spark, tmp_path):
             spark.createDataFrame([("a", 1, 1.0)], "k string, v long, x double"),
             ["k"], {"m": ("v", "median")},
         )
+
+
+# ---- Python Data Source: paginated REST (sources/rest_source.py) ------
+
+
+def test_rest_pages_datasource_partitions_and_rows(spark):
+    """One InputPartition per page; executors fetch their own pages;
+    rows are complete, exact, and schema-typed."""
+    from omicidx_gh_etl_spark.sources import RestPagesDataSource
+
+    spark.dataSource.register(RestPagesDataSource)
+    df = (
+        spark.read.format("rest_pages")
+        .option("total", 450)
+        .option("page_size", 100)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 5  # ceil(450/100) pages
+    assert df.count() == 450
+    assert dict(df.dtypes)["record_id"] == "bigint"
+    # every record present exactly once; page attribution correct
+    rows = df.collect()
+    assert {r["record_id"] for r in rows} == set(range(450))
+    assert all(r["page"] == r["record_id"] // 100 for r in rows)
+    assert rows[0]["accession"].startswith("SAMEA")
+
+
+def test_rest_pages_datasource_empty_source(spark):
+    from omicidx_gh_etl_spark.sources import RestPagesDataSource
+
+    spark.dataSource.register(RestPagesDataSource)
+    df = spark.read.format("rest_pages").option("total", 0).load()
+    assert df.count() == 0
