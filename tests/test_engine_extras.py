@@ -467,3 +467,32 @@ def test_rest_pages_datasource_empty_source(spark):
     spark.dataSource.register(RestPagesDataSource)
     df = spark.read.format("rest_pages").option("total", 0).load()
     assert df.count() == 0
+
+
+def test_rest_pages_streaming_offsets(spark, tmp_path):
+    """Streaming read of the paged source: micro-batches advance the
+    record offset, the drained stream equals the batch read, and page
+    attribution is per-record."""
+    from omicidx_gh_etl_spark.sources import RestPagesDataSource
+
+    spark.dataSource.register(RestPagesDataSource)
+    name = "rest_stream_sink"
+    q = (
+        spark.readStream.format("rest_pages")
+        .option("total", 350)
+        .option("page_size", 100)
+        .option("batch_pages", 1)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table(name).collect()
+    assert {r["record_id"] for r in rows} == set(range(350))
+    assert all(r["page"] == r["record_id"] // 100 for r in rows)
