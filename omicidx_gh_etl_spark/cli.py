@@ -309,6 +309,10 @@ def cmd_snapshots(args: argparse.Namespace) -> int:
         removed = table.vacuum(retain_last=args.vacuum)
         print(f"vacuumed {len(removed)} paths (retained last {args.vacuum})")
         return 0
+    if args.compact is not None:
+        snap = table.compact(_spark(args), max_files=args.compact)
+        print(f"v{snap.version} compacted to {len(snap.files)} file(s)")
+        return 0
     for s in table.history():
         print(
             f"v{s.version} {s.op:10s} rows={s.n_rows:<12d} "
@@ -429,6 +433,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("table_dir")
     sp.add_argument("--rollback", type=int, default=None, metavar="VERSION")
     sp.add_argument("--vacuum", type=int, default=None, metavar="RETAIN_LAST")
+    sp.add_argument("--compact", type=int, default=None, metavar="MAX_FILES")
+    sp.add_argument("--cpus", type=int, default=None)
     sp.set_defaults(fn=cmd_snapshots)
     return p
 

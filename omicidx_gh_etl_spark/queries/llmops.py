@@ -1097,3 +1097,82 @@ def lm_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(-F.log2(F.col("n_bg").cast("double") / F.col("n_total"))), 4
         ).alias("avg_surprisal"),
     )
+
+
+@register(
+    "text_redact_pii",
+    r"""
+    WITH seeded AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN text || ' contact user' || doc_id
+                       || '@example.com or +1-555-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE text END AS t
+      FROM documents),
+    redacted AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                              '<EMAIL>', 'g'),
+               '\+?\d[\d-]{7,}\d', '<PHONE>', 'g') AS t_clean,
+             t
+      FROM seeded)
+    SELECT CAST(doc_id % 5 = 0 AS BOOLEAN) AS was_seeded,
+           count(*) AS n_docs,
+           sum(CASE WHEN t_clean LIKE '%<EMAIL>%' THEN 1 ELSE 0 END) AS n_email_redactions,
+           sum(CASE WHEN t_clean LIKE '%<PHONE>%' THEN 1 ELSE 0 END) AS n_phone_redactions,
+           sum(length(t) - length(t_clean)) AS chars_removed
+    FROM redacted GROUP BY 1
+    """,
+    tags=("text", "curation"),
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: email/phone patterns replaced with typed
+    placeholder tokens — the redaction pass every training-data
+    pipeline runs before tokenization. PII is seeded deterministically
+    (every 5th doc) so both engines scrub identical text; the output
+    verifies redaction count and payload shrinkage per seeded class.
+
+    Scale: pure map-side regexp_replace chain inside codegen — no
+    shuffle until the audit aggregate; at 100 TB this runs at scan
+    speed and the aggregate is 2 rows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    seeded = d.withColumn(
+        "t",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    redacted = seeded.withColumn(
+        "t_clean",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.col("t"),
+                r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+                "<EMAIL>",
+            ),
+            r"\+?\d[\d-]{7,}\d",
+            "<PHONE>",
+        ),
+    )
+    return redacted.groupBy(
+        (F.col("doc_id") % 5 == 0).alias("was_seeded")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.when(F.col("t_clean").contains("<EMAIL>"), 1).otherwise(0)
+        ).alias("n_email_redactions"),
+        F.sum(
+            F.when(F.col("t_clean").contains("<PHONE>"), 1).otherwise(0)
+        ).alias("n_phone_redactions"),
+        F.sum(F.length("t") - F.length("t_clean")).alias("chars_removed"),
+    )
