@@ -682,3 +682,44 @@ def percent_rank_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("cume") <= 0.5, F.col("o_totalprice"))), 2
         ).alias("p50_by_cume"),
     )
+
+
+# --------------------------------------------------------------------------
+# MAP column explode (F12 twin: attribute map ↔ array-of-structs)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "explode_map_attributes",
+    """
+    WITH kv AS (
+      SELECT 'status' AS attr_key, o_orderstatus AS attr_value FROM orders
+      UNION ALL
+      SELECT 'priority', o_orderpriority FROM orders)
+    SELECT attr_key, attr_value, count(*) AS n
+    FROM kv GROUP BY attr_key, attr_value
+    """,
+    tags=("F12", "reshape"),
+)
+def explode_map_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP column round-trip: build a per-row attribute map
+    (``create_map``), explode it to (key, value) rows, profile values
+    per key — the map↔array-of-structs conversion the reference does
+    parser-side for EBI characteristics (SURVEY §2.8 F12,
+    ebi_biosample/extract.py:154-159; ``map_from_entries`` is the
+    inverse).
+
+    Scale: generated in the scan stage like posexplode — each row
+    yields |map| entries map-side; only the (key,value) aggregate
+    shuffles.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    kv = o.select(
+        F.explode(
+            F.create_map(
+                F.lit("status"), F.col("o_orderstatus"),
+                F.lit("priority"), F.col("o_orderpriority"),
+            )
+        ).alias("attr_key", "attr_value")
+    )
+    return kv.groupBy("attr_key", "attr_value").agg(F.count("*").alias("n"))
