@@ -723,3 +723,60 @@ def explode_map_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("attr_key", "attr_value")
     )
     return kv.groupBy("attr_key", "attr_value").agg(F.count("*").alias("n"))
+
+
+# --------------------------------------------------------------------------
+# Native XML parsing (S10 twin: from_xml instead of a Python parser)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "xml_native_parse",
+    r"""
+    WITH x AS (
+      SELECT '<rec><acc>O' || o_orderkey || '</acc><status>' || o_orderstatus
+             || '</status><total>' || CAST(o_totalprice AS VARCHAR)
+             || '</total></rec>' AS xml
+      FROM orders),
+    parsed AS (
+      SELECT regexp_extract(xml, '<acc>([^<]*)</acc>', 1) AS acc,
+             regexp_extract(xml, '<status>([^<]*)</status>', 1) AS status,
+             CAST(regexp_extract(xml, '<total>([^<]*)</total>', 1) AS DOUBLE)
+               AS total
+      FROM x)
+    SELECT status,
+           count(*) AS n,
+           sum(CAST(total AS DECIMAL(18,2))) AS total_price,
+           min(acc) AS first_acc
+    FROM parsed GROUP BY status
+    """,
+    tags=("S10", "xml"),
+)
+def xml_native_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML record parsing with Spark 4's ``from_xml``: XML
+    payloads (built deterministically so both engines see identical
+    documents) are schema-parsed JVM-side into a typed struct — the
+    built-in path for the reference's XML-heavy sources (SURVEY §2.1
+    S10), complementing ``sources/xml_extract.py``'s mapInPandas UDTF
+    which exists for formats needing a real Python parser library.
+
+    The oracle extracts the same fields by regex — pinning that
+    from_xml's element extraction and type coercion match. Scale:
+    from_xml is a per-row expression (no UDF, no Python), so parsing
+    runs inside whole-stage codegen at scan speed.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    xml = F.concat(
+        F.lit("<rec><acc>O"), F.col("o_orderkey").cast("string"),
+        F.lit("</acc><status>"), F.col("o_orderstatus"),
+        F.lit("</status><total>"), F.col("o_totalprice").cast("string"),
+        F.lit("</total></rec>"),
+    )
+    parsed = o.select(
+        F.from_xml(xml, "acc string, status string, total double").alias("r")
+    )
+    return parsed.groupBy(F.col("r.status").alias("status")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("r.total").cast("decimal(18,2)")).alias("total_price"),
+        F.min("r.acc").alias("first_acc"),
+    )
