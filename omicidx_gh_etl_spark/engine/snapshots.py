@@ -54,6 +54,40 @@ class SnapshotConflictError(RuntimeError):
     """Another writer committed the version this commit targeted."""
 
 
+def _footer_stats(meta, cols: tuple[str, ...]) -> dict:
+    """Per-file column min/max from parquet footer row-group stats
+    (KB-sized driver reads). A column with any stats-less row group is
+    omitted — absent stats must stay 'unknown', never 'unbounded'."""
+    idx = {
+        meta.schema.column(i).name: i for i in range(meta.num_columns)
+    }
+    stats: dict = {}
+    for c in cols:
+        if c not in idx:
+            continue
+        lo = hi = None
+        ok = True
+        for rg in range(meta.num_row_groups):
+            s = meta.row_group(rg).column(idx[c]).statistics
+            if s is None or not s.has_min_max:
+                ok = False
+                break
+            lo = s.min if lo is None else min(lo, s.min)
+            hi = s.max if hi is None else max(hi, s.max)
+        if ok and lo is not None:
+            stats[c] = [_plain(lo), _plain(hi)]
+    return stats
+
+
+def _plain(v):
+    """JSON-encodable scalar (bytes → utf-8 best effort)."""
+    if isinstance(v, bytes):
+        return v.decode("utf-8", errors="replace")
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
 @dataclass(frozen=True)
 class Snapshot:
     """One committed version of a table."""
@@ -126,6 +160,7 @@ class SnapshotTable:
         spark: SparkSession,
         version: int | None = None,
         partition_filter: dict | None = None,
+        range_filter: dict | None = None,
     ) -> DataFrame:
         """Read a pinned snapshot (default: latest). Time travel =
         pass any version from ``history()``.
@@ -135,9 +170,28 @@ class SnapshotTable:
         listed to the scan (Delta-style log pruning — the planner never
         even sees the other files). Files with no recorded partition
         info are conservatively included.
+
+        ``range_filter={col: (lo, hi)}`` prunes on recorded per-file
+        column min/max (``stats_cols`` at commit time): a file is
+        skipped only when its range provably misses [lo, hi]; files
+        without stats for the column are conservatively included.
+        Values compare with the JSON-decoded footer types (numbers as
+        numbers, dates as ISO strings).
         """
         snap = self.snapshot(version)
         infos = snap.file_infos
+        if range_filter:
+            def overlaps(i: dict) -> bool:
+                st = i.get("stats") or {}
+                for c, (lo, hi) in range_filter.items():
+                    if c not in st:
+                        continue  # unknown → cannot prune
+                    fmin, fmax = st[c]
+                    if fmax < lo or fmin > hi:
+                        return False
+                return True
+
+            infos = tuple(i for i in infos if overlaps(i))
         if partition_filter:
             wanted = {c: {str(v) for v in vs} for c, vs in partition_filter.items()}
             infos = tuple(
@@ -172,12 +226,18 @@ class SnapshotTable:
         note: str = "",
         meta: dict | None = None,
         partition_by: str | None = None,
+        stats_cols: tuple[str, ...] = (),
     ) -> Snapshot:
         """New version whose contents are exactly ``df``. With
         ``partition_by``, data files are laid out per partition value
         and the manifest records each file's partition — enabling
-        manifest-level pruned reads and partition-replace commits."""
-        infos, n_rows = self._write_data(df, partition_by)
+        manifest-level pruned reads and partition-replace commits.
+        ``stats_cols`` additionally records per-file column min/max
+        (from the just-written footers) for ``read(range_filter=…)``
+        skipping; cluster the data on those columns first
+        (``repartitionByRange`` + sort) or every file spans the whole
+        range and nothing prunes."""
+        infos, n_rows = self._write_data(df, partition_by, stats_cols)
         return self._commit("overwrite", infos, n_rows, df.schema.json(), note, meta)
 
     def commit_append(
@@ -316,7 +376,10 @@ class SnapshotTable:
     # -- internals ----------------------------------------------------
 
     def _write_data(
-        self, df: DataFrame, partition_by: str | None = None
+        self,
+        df: DataFrame,
+        partition_by: str | None = None,
+        stats_cols: tuple[str, ...] = (),
     ) -> tuple[tuple[dict, ...], int]:
         commit_id = uuid.uuid4().hex[:12]
         out = self.data_dir / commit_id
@@ -333,15 +396,17 @@ class SnapshotTable:
         infos: list[dict] = []
         n_rows = 0
         for p in sorted(out.rglob("*.parquet")):
-            rows = pq.ParquetFile(p).metadata.num_rows
+            meta = pq.ParquetFile(p).metadata
+            rows = meta.num_rows
             part = None
             if partition_by is not None:
                 # .../data/<commit>/__part=<value>/file.parquet
                 pdir = p.parent.name
                 part = {partition_by: pdir.split("=", 1)[1]}
-            infos.append(
-                {"path": str(p.relative_to(self.root)), "rows": rows, "part": part}
-            )
+            info = {"path": str(p.relative_to(self.root)), "rows": rows, "part": part}
+            if stats_cols:
+                info["stats"] = _footer_stats(meta, stats_cols)
+            infos.append(info)
             n_rows += rows
         return tuple(infos), n_rows
 

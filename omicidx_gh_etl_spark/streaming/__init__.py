@@ -3,6 +3,7 @@ from .join import attribution_join_stream, run_attribution_join_stream
 from .stateful import run_sessionize_stream, sessionize_stream
 from .upsert_sink import (
     make_snapshot_batch_fn,
+    make_snapshot_partition_batch_fn,
     run_events_upsert_stream,
     stream_upsert,
     stream_upsert_snapshot,
@@ -31,5 +32,6 @@ __all__ = [
     "stream_upsert",
     "run_events_upsert_stream",
     "make_snapshot_batch_fn",
+    "make_snapshot_partition_batch_fn",
     "stream_upsert_snapshot",
 ]

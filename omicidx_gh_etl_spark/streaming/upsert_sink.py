@@ -161,3 +161,44 @@ def stream_upsert_snapshot(
         .start()
     )
     return q
+
+
+def make_snapshot_partition_batch_fn(
+    table,
+    keys: list[str],
+    order_cols: list[str],
+    partition_col: str,
+    delete_col: str | None = None,
+):
+    """Partition-scoped exactly-once ``foreachBatch``: each micro-batch
+    merges into ONLY the partitions it touches
+    (`merge_into_snapshot_partitions`), with the same epoch-id replay
+    guard as :func:`make_snapshot_batch_fn`.
+
+    This is the steady-state 100 TB streaming-CDC shape: per batch,
+    work is O(touched partitions + batch), the table's full history
+    stays time-travelable, and a replayed epoch is skipped without
+    touching data.
+    """
+    from ..engine.merge import merge_into_snapshot_partitions
+
+    def _apply(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        last = table.latest_version()
+        if last is not None:
+            applied = table.snapshot(last).meta.get("epoch_id")
+            if applied is not None and epoch_id <= applied:
+                return
+        merge_into_snapshot_partitions(
+            table,
+            batch,
+            keys=keys,
+            order_cols=order_cols,
+            partition_col=partition_col,
+            delete_col=delete_col,
+            note=f"stream epoch {epoch_id}",
+            meta={"epoch_id": epoch_id},
+        )
+
+    return _apply

@@ -286,3 +286,40 @@ def test_schema_evolution_across_versions(spark, table):
     assert rows == {0: None, 1: None, 10: "new", 11: "new"}
     # old pinned version still has the old schema
     assert table.read(spark, 0).columns == ["id"]
+
+
+def test_range_filter_skips_files_by_footer_stats(spark):
+    """stats_cols + range-clustered write → read(range_filter=…) lists
+    a strict file subset; results equal a full-scan filter."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    table = SnapshotTable(tempfile.mkdtemp() + "/tbl")
+    df = (
+        spark.range(0, 10_000)
+        .withColumn("v", (F.col("id") * 7919) % 100)
+        .repartitionByRange(8, "id")
+        .sortWithinPartitions("id")
+    )
+    snap = table.commit_overwrite(df, stats_cols=("id",))
+    assert all("stats" in i and "id" in i["stats"] for i in snap.file_infos)
+    assert len(snap.files) == 8
+
+    pruned = table.read(spark, range_filter={"id": (2000, 2500)})
+    n_listed = pruned.rdd.getNumPartitions()
+    want = sorted(
+        r["id"] for r in table.read(spark).filter("id between 2000 and 2500").collect()
+    )
+    got = sorted(
+        r["id"] for r in pruned.filter("id between 2000 and 2500").collect()
+    )
+    assert got == want and len(got) == 501
+    # a strict subset of files was listed (8 range-disjoint files)
+    assert n_listed < 8
+
+
+def test_range_filter_conservative_without_stats(spark, table):
+    table.commit_overwrite(spark.range(0, 100))  # no stats_cols
+    # filter on an unknown column's range: nothing prunes, all rows read
+    assert table.read(spark, range_filter={"id": (5, 6)}).count() == 100

@@ -395,3 +395,36 @@ def test_streaming_session_window_equals_batch(spark, sf_dir):
         map(tuple, REGISTRY["session_window_builtin"].builder(spark, sf_dir).collect())
     )
     assert got == want
+
+
+def test_snapshot_partition_batch_fn_scopes_rewrites(spark, tmp_path):
+    """Partitioned streaming CDC: a batch touching one day rewrites
+    only that day's files; other days carry over byte-identical."""
+    from omicidx_gh_etl_spark.engine import SnapshotTable
+    from omicidx_gh_etl_spark.streaming.upsert_sink import (
+        make_snapshot_partition_batch_fn,
+    )
+
+    table = SnapshotTable(str(tmp_path / "tbl"))
+    fn = make_snapshot_partition_batch_fn(
+        table, keys=["id"], order_cols=["ver"], partition_col="day"
+    )
+
+    def b(rows):
+        return spark.createDataFrame(rows, "id long, day string, val string, ver long")
+
+    fn(b([(1, "d1", "a", 1), (2, "d2", "b", 1)]), 0)
+    d2_files = {
+        i["path"] for i in table.snapshot(0).file_infos if i["part"]["day"] == "d2"
+    }
+    fn(b([(1, "d1", "a2", 2)]), 1)  # touches only d1
+    snap = table.snapshot(1)
+    assert {
+        i["path"] for i in snap.file_infos if i["part"]["day"] == "d2"
+    } == d2_files
+    assert {r["id"]: r["val"] for r in table.read(spark).collect()} == {
+        1: "a2", 2: "b",
+    }
+    # replayed epoch is a no-op
+    fn(b([(1, "d1", "a2", 2)]), 1)
+    assert table.latest_version() == 1
