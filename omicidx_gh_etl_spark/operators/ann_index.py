@@ -74,13 +74,16 @@ class AnnIndex:
         postings = (
             e.join(assigned, "vec_id")
             .select("vec_id", "centroid_id", "v")
-            # range-cluster so file/row-group min-max stats make the
-            # probe-time IN filter prune storage, not just rows
             .repartitionByRange(F.col("centroid_id"))
             .sortWithinPartitions("centroid_id", "vec_id")
         )
         cs = self.centroids.commit_overwrite(centroids, note=note or "ivf build")
-        ps = self.postings.commit_overwrite(postings, note=note or "ivf build")
+        # cell-partitioned commit: probe-time reads prune at the
+        # MANIFEST (only probed cells' files are even listed), and the
+        # IN filter still prunes row groups within those files
+        ps = self.postings.commit_overwrite(
+            postings, note=note or "ivf build", partition_by="centroid_id"
+        )
         return cs.version, ps.version
 
     def search(
@@ -112,13 +115,14 @@ class AnnIndex:
             .filter(F.col("rn") <= nprobe)
             .select("q_id", "qvd", "centroid_id")
         )
-        # literal cell list → static parquet pushdown on the postings scan
+        # probed-cell list → manifest-level file pruning + in-file
+        # static pushdown on the postings scan
         cells = sorted(
             r["centroid_id"] for r in probes.select("centroid_id").distinct().collect()
         )
-        post = self.postings.read(spark, version[1]).filter(
-            F.col("centroid_id").isin(cells)
-        )
+        post = self.postings.read(
+            spark, version[1], partition_filter={"centroid_id": cells}
+        ).filter(F.col("centroid_id").isin(cells))
         cand_sim = F.round(cosine_sim_expr(F.col("qvd"), F.col("v")), 4).alias(
             "cos_sim"
         )
