@@ -780,3 +780,51 @@ def xml_native_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("r.total").cast("decimal(18,2)")).alias("total_price"),
         F.min("r.acc").alias("first_acc"),
     )
+
+
+# --------------------------------------------------------------------------
+# Time-weighted average (duration-weighted state aggregation)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "time_weighted_avg_value",
+    """
+    WITH seg AS (
+      SELECT user_id, value,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+               - epoch_us(ts) AS dur_us
+      FROM events)
+    SELECT user_id,
+           count(dur_us) AS n_segments,
+           sum(dur_us) AS observed_us,
+           round(sum(value * dur_us) / sum(dur_us), 4) AS twavg_value
+    FROM seg WHERE dur_us IS NOT NULL AND dur_us > 0
+    GROUP BY user_id
+    """,
+    tags=("windows", "sequence"),
+)
+def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average: each event's value holds until the next
+    event, so the mean weights values by how LONG they were current —
+    the correct aggregate for sampled state (sensor readings, account
+    balances), where the plain AVG over-counts bursts.
+
+    Hold durations come from one lead() pass per user; the weighted
+    sum is exact BIGINT×double with a single rounded division per
+    group. Zero-duration segments (simultaneous events) carry no
+    weight and are excluded identically in both engines.
+    """
+    ev = load_events(spark, sf_dir)
+    nxt = F.lead("ts_us").over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+    seg = ev.withColumn("dur_us", nxt - F.col("ts_us")).filter(
+        F.col("dur_us").isNotNull() & (F.col("dur_us") > 0)
+    )
+    return seg.groupBy("user_id").agg(
+        F.count("dur_us").alias("n_segments"),
+        F.sum("dur_us").alias("observed_us"),
+        F.round(
+            F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 4
+        ).alias("twavg_value"),
+    )
