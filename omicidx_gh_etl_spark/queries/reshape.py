@@ -828,3 +828,114 @@ def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 4
         ).alias("twavg_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Rolling distinct engagement (DAU / WAU)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dau_wau_rolling",
+    """
+    WITH presence AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+    bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM presence),
+    contrib AS (
+      SELECT user_id, unnest(generate_series(day, day + 6)) AS obs_day
+      FROM presence),
+    wau AS (
+      SELECT obs_day AS day, count(DISTINCT user_id) AS wau
+      FROM contrib, bounds WHERE obs_day BETWEEN lo AND hi
+      GROUP BY obs_day),
+    dau AS (SELECT day, count(*) AS dau FROM presence GROUP BY day)
+    SELECT w.day, coalesce(d.dau, 0) AS dau, w.wau,
+           round(CAST(coalesce(d.dau, 0) AS DOUBLE) / w.wau, 4) AS stickiness
+    FROM wau w LEFT JOIN dau d USING (day)
+    """,
+    tags=("sequence", "analytics"),
+)
+def dau_wau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling distinct engagement: daily active users and trailing
+    7-day actives (WAU) per day, plus the DAU/WAU stickiness ratio.
+
+    Distinct counts don't sum, so a window can't roll them up; the
+    scalable exact form inverts the window: each (user, day) presence
+    CONTRIBUTES to the 7 observation days it falls in (explode of a
+    6-long sequence — map-side), then one distinct-aggregate per
+    observation day. Work is |presence| × 7, independent of raw event
+    volume; the approximate swap-in at extreme scale is a per-day HLL
+    sketch union-merged over the trailing window.
+    """
+    ev = load_events(spark, sf_dir)
+    presence = ev.select(
+        "user_id", F.expr("ts_us div 86400000000").alias("day")
+    ).distinct()
+    bounds = presence.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    contrib = presence.select(
+        "user_id", F.explode(F.sequence("day", F.col("day") + 6)).alias("obs_day")
+    )
+    wau = (
+        contrib.join(F.broadcast(bounds))
+        .filter(F.col("obs_day").between(F.col("lo"), F.col("hi")))
+        .groupBy(F.col("obs_day").alias("day"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    dau = presence.groupBy("day").agg(F.count("*").alias("dau"))
+    return wau.join(dau, "day", "left").select(
+        "day",
+        F.coalesce("dau", F.lit(0)).alias("dau"),
+        "wau",
+        F.round(
+            F.coalesce("dau", F.lit(0)).cast("double") / F.col("wau"), 4
+        ).alias("stickiness"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Shannon entropy (behavioral diversity profiling)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "entropy_event_mix",
+    """
+    WITH cnt AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY user_id, event_type),
+    tot AS (
+      SELECT user_id, sum(n) AS total, count(*) AS n_types
+      FROM cnt GROUP BY user_id)
+    SELECT c.user_id,
+           max(t.n_types) AS n_types,
+           round(-sum((CAST(c.n AS DOUBLE) / t.total)
+                      * log2(CAST(c.n AS DOUBLE) / t.total)), 4) AS entropy_bits
+    FROM cnt c JOIN tot t USING (user_id)
+    GROUP BY c.user_id
+    """,
+    tags=("analytics", "quality"),
+)
+def entropy_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix — the diversity
+    score that separates single-behavior accounts (entropy ≈ 0) from
+    varied ones (≈ log₂ of the type count); the same shape scores
+    token/domain diversity for corpus curation.
+
+    Exact integer counts feed one double log per (user, type) row —
+    deterministic at round(4). One shuffle on (user, type), then the
+    per-user rollup reuses the user_id clustering.
+    """
+    ev = load_events(spark, sf_dir)
+    cnt = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    tot = cnt.groupBy("user_id").agg(
+        F.sum("n").alias("total"), F.count("*").alias("n_types")
+    )
+    p = F.col("n").cast("double") / F.col("total")
+    return (
+        cnt.join(tot, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_types").alias("n_types"),
+            F.round(-F.sum(p * F.log2(p)), 4).alias("entropy_bits"),
+        )
+    )
