@@ -817,3 +817,45 @@ def outliers_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_type", "n", "n_outliers", F.round("mad", 4).alias("mad")
     )
+
+
+@register(
+    "linreg_value_trend",
+    """
+    WITH pts AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 86400000000 AS DOUBLE) AS x,
+             value AS y
+      FROM events)
+    SELECT event_type,
+           count(*) AS n,
+           round(regr_slope(y, x), 6) AS slope,
+           round(regr_intercept(y, x), 4) AS intercept,
+           round(regr_r2(y, x), 6) AS r2
+    FROM pts GROUP BY event_type
+    """,
+    tags=("olap", "analytics"),
+)
+def linreg_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares trend via the SQL-standard regression
+    aggregates (regr_slope/intercept/r2): is value drifting over time,
+    per event type — one single-pass aggregate, no ML library, no
+    iteration.
+
+    Both engines implement the identical REGR_* definitions; slopes
+    round to 6 (day-scale x keeps magnitudes sane). Scale: these are
+    algebraic aggregates (sums of x, y, xy, x², y²) — partial
+    aggregation applies, the shuffle carries 5 doubles per group.
+    """
+    ev = load_events(spark, sf_dir)
+    pts = ev.select(
+        "event_type",
+        F.expr("cast(ts_us div 86400000000 as double)").alias("x"),
+        F.col("value").alias("y"),
+    )
+    return pts.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.regr_slope("y", "x"), 6).alias("slope"),
+        F.round(F.regr_intercept("y", "x"), 4).alias("intercept"),
+        F.round(F.regr_r2("y", "x"), 6).alias("r2"),
+    )
