@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _pin_session(spark: SparkSession) -> None:
@@ -56,11 +57,29 @@ def load_spread(
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ``ts`` rebuilt from INT64 nanos (see module doc)."""
+    """events with ``ts`` normalized to TIMESTAMP_NTZ + ``ts_us`` BIGINT.
+
+    The generator has shipped two physical encodings of ``ts``:
+    INT64 TIMESTAMP(NANOS) (Spark reads it as raw nanos LongType under
+    the legacy conf) and plain ``timestamp[us]`` (Spark reads
+    TIMESTAMP_NTZ directly). Branch on the arrived type so both load
+    identically; DuckDB reads either as microsecond TIMESTAMP, so
+    ``ts_us == epoch_us(ts)`` in the oracle in both cases.
+    """
     _pin_session(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return (
-        raw.withColumn("ts_us", F.expr("ts div 1000"))
-        .withColumn("ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    if isinstance(raw.schema["ts"].dataType, T.LongType):
+        return (
+            raw.withColumn("ts_us", F.expr("ts div 1000"))
+            .withColumn(
+                "ts",
+                F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"),
+            )
+        )
+    return raw.withColumns(
+        {
+            "ts_us": F.expr("unix_micros(cast(ts as timestamp))"),
+            "ts": F.col("ts").cast("timestamp_ntz"),
+        }
     )
