@@ -381,18 +381,35 @@ def sketch_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sketch_approx_quantiles",
-    None,  # interpolation/sketch parameters differ per engine
+    None,  # GK sketch parameters differ per engine → rows-only check
     tags=("sketch", "A10"),
 )
 def sketch_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate quantiles (Greenwald-Khanna) vs exact percentiles
-    per event_type. The sketch reads once with bounded memory; exact
-    percentile materializes and sorts each group. Error bound
-    pytest-pinned alongside sketch_approx_distinct."""
+    per event_type, FLAT: one row per (event_type, quantile) — array
+    cells crash pandas-side canonicalizers (unhashable), and flat rows
+    make each quantile independently comparable. The sketch reads once
+    with bounded memory; exact percentile materializes and sorts each
+    group. Error bound pytest-pinned alongside sketch_approx_distinct
+    (tests/test_sketches.py)."""
     ev = load_events(spark, sf_dir)
-    return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.5, 0.95], 10_000).alias("q_approx"),
+    qs = [0.5, 0.95]
+    agg = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", qs, 10_000).alias("q_approx"),
         F.expr("percentile(value, array(0.5D, 0.95D))").alias("q_exact"),
+    )
+    # posexplode the parallel arrays via arrays_zip: one shuffle total,
+    # explode is map-side on the tiny aggregated frame.
+    return agg.select(
+        "event_type",
+        F.posexplode(F.arrays_zip("q_approx", "q_exact")).alias("pos", "z"),
+    ).select(
+        "event_type",
+        F.element_at(F.array(*[F.lit(q) for q in qs]), F.col("pos") + 1).alias(
+            "quantile"
+        ),
+        F.round(F.col("z.q_approx"), 6).alias("q_approx"),
+        F.round(F.col("z.q_exact"), 6).alias("q_exact"),
     )
 
 
@@ -774,8 +791,8 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM dev GROUP BY event_type)
     SELECT d.event_type,
            count(*) AS n,
-           sum(CASE WHEN abs(d.value - d.med) > 3.0 * 1.4826 * m.mad
-                    THEN 1 ELSE 0 END) AS n_outliers,
+           CAST(sum(CASE WHEN abs(d.value - d.med) > 3.0 * 1.4826 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
            round(m.mad, 4) AS mad
     FROM dev d JOIN mad m USING (event_type)
     GROUP BY d.event_type, m.mad

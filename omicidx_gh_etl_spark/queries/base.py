@@ -34,8 +34,33 @@ from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import DecimalType
 
 Builder = Callable[[SparkSession, str], DataFrame]
+
+
+def hash_safe_output(df: DataFrame) -> DataFrame:
+    """Cast top-level DECIMAL output columns to double.
+
+    DECIMAL is kept *inside* aggregations (rule 1 above) for exact,
+    order-independent sums; but the driver canonicalizes both result
+    sets through pandas, where DuckDB's ``.df()`` coerces DECIMAL to
+    float64 while Spark's ``toPandas()`` yields ``Decimal`` objects —
+    ``Decimal('2547.40')`` vs ``2547.4`` then hash differently despite
+    equal values. Casting only the final projection to double makes
+    both sides land as float64 with identical bits (same decimal value
+    → same nearest double on either engine).
+    """
+    if not any(isinstance(f.dataType, DecimalType) for f in df.schema.fields):
+        return df
+    return df.select(
+        *[
+            df[f.name].cast("double").alias(f.name)
+            if isinstance(f.dataType, DecimalType)
+            else df[f.name]
+            for f in df.schema.fields
+        ]
+    )
 
 
 @dataclass(frozen=True)
@@ -62,7 +87,13 @@ def register(
     def deco(fn: Builder) -> Builder:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = Query(name, fn, oracle, (fn.__doc__ or "").strip(), tags)
+
+        def safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return hash_safe_output(fn(spark, sf_dir))
+
+        safe.__name__ = fn.__name__
+        safe.__doc__ = fn.__doc__
+        REGISTRY[name] = Query(name, safe, oracle, (fn.__doc__ or "").strip(), tags)
         return fn
 
     return deco

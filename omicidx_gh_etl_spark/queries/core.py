@@ -332,7 +332,7 @@ def agg_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT regexp_extract(source, '(\\d+)$', 1) AS src_num,
            count(*) AS n_docs,
-           sum(n_chars) AS total_chars
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY 1
     """,
@@ -571,9 +571,10 @@ def running_total_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN 1 ELSE 0 END AS is_new
       FROM events)
     SELECT user_id, event_id,
-           sum(is_new) OVER (
+           CAST(sum(is_new) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_num
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_num
     FROM gaps
     """,
     tags=("W4",),
@@ -858,7 +859,8 @@ def incremental_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
                AS k_bucket,
            count(*) AS n,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_sum
     FROM events
     GROUP BY 1
     """,

@@ -218,8 +218,8 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM h CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) js
       GROUP BY doc_id, j)
     SELECT doc_id,
-           sum(CASE WHEN s > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)
-             AS simhash
+           CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, j) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS simhash
     FROM bits GROUP BY doc_id
     """,
     tags=("dedup",),
@@ -747,7 +747,7 @@ def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN bucket = 8 THEN 'val'
                 ELSE 'test' END AS split,
            count(*) AS n_docs,
-           sum(CAST(n_chars AS BIGINT)) AS total_chars
+           CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
     FROM (
         SELECT n_chars,
                ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
@@ -985,7 +985,7 @@ def similarity_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents)
     SELECT s.lang, sp.split,
            count(*) AS n_docs,
-           sum(CAST(s.n_tokens AS BIGINT)) AS total_tokens
+           CAST(sum(CAST(s.n_tokens AS BIGINT)) AS BIGINT) AS total_tokens
     FROM scored s
     JOIN keepers k ON s.doc_id = k.doc_id
     JOIN split sp ON s.doc_id = sp.doc_id
@@ -1120,9 +1120,11 @@ def lm_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM seeded)
     SELECT CAST(doc_id % 5 = 0 AS BOOLEAN) AS was_seeded,
            count(*) AS n_docs,
-           sum(CASE WHEN t_clean LIKE '%<EMAIL>%' THEN 1 ELSE 0 END) AS n_email_redactions,
-           sum(CASE WHEN t_clean LIKE '%<PHONE>%' THEN 1 ELSE 0 END) AS n_phone_redactions,
-           sum(length(t) - length(t_clean)) AS chars_removed
+           CAST(sum(CASE WHEN t_clean LIKE '%<EMAIL>%' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_email_redactions,
+           CAST(sum(CASE WHEN t_clean LIKE '%<PHONE>%' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_phone_redactions,
+           CAST(sum(length(t) - length(t_clean)) AS BIGINT) AS chars_removed
     FROM redacted GROUP BY 1
     """,
     tags=("text", "curation"),

@@ -129,7 +129,7 @@ def posexplode_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            count(*) AS n_islands,
            max(len) AS longest_run,
-           sum(len) AS active_days
+           CAST(sum(len) AS BIGINT) AS active_days
     FROM islands GROUP BY user_id
     """,
     tags=("sequence", "windows"),
@@ -187,7 +187,7 @@ _IV_ORACLE = """
       FROM grouped GROUP BY user_id, gid)
     SELECT user_id,
            count(*) AS n_spans,
-           sum(me - ms) AS covered_us,
+           CAST(sum(me - ms) AS BIGINT) AS covered_us,
            max(me - ms) AS longest_span_us
     FROM merged GROUP BY user_id
 """
@@ -405,8 +405,9 @@ def percent_of_total_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pm)
     SELECT event_type,
            count(*) AS n_total,
-           sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS n_quarantined,
-           sum(k) AS sum_k
+           CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quarantined,
+           CAST(sum(k) AS BIGINT) AS sum_k
     FROM parsed GROUP BY event_type
     """,
     tags=("F11", "etl"),
@@ -603,7 +604,7 @@ def ntile_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(gap_us) AS n_gaps,
            min(gap_us) AS min_gap_us,
            max(gap_us) AS max_gap_us,
-           sum(gap_us) AS total_gap_us
+           CAST(sum(gap_us) AS BIGINT) AS total_gap_us
     FROM gaps WHERE gap_us IS NOT NULL
     GROUP BY event_type
     """,
@@ -650,7 +651,8 @@ def interarrival_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ORDER BY o_totalprice, o_orderkey))
     SELECT o_orderpriority,
            count(*) AS n,
-           sum(CASE WHEN pct_rank >= 0.99 THEN 1 ELSE 0 END) AS n_top_pct,
+           CAST(sum(CASE WHEN pct_rank >= 0.99 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_top_pct,
            round(max(CASE WHEN cume <= 0.5 THEN o_totalprice END), 2)
              AS p50_by_cume
     FROM ranked GROUP BY o_orderpriority
@@ -798,7 +800,7 @@ def xml_native_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events)
     SELECT user_id,
            count(dur_us) AS n_segments,
-           sum(dur_us) AS observed_us,
+           CAST(sum(dur_us) AS BIGINT) AS observed_us,
            round(sum(value * dur_us) / sum(dur_us), 4) AS twavg_value
     FROM seg WHERE dur_us IS NOT NULL AND dur_us > 0
     GROUP BY user_id

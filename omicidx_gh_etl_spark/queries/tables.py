@@ -5,10 +5,13 @@ every semantic-affecting conf is (re)pinned here at load time:
 
 - ``spark.sql.session.timeZone=UTC`` — DuckDB timestamps are UTC-naive;
   any LTZ↔NTZ cast must happen against UTC or values shift.
-- ``spark.sql.legacy.parquet.nanosAsLong=true`` — ``events.parquet``
-  stores INT64 TIMESTAMP(NANOS), which Spark's parquet reader rejects
-  outright ([PARQUET_TYPE_ILLEGAL]). With the legacy conf the column
-  arrives as raw nanos (LongType) and we rebuild the timestamp.
+- ``spark.sql.legacy.parquet.nanosAsLong=true`` — the generator has
+  shipped ``events.parquet`` with two physical ``ts`` encodings: INT64
+  TIMESTAMP(NANOS) (which Spark's parquet reader rejects outright,
+  [PARQUET_TYPE_ILLEGAL], unless this conf makes it arrive as raw
+  nanos LongType) and plain ``timestamp[us]`` (read natively). The
+  loader branches on the arrived type; any third encoding raises.
+  Streaming readers share the same branch via streaming/source.py.
 
 ``load_events`` exposes:
 - ``ts``    TIMESTAMP_NTZ — micros precision, == DuckDB's read of the file
@@ -77,6 +80,10 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"),
             )
         )
+    ts_type = raw.schema["ts"].dataType
+    if not isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+        # a third physical encoding must fail loudly, not silently cast
+        raise TypeError(f"unsupported events.ts parquet type: {ts_type}")
     return raw.withColumns(
         {
             "ts_us": F.expr("unix_micros(cast(ts as timestamp))"),

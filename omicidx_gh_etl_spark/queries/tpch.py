@@ -28,11 +28,13 @@ _DEC = "decimal(18,2)"
     SELECT l_returnflag, l_linestatus,
            sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
            sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-           sum(CAST(l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS sum_disc_price,
-           sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(8,4)))), 4)
+               AS DECIMAL(38,4)) AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                * (1 - CAST(l_discount AS DECIMAL(8,4)))
-               * (1 + CAST(l_tax AS DECIMAL(8,4)))) AS sum_charge,
+               * (1 + CAST(l_tax AS DECIMAL(8,4)))), 4)
+               AS DECIMAL(38,4)) AS sum_charge,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-02'
@@ -49,8 +51,11 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     in decimal. Multiplying in double and casting the product differs
     across engines (Spark's double→decimal goes through the shortest
     string representation; DuckDB rounds the binary expansion), so
-    per-row products must never round from double. avg omitted —
-    it's sum/count downstream."""
+    per-row products must never round from double. The product sums
+    (scale 6/10) are re-scaled to DECIMAL(38,4) on output: above
+    scale ~4 the unscaled value exceeds 2^53 and DuckDB's pandas
+    decimal→float64 conversion is no longer correctly rounded (1-ulp
+    drift vs Spark's). avg omitted — it's sum/count downstream."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp_ntz")
     )
@@ -60,8 +65,8 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum(F.col("l_quantity").cast(_DEC)).alias("sum_qty"),
         F.sum(ext).alias("sum_base_price"),
-        F.sum(disc).alias("sum_disc_price"),
-        F.sum(charge).alias("sum_charge"),
+        F.sum(disc).cast("decimal(38,4)").alias("sum_disc_price"),
+        F.sum(charge).cast("decimal(38,4)").alias("sum_charge"),
         F.count("*").alias("count_order"),
     )
 

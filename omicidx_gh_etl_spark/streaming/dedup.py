@@ -23,7 +23,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .windows import EVENTS_RAW_SCHEMA
+from .source import events_stream
 
 
 def dedup_stream(
@@ -34,20 +34,9 @@ def dedup_stream(
 ) -> DataFrame:
     """Keyed streaming dedup (unstarted plan): first record per key
     wins; per-key state lives only within the watermark horizon."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    if source_path.endswith(".parquet"):
-        source_path = source_path[:-1] + "*"  # dir-glob: see windows.py
     events = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .parquet(source_path)
-        .select(
-            "event_id",
-            "user_id",
-            "event_type",
-            F.expr("ts div 1000").alias("ts_us"),
-            F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
-        )
+        events_stream(spark, source_path)
+        .select("event_id", "user_id", "event_type", "ts_us", "ts")
         .withWatermark("ts", watermark)
     )
     # at-least-once delivery simulation: the same source unioned with

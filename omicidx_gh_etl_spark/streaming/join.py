@@ -29,7 +29,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .windows import EVENTS_RAW_SCHEMA
+from .source import events_stream
 
 
 def _typed_stream(
@@ -37,17 +37,14 @@ def _typed_stream(
 ) -> DataFrame:
     """One watermark-ready stream of a single event_type, columns
     prefixed so the self-join is unambiguous."""
-    if source_path.endswith(".parquet"):
-        source_path = source_path[:-1] + "*"  # dir-glob: see windows.py
     return (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .parquet(source_path)
+        events_stream(spark, source_path)
         .filter(F.col("event_type") == event_type)
         .select(
             F.col("event_id").alias(f"{prefix}_id"),
             F.col("user_id").alias(f"{prefix}_user"),
             F.col("value").alias(f"{prefix}_value"),
-            F.timestamp_micros(F.expr("ts div 1000")).alias(f"{prefix}_ts"),
+            F.col("ts").alias(f"{prefix}_ts"),
         )
     )
 
@@ -59,8 +56,6 @@ def attribution_join_stream(
     watermark: str = "10 minutes",
 ) -> DataFrame:
     """Unstarted plan: clicks ⋈ purchases by user within the horizon."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     clicks = _typed_stream(spark, source_path, "click", "click").withWatermark(
         "click_ts", watermark
     )
@@ -125,10 +120,7 @@ def run_stream_static_join(
     whenever one side is a slowly-changing lookup table — reach for
     stream-stream state only when BOTH sides are unbounded.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    events = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(
-        f"{sf_dir}/events.parque*"
-    )
+    events = events_stream(spark, f"{sf_dir}/events.parquet")
     customers = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
         "c_custkey", "c_mktsegment"
     )

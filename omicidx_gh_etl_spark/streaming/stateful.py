@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from .windows import EVENTS_RAW_SCHEMA
+from .source import events_stream
 
 SESSION_OUT_SCHEMA = (
     "user_id bigint, session_start_us bigint, session_end_us bigint, "
@@ -121,22 +121,9 @@ def sessionize_stream(
     ``max_files_per_trigger`` splits a file-drop source into multiple
     micro-batches (tests use it to exercise watermark advancement).
     """
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    if source_path.endswith(".parquet"):
-        source_path = source_path[:-1] + "*"  # dir-glob: see windows.py
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     events = (
-        reader.parquet(source_path)
-        .select(
-            "user_id",
-            "event_id",
-            "value",
-            F.expr("ts div 1000").alias("ts_us"),
-            F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
-        )
+        events_stream(spark, source_path, max_files_per_trigger)
+        .select("user_id", "event_id", "value", "ts_us", "ts")
         .withWatermark("ts", watermark)
     )
     return events.groupBy("user_id").applyInPandasWithState(

@@ -46,7 +46,7 @@ from pyspark.sql.streaming.stateful_processor import (
 )
 
 from .stateful import SESSION_OUT_SCHEMA, SESSION_STATE_SCHEMA
-from .windows import EVENTS_RAW_SCHEMA
+from .source import events_stream
 
 _OUT_COLS = [
     "user_id",
@@ -155,22 +155,9 @@ def sessionize_stream_tws(
             "Use streaming.sessionize_stream (applyInPandasWithState) "
             "for the same semantics."
         )
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    if source_path.endswith(".parquet"):
-        source_path = source_path[:-1] + "*"  # dir-glob: see windows.py
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     events = (
-        reader.parquet(source_path)
-        .select(
-            "user_id",
-            "event_id",
-            "value",
-            F.expr("ts div 1000").alias("ts_us"),
-            F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
-        )
+        events_stream(spark, source_path, max_files_per_trigger)
+        .select("user_id", "event_id", "value", "ts_us", "ts")
         .withWatermark("ts", watermark)
     )
     return events.groupBy("user_id").transformWithStateInPandas(

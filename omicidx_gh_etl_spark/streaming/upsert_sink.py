@@ -29,7 +29,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 from ..engine.merge import merge_upsert
-from .windows import EVENTS_RAW_SCHEMA
+from .source import events_stream
 
 
 def stream_upsert(
@@ -77,15 +77,9 @@ def run_events_upsert_stream(
     """Drive an events change-stream into a parquet target keyed by
     event_id, (ts, value) as the version order; returns the final
     merged table. Bounded-source test harness for the sink."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    if source_path.endswith(".parquet"):
-        source_path = source_path[:-1] + "*"
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(source_path)
+    stream = events_stream(spark, source_path, max_files_per_trigger)
     q = stream_upsert(
-        stream, target_dir, keys=["event_id"], order_cols=["ts", "value"]
+        stream, target_dir, keys=["event_id"], order_cols=["ts_us", "value"]
     )
     try:
         q.processAllAvailable()

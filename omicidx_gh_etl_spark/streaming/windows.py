@@ -20,18 +20,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # INT64 nanos (see queries/tables.py)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+from .source import events_stream
 
 
 def streaming_window_counts(
@@ -43,24 +33,13 @@ def streaming_window_counts(
     """Streaming tumbling-window counts per event_type (unstarted plan).
 
     Returns the streaming DataFrame; callers attach a sink. Event time
-    is rebuilt from the nanos column exactly like the batch loader so
+    is rebuilt exactly like the batch loader (streaming/source.py) so
     batch and streaming agree on window boundaries.
     """
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Watermarks require TIMESTAMP (instant), not NTZ — keep event time
+    # Watermarks require TIMESTAMP (instant), not NTZ — event time stays
     # LTZ internally (session pinned to UTC so wall-clock == DuckDB
-    # naive) and convert the window boundary to NTZ only on output.
-    # The file stream source derives basePath from the path and requires
-    # a directory or glob — a concrete file path fails. Turning the file
-    # path into a (still-unique) glob makes the parent the basePath.
-    if source_path.endswith(".parquet"):
-        source_path = source_path[:-1] + "*"
-    events = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .parquet(source_path)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    # naive) and the window boundary converts to NTZ only on output.
+    events = events_stream(spark, source_path)
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
@@ -122,15 +101,7 @@ def streaming_session_counts(
     Batch twin: queries/reshape.py::session_window_builtin (same gap
     semantics, same oracle).
     """
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    if source_path.endswith(".parquet"):
-        source_path = source_path[:-1] + "*"
-    events = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .parquet(source_path)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    events = events_stream(spark, source_path)
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.col("user_id"), F.session_window(F.col("ts"), gap).alias("w"))

@@ -42,6 +42,9 @@ def test_sketch_error_bounds(spark, sf_dir):
     assert rows
     for r in rows:
         assert abs(r["n_approx"] - r["n_exact"]) <= max(3, 0.05 * r["n_exact"])
-    for r in REGISTRY["sketch_approx_quantiles"].builder(spark, sf_dir).collect():
-        for qa, qe in zip(r["q_approx"], r["q_exact"]):
-            assert abs(qa - qe) <= 0.05 * max(abs(qe), 1.0)
+    qrows = REGISTRY["sketch_approx_quantiles"].builder(spark, sf_dir).collect()
+    assert qrows and {r["quantile"] for r in qrows} == {0.5, 0.95}
+    for r in qrows:  # flat: one (event_type, quantile) per row
+        assert abs(r["q_approx"] - r["q_exact"]) <= 0.05 * max(
+            abs(r["q_exact"]), 1.0
+        )

@@ -303,11 +303,12 @@ def test_stream_upsert_sink_merges_micro_batches(spark, tmp_path):
     final = run_events_upsert_stream(
         spark, str(src), str(tmp_path / "tgt"), max_files_per_trigger=1
     )
-    got = {r["event_id"]: (r["ts"], r["value"]) for r in final.collect()}
+    # the shared source normalizes ts → timestamp + ts_us epoch micros
+    got = {r["event_id"]: (r["ts_us"], r["value"]) for r in final.collect()}
     assert got == {
-        1: ((t0 + 5_000_000) * 1000, 9.0),
-        2: (t0 * 1000, 2.0),
-        3: (t0 * 1000, 3.0),
+        1: (t0 + 5_000_000, 9.0),
+        2: (t0, 2.0),
+        3: (t0, 3.0),
     }
 
 
@@ -350,7 +351,7 @@ def test_snapshot_batch_fn_exactly_once_replay(spark, tmp_path):
 def test_stream_upsert_snapshot_end_to_end(spark, tmp_path):
     from omicidx_gh_etl_spark.engine import SnapshotTable
     from omicidx_gh_etl_spark.streaming import stream_upsert_snapshot
-    from omicidx_gh_etl_spark.streaming.windows import EVENTS_RAW_SCHEMA
+    from omicidx_gh_etl_spark.streaming.source import events_stream
 
     src = tmp_path / "changes"
     src.mkdir()
@@ -359,15 +360,10 @@ def test_stream_upsert_snapshot_end_to_end(spark, tmp_path):
     time.sleep(0.05)
     _write_events(str(src / "b2.parquet"), [(1, t0 + 5_000_000, 10, 9.0)])
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(str(src / "*"))
-    )
+    stream = events_stream(spark, str(src / "*"), max_files_per_trigger=1)
     table = SnapshotTable(str(tmp_path / "tbl"))
     q = stream_upsert_snapshot(
-        stream, table, keys=["event_id"], order_cols=["ts", "value"]
+        stream, table, keys=["event_id"], order_cols=["ts_us", "value"]
     )
     try:
         q.processAllAvailable()
