@@ -54,6 +54,11 @@ def main() -> None:
     # Warmup: JVM + parquet reader + codegen paths.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    # Scale section first: measured on a warm-but-quiet JVM (after a
+    # few hundred headline stages the same plans run 3-5× slower from
+    # accumulated driver/executor pressure — observed, not theorized).
+    scale = scale_section(spark, sf_dir)
+
     # Three iterations per query, report the warm (min) time: the first
     # run pays one-off JVM/JIT/codegen costs, and single-run timings on
     # a shared host show 2-3× jitter — min-of-3 is a stable estimator
@@ -98,9 +103,99 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "scale": scale,
             }
         )
     )
+
+
+def scale_section(spark, sf_dir: str, rep: int = 10) -> dict:
+    """Throughput at ~rep× the input scale via IN-PLAN replication
+    (explode over a sequence literal — one scan, no synthetic files).
+
+    The per-query headline times at sf0.1 are scheduling-floor
+    dominated (~0.2-0.9 s on milliseconds of data); this section gives
+    real rows/s numbers comparable to the reference's published
+    export figure (49.4M rows / 6.9 s zstd parquet,
+    /root/reference/EXPORT_DEPLOYMENT.md:247-252).
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from omicidx_gh_etl_spark.operators import dedup, similarity
+    from omicidx_gh_etl_spark.queries.tables import load_table
+
+    out: dict = {"replication": rep}
+    repx = F.explode(F.sequence(F.lit(1), F.lit(rep))).alias("__rep")
+
+    # 1. mart join + zstd parquet export at rep× rows (the reference's
+    # one concrete benchmark shape).
+    mart = REGISTRY["mart_denormalized"].builder(spark, sf_dir)
+    rows = mart.count() * rep
+    export_dir = tempfile.mkdtemp(prefix="bench_scale_")
+    try:
+        t0 = time.perf_counter()
+        mart.select("*", repx).drop("__rep").write.mode("overwrite").option(
+            "compression", "zstd"
+        ).parquet(f"{export_dir}/mart")
+        sec = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(export_dir, ignore_errors=True)
+    out["mart_export_parquet"] = {
+        "rows": rows, "sec": round(sec, 3), "rows_per_sec": round(rows / sec)
+    }
+
+    # 2. MinHash+LSH near-dup at rep× documents. Each replica's tokens
+    # are salted with the replica id so replicas occupy DISJOINT
+    # shingle spaces: the workload is rep independent corpora (true
+    # weak scaling), not one artificial mega-duplicate cluster whose
+    # bucket pair explosion would be quadratic in rep.
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count() * rep
+    d_rep = d.select("doc_id", "text", repx).select(
+        (F.col("doc_id") * rep + F.col("__rep")).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.expr(
+                "transform(filter(split(text, ' '), x -> x != ''),"
+                " x -> concat(x, '_', __rep))"
+            ),
+        ).alias("text"),
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    # ^ the explode multiplies rows inside the source's few input
+    # partitions; without the spread the hot shingle map runs on 2-3
+    # cores (same reason queries use load_spread on real inputs).
+    t0 = time.perf_counter()
+    sh = dedup.shingles(d_rep, "text", "doc_id", n=3, distinct=False)
+    dedup.minhash_lsh_candidates(sh, "doc_id", num_hashes=12, bands=4).count()
+    sec = time.perf_counter() - t0
+    out["dedup_minhash_lsh"] = {
+        "rows": n_docs, "sec": round(sec, 3), "rows_per_sec": round(n_docs / sec)
+    }
+
+    # 3. IVF ANN search over a rep× corpus (same vectors, distinct ids:
+    # every cell grows rep× uniformly — the cell-scan cost the probe
+    # pruning is supposed to bound). Queries/centroids stay fixed.
+    e = load_table(spark, sf_dir, "embeddings")
+    n_vec = e.count() * rep
+    e_rep = e.select("vec_id", "embedding", repx).select(
+        (F.col("vec_id") * rep + F.col("__rep")).alias("vec_id"), "embedding"
+    ).repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    centroids = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+    )
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    t0 = time.perf_counter()
+    similarity.ivf_search(e_rep, centroids, queries, k=5, nprobe=2).count()
+    sec = time.perf_counter() - t0
+    out["similarity_ivf_search"] = {
+        "rows": n_vec, "sec": round(sec, 3), "rows_per_sec": round(n_vec / sec)
+    }
+    return out
 
 
 if __name__ == "__main__":

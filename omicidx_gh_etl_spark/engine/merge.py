@@ -87,7 +87,15 @@ def publish_parquet(spark: SparkSession, df: DataFrame, target: Path) -> int:
     stores). Returns the published row count."""
     tmp = target.parent / f"{target.name}.__new_{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").option("compression", "zstd").parquet(str(tmp))
-    n = spark.read.parquet(str(tmp)).count()
+    # row count from the just-written footers (metadata-only), not a
+    # re-read count() of the data — free at any scale.
+    from .catalog import scan_parquet_metadata
+
+    n = (
+        scan_parquet_metadata(spark, str(tmp))
+        .agg(F.coalesce(F.sum("num_rows"), F.lit(0)).alias("n"))
+        .collect()[0]["n"]
+    )
     old = target.parent / f"{target.name}.__old_{uuid.uuid4().hex[:8]}"
     if target.exists():
         target.rename(old)

@@ -868,12 +868,20 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n_docs = d.count()
-    score = F.round(
-        F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 4
+    # corpus size as a broadcast 1-row aggregate INSIDE the plan — a
+    # driver-side d.count() here would be a second full scan per run;
+    # this column-pruned count comes from parquet footer stats and the
+    # cross-join broadcasts one row.
+    n = load_table(spark, sf_dir, "documents").agg(
+        F.count("*").alias("n_docs")
     )
-    scored = tf.join(F.broadcast(df_), "term").select(
-        "doc_id", "term", score.alias("tfidf")
+    score = F.round(
+        F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 4
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", score.alias("tfidf"))
     )
     w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (
