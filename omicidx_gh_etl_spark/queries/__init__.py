@@ -4,6 +4,7 @@ from . import (  # noqa: F401  (registration)
     advanced,
     core,
     llmops,
+    parsers,
     reshape,
     streaming_ops,
     tpch,

@@ -1,0 +1,381 @@
+"""NCBI BioSample / BioProject / PubMed medline XML parsers (S10).
+
+The reference streams these three record formats through pip-packaged
+parser generators:
+
+- ``BioSampleParser`` / ``BioProjectParser`` from ``omicidx.biosample``
+  (/root/reference/omicidx_etl/biosample/extract.py:108-112), over
+  ``biosample_set.xml.gz`` / ``bioproject.xml``;
+- ``pubmed_parser.parse_medline_xml``
+  (/root/reference/omicidx_etl/etl/pubmed.py:89-101), one parquet file
+  per medline ``*.xml.gz``.
+
+Those packages aren't in this container, so the parsers here implement
+the same record contracts with stdlib ElementTree against the public
+NCBI XML formats; record fields are pinned to the columns the
+reference's own warehouse consumes
+(sqlmesh/models/raw/src_ncbi_biosample.sql:8-28,
+src_ncbi_bioproject.sql:8-19) via the StructTypes in
+``schemas/biosample.py``.
+
+Spark-first shape (same as xml_extract.py): the FILE LIST is the
+DataFrame; ``mapInPandas`` fans per-file generator parses across
+executors, Arrow-batched under the enforced schema — one task per
+file, no driver bottleneck, so a full-corpus backfill (36k pubmed
+files) is cluster-parallel. Record-dict normalization (None→[] for
+list fields) mirrors the reference's schema-consistency contract
+(sra/extract.py:283-288).
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import xml.etree.ElementTree as ET
+from collections.abc import Callable, Iterator
+from pathlib import Path
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..schemas.biosample import NCBI_BIOPROJECT_SCHEMA, NCBI_BIOSAMPLE_SCHEMA
+
+PUBMED_MEDLINE_SCHEMA = T.StructType(
+    [
+        T.StructField("pmid", T.StringType()),
+        T.StructField("doi", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("abstract", T.StringType()),
+        T.StructField("journal", T.StringType()),
+        T.StructField("pubdate", T.StringType()),
+        T.StructField("country", T.StringType()),
+        T.StructField("languages", T.ArrayType(T.StringType())),
+        T.StructField(
+            "authors",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("lastname", T.StringType()),
+                        T.StructField("forename", T.StringType()),
+                        T.StructField("affiliation", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("mesh_terms", T.ArrayType(T.StringType())),
+        T.StructField("publication_types", T.ArrayType(T.StringType())),
+        T.StructField("keywords", T.ArrayType(T.StringType())),
+        T.StructField("source_file", T.StringType()),
+    ]
+)
+
+
+def _normalize(record: dict, schema: T.StructType) -> dict:
+    """None→[] for array fields, missing scalars → None (D2)."""
+    out = {}
+    for f in schema.fields:
+        v = record.get(f.name)
+        if isinstance(f.dataType, T.ArrayType):
+            out[f.name] = v if isinstance(v, list) else []
+        else:
+            out[f.name] = v
+    return out
+
+
+def _root(path: str) -> ET.Element:
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rb") as fh:
+        return ET.parse(fh).getroot()
+
+
+# -- BioSample ---------------------------------------------------------------
+
+
+def biosample_record(elem: ET.Element) -> dict:
+    """One ``<BioSample>`` element → the reference's record dict
+    (columns of raw.src_ncbi_biosample). ``*_recs`` fields carry the
+    full sub-records as JSON strings; ``ids``/``attributes`` are the
+    flat string forms the geometadb layer consumes."""
+    ids, id_recs = [], []
+    sra_sample = dbgap = gsm = None
+    for i in elem.iter("Id"):
+        val = (i.text or "").strip()
+        ids.append(val)
+        id_recs.append(
+            json.dumps(
+                {
+                    "db": i.get("db"),
+                    "label": i.get("db_label"),
+                    "is_primary": i.get("is_primary"),
+                    "value": val,
+                },
+                sort_keys=True,
+            )
+        )
+        db = (i.get("db") or "").lower()
+        if db == "sra":
+            sra_sample = val
+        elif db == "geo":
+            gsm = val
+        elif db == "dbgap":
+            dbgap = val
+    attributes, attribute_recs = [], []
+    for a in elem.iter("Attribute"):
+        val = (a.text or "").strip()
+        name = a.get("attribute_name")
+        attributes.append(f"{name}={val}")
+        attribute_recs.append(
+            json.dumps(
+                {
+                    "attribute_name": name,
+                    "harmonized_name": a.get("harmonized_name"),
+                    "display_name": a.get("display_name"),
+                    "unit": a.get("unit"),
+                    "value": val,
+                },
+                sort_keys=True,
+            )
+        )
+    organism = elem.find("Description/Organism")
+    taxon_id = (organism.get("taxonomy_id") if organism is not None else None)
+    return {
+        "accession": elem.get("accession"),
+        "title": elem.findtext("Description/Title"),
+        "last_update": elem.get("last_update"),
+        "submission_date": elem.get("submission_date"),
+        "publication_date": elem.get("publication_date"),
+        "taxonomy_name": (
+            organism.get("taxonomy_name") if organism is not None else None
+        ),
+        "taxon_id": int(taxon_id) if taxon_id else None,
+        "is_reference": elem.get("is_reference"),
+        "access": elem.get("access"),
+        "id": elem.get("id"),
+        "id_recs": id_recs,
+        "ids": ids,
+        "sra_sample": sra_sample,
+        "dbgap": dbgap,
+        "gsm": gsm,
+        "description": elem.findtext("Description/Comment/Paragraph"),
+        "attribute_recs": attribute_recs,
+        "attributes": attributes,
+        "model": elem.findtext("Models/Model"),
+    }
+
+
+def _biosample_elements(root: ET.Element) -> Iterator[dict]:
+    for elem in root.iter("BioSample"):
+        yield _normalize(biosample_record(elem), NCBI_BIOSAMPLE_SCHEMA)
+
+
+def biosample_records(path: str) -> Iterator[dict]:
+    """<BioSampleSet> file → record dicts (BioSampleParser surface)."""
+    yield from _biosample_elements(_root(path))
+
+
+# -- BioProject --------------------------------------------------------------
+
+
+def bioproject_record(elem: ET.Element) -> dict:
+    """One ``<Project>`` package element → the reference's record dict
+    (columns of raw.src_ncbi_bioproject)."""
+    archive = elem.find(".//ProjectID/ArchiveID")
+    descr = elem.find(".//ProjectDescr")
+
+    def _d(tag: str) -> str | None:
+        return descr.findtext(tag) if descr is not None else None
+
+    return {
+        "accession": archive.get("accession") if archive is not None else None,
+        "title": _d("Title"),
+        "name": _d("Name"),
+        "description": _d("Description"),
+        "release_date": _d("ProjectReleaseDate"),
+        "publications": [
+            p.get("id") for p in elem.iter("Publication") if p.get("id")
+        ],
+        "locus_tags": [
+            t.text.strip() for t in elem.iter("LocusTagPrefix") if t.text
+        ],
+        "data_types": [t.text.strip() for t in elem.iter("DataType") if t.text],
+        "external_links": [
+            u.text.strip() for u in elem.iter("URL") if u.text
+        ],
+    }
+
+
+def _bioproject_elements(root: ET.Element) -> Iterator[dict]:
+    for elem in root.iter("Project"):
+        # the real format nests <Project><Project>…: the outer wrapper
+        # has no direct ProjectID child — parse only the inner record
+        # element so each project yields exactly one row.
+        if elem.find("./ProjectID") is None:
+            continue
+        yield _normalize(bioproject_record(elem), NCBI_BIOPROJECT_SCHEMA)
+
+
+def bioproject_records(path: str) -> Iterator[dict]:
+    """<PackageSet> file → record dicts (BioProjectParser surface)."""
+    yield from _bioproject_elements(_root(path))
+
+
+# -- PubMed medline ----------------------------------------------------------
+
+
+def pubmed_record(elem: ET.Element) -> dict:
+    """One ``<PubmedArticle>`` → the parse_medline_xml-shaped dict."""
+    cit = elem.find("MedlineCitation")
+    art = cit.find("Article") if cit is not None else None
+    doi = None
+    for aid in elem.iter("ArticleId"):
+        if aid.get("IdType") == "doi":
+            doi = (aid.text or "").strip()
+    pubdate = None
+    if art is not None:
+        y = art.findtext("Journal/JournalIssue/PubDate/Year")
+        m = art.findtext("Journal/JournalIssue/PubDate/Month")
+        pubdate = "-".join(x for x in (y, m) if x)
+    return {
+        "pmid": cit.findtext("PMID") if cit is not None else None,
+        "doi": doi,
+        "title": art.findtext("ArticleTitle") if art is not None else None,
+        "abstract": (
+            " ".join(
+                (t.text or "").strip() for t in art.iter("AbstractText")
+            ).strip()
+            or None
+            if art is not None
+            else None
+        ),
+        "journal": art.findtext("Journal/Title") if art is not None else None,
+        "pubdate": pubdate,
+        "country": (
+            cit.findtext("MedlineJournalInfo/Country") if cit is not None else None
+        ),
+        "languages": (
+            [x.text for x in art.iter("Language") if x.text]
+            if art is not None
+            else []
+        ),
+        "authors": (
+            [
+                {
+                    "lastname": a.findtext("LastName"),
+                    "forename": a.findtext("ForeName"),
+                    "affiliation": a.findtext("AffiliationInfo/Affiliation"),
+                }
+                for a in art.iter("Author")
+            ]
+            if art is not None
+            else []
+        ),
+        "mesh_terms": (
+            [x.text for x in cit.iter("DescriptorName") if x.text]
+            if cit is not None
+            else []
+        ),
+        "publication_types": (
+            [x.text for x in art.iter("PublicationType") if x.text]
+            if art is not None
+            else []
+        ),
+        "keywords": (
+            [x.text for x in cit.iter("Keyword") if x.text]
+            if cit is not None
+            else []
+        ),
+    }
+
+
+def _pubmed_elements(root: ET.Element) -> Iterator[dict]:
+    for elem in root.iter("PubmedArticle"):
+        yield _normalize(pubmed_record(elem), PUBMED_MEDLINE_SCHEMA)
+
+
+def pubmed_records(path: str) -> Iterator[dict]:
+    """<PubmedArticleSet> file → record dicts; ``source_file`` mirrors
+    the reference's ``_read_from`` provenance column
+    (etl/pubmed.py:98-99)."""
+    for rec in _pubmed_elements(_root(path)):
+        rec["source_file"] = path
+        yield rec
+
+
+# -- distributed extraction --------------------------------------------------
+
+_PARSERS: dict[str, tuple[Callable[[str], Iterator[dict]], T.StructType]] = {
+    "biosample": (biosample_records, NCBI_BIOSAMPLE_SCHEMA),
+    "bioproject": (bioproject_records, NCBI_BIOPROJECT_SCHEMA),
+    "pubmed": (pubmed_records, PUBMED_MEDLINE_SCHEMA),
+}
+
+
+def extract_records(
+    spark: SparkSession, kind: str, paths: list[str] | str
+) -> DataFrame:
+    """Distributed XML extraction for ``kind`` in
+    {'biosample','bioproject','pubmed'}: one task per file, generator
+    parse executor-side, Arrow-batched rows under the enforced schema."""
+    records_fn, schema = _PARSERS[kind]
+    if isinstance(paths, str):
+        base = Path(paths)
+        paths = sorted(
+            str(p) for pat in ("*.xml", "*.xml.gz") for p in base.glob(pat)
+        )
+    if not paths:
+        return spark.createDataFrame([], schema)
+    files_df = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    ).repartition(min(len(paths), spark.sparkContext.defaultParallelism))
+    cols = [f.name for f in schema.fields]
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [rec for path in pdf["path"] for rec in records_fn(path)]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files_df.mapInPandas(_parse, schema)
+
+
+_ELEMENT_PARSERS: dict[str, tuple[Callable, T.StructType]] = {
+    "biosample": (_biosample_elements, NCBI_BIOSAMPLE_SCHEMA),
+    "bioproject": (_bioproject_elements, NCBI_BIOPROJECT_SCHEMA),
+    "pubmed": (_pubmed_elements, PUBMED_MEDLINE_SCHEMA),
+}
+
+
+def parse_xml_strings(df: DataFrame, xml_col: str, kind: str) -> DataFrame:
+    """Parse an XML-document STRING column through the same per-element
+    record parsers (records may be 1:N per document). Used where the
+    XML arrives as payload rows rather than files — REST/queue bodies,
+    or the registry's oracle-checked parser queries (each document
+    built deterministically from a testdata table so a SQL engine can
+    regex-extract the same fields). mapInPandas keeps the parse
+    Arrow-batched and executor-side, same as the file path."""
+    elements_fn, schema = _ELEMENT_PARSERS[kind]
+    cols = [f.name for f in schema.fields]
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                rec
+                for xml in pdf[xml_col]
+                if xml
+                for rec in elements_fn(ET.fromstring(xml))
+            ]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(xml_col).mapInPandas(_parse, schema)
+
+
+def extract_biosamples(spark: SparkSession, paths: list[str] | str) -> DataFrame:
+    return extract_records(spark, "biosample", paths)
+
+
+def extract_bioprojects(spark: SparkSession, paths: list[str] | str) -> DataFrame:
+    return extract_records(spark, "bioproject", paths)
+
+
+def extract_pubmed(spark: SparkSession, paths: list[str] | str) -> DataFrame:
+    return extract_records(spark, "pubmed", paths)
