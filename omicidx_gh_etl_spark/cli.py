@@ -11,7 +11,11 @@ Commands:
   history      — recent model runs from meta.model_runs
   catalog      — parquet row-group stats rollup for a data directory
   deploy       — write catalog.json over an export root
-  extract      — XML→parquet extraction (oidx sra extract shape)
+  extract      — per-source XML/archive→parquet extraction
+                 (--source sra|biosample|bioproject|pubmed|geo-soft|icite,
+                 the oidx per-source verb surface)
+  status       — pipeline status dashboard over meta.model_runs
+                 (success rate, durations, last failures)
   audit        — data-quality audits against materialized models
   list-models  — registered models per layer with dependencies
   describe     — one model's metadata + resolved column schema
@@ -126,19 +130,83 @@ def cmd_deploy(args: argparse.Namespace) -> int:
 
 
 def cmd_extract(args: argparse.Namespace) -> int:
-    """XML→parquet extraction (the ``oidx sra extract`` shape:
-    discover files → parse distributed → chunked zstd parquet)."""
+    """Per-source XML/archive→parquet extraction — the reference's
+    per-source CLI verbs (``oidx sra|biosample|geo|pubmed|icite
+    extract``, omicidx_etl/cli.py:19-35) behind ``--source``: discover
+    files → parse distributed → chunked zstd parquet."""
     from .sources.writers import write_parquet
-    from .sources.xml_extract import extract_experiments
 
     spark = _spark(args)
-    df = extract_experiments(spark, args.input)
+    if args.source == "sra":
+        from .sources.xml_extract import extract_experiments
+
+        df = extract_experiments(spark, args.input)
+    elif args.source in ("biosample", "bioproject", "pubmed"):
+        from .sources.ncbi_extract import extract_records
+
+        df = extract_records(spark, args.source, args.input)
+    elif args.source == "geo-soft":
+        from .sources.soft_extract import extract_soft
+
+        df = extract_soft(spark, args.input)
+    elif args.source == "icite":  # tar.gz/zip jsonl members (S12)
+        from .sources.archive_extract import read_archive_jsonl
+
+        if not args.schema:
+            raise SystemExit("--schema DDL is required for --source icite")
+        df = read_archive_jsonl(spark, args.input, args.schema)
+    else:  # pragma: no cover - argparse choices guard this
+        raise SystemExit(f"unknown source {args.source}")
     write_parquet(
         df, args.output, max_records_per_file=args.block_size, compression="zstd"
     )
-    n = spark.read.parquet(args.output).count()
-    print(json.dumps({"records": n, "output": args.output}))
+    from .engine.catalog import scan_parquet_metadata
+    from pyspark.sql import functions as F
+
+    n = (
+        scan_parquet_metadata(spark, args.output)
+        .agg(F.coalesce(F.sum("num_rows"), F.lit(0)).alias("n"))
+        .collect()[0]["n"]
+    )
+    print(json.dumps({"source": args.source, "records": n, "output": args.output}))
     return 0
+
+
+def cmd_status(args: argparse.Namespace) -> int:
+    """Pipeline status dashboard (reference: omicidx_etl/status.py) —
+    success rate, per-model durations, and recent failures, computed
+    from ``meta.model_runs`` instead of ad-hoc metrics JSON files."""
+    from pyspark.sql import functions as F
+
+    runner = _runner(args)
+    runs = runner.run_history(limit=args.limit)
+    if runs.isEmpty():
+        print("no runs recorded")
+        return 0
+    summary = (
+        runs.groupBy("model")
+        .agg(
+            F.count("*").alias("runs"),
+            F.sum(F.when(F.col("status") == "success", 1).otherwise(0)).alias("ok"),
+            F.round(F.avg("seconds"), 2).alias("avg_s"),
+            F.round(F.max("seconds"), 2).alias("max_s"),
+            F.max("started_at").alias("last_run"),
+            F.max_by("status", "started_at").alias("last_status"),
+        )
+        .orderBy("model")
+    )
+    rows = summary.collect()
+    total = sum(r["runs"] for r in rows)
+    ok = sum(r["ok"] for r in rows)
+    print(f"runs: {total}  success: {ok}  rate: {ok / total:.1%}")
+    for r in rows:
+        print(
+            f"  {r['last_status']:8s} {r['model']:40s} "
+            f"runs={r['runs']:<4d} avg={r['avg_s']:8.2f}s "
+            f"max={r['max_s']:8.2f}s last={r['last_run']}"
+        )
+    failed = [r for r in rows if r["last_status"] != "success"]
+    return 1 if failed else 0
 
 
 def cmd_audit(args: argparse.Namespace) -> int:
@@ -377,12 +445,25 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--out", default=None)
     sp.set_defaults(fn=cmd_deploy)
 
-    sp = sub.add_parser("extract", help="XML→parquet extraction")
-    sp.add_argument("--input", required=True, help="dir of *.xml / *.xml.gz")
+    sp = sub.add_parser("extract", help="per-source XML/archive→parquet extraction")
+    sp.add_argument("--source", default="sra",
+                    choices=["sra", "biosample", "bioproject", "pubmed",
+                             "geo-soft", "icite"],
+                    help="which record stream to parse (oidx <source> extract)")
+    sp.add_argument("--input", required=True,
+                    help="dir of *.xml / *.xml.gz / *.soft / archives")
     sp.add_argument("--output", required=True)
+    sp.add_argument("--schema", default=None,
+                    help="DDL schema for jsonl archive members (icite)")
     sp.add_argument("--block-size", type=int, default=1_000_000,
                     help="max records per parquet file (SRA_BLOCK_SIZE)")
     sp.set_defaults(fn=cmd_extract)
+
+    sp = sub.add_parser("status", help="pipeline status dashboard")
+    common(sp)
+    sp.add_argument("--limit", type=int, default=500,
+                    help="how many recent runs to aggregate")
+    sp.set_defaults(fn=cmd_status)
 
     sp = sub.add_parser("audit", help="run data-quality audits")
     common(sp)

@@ -393,6 +393,33 @@ def test_cli_list_describe_showconfig(spark, data_root, tmp_path, capsys):
     assert cfg["models"] > 20 and cfg["data_root"] == data_root
 
 
+def test_cli_status_aggregates_runs(spark, data_root, tmp_path, capsys):
+    """status = success rate + per-model durations from meta.model_runs
+    (reference: omicidx_etl/status.py dashboard)."""
+    import argparse
+
+    from omicidx_gh_etl_spark import cli
+
+    wh = str(tmp_path / "wh_status")
+    run_ns = argparse.Namespace(
+        cmd="run", cpus=8, data_root=data_root, warehouse_root=wh,
+        export_root=None, select=["bronze.stg_sra_experiments"],
+        start="2001-01-01", end=None, no_fail_fast=False,
+    )
+    assert cli.cmd_run(run_ns) == 0
+    capsys.readouterr()
+
+    status_ns = argparse.Namespace(
+        cmd="status", cpus=8, data_root=data_root, warehouse_root=wh,
+        export_root=None, select=None, limit=100,
+    )
+    assert cli.cmd_status(status_ns) == 0
+    out = capsys.readouterr().out
+    assert "rate: 100.0%" in out
+    assert "bronze.stg_sra_experiments" in out
+    assert "success" in out
+
+
 # -- incremental backfill --------------------------------------------------
 
 
