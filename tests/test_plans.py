@@ -287,3 +287,18 @@ def test_lm_surprisal_no_global_window(spark):
     plan = plan_of(spark, "lm_bigram_surprisal")
     tree = plan.split("\n\n")[0]
     assert count_op(tree, "Window") == 0
+
+
+def test_parser_queries_single_scan_no_shuffle(spark):
+    """The XML parser queries (S10 oracle surface) are pure map
+    pipelines: one parquet scan → codegen'd XML build → Arrow-batched
+    parse (MapInPandas, never row-at-a-time BatchEvalPython) →
+    projection. Zero exchanges: parsing must never induce a shuffle."""
+    for name in ("biosample_xml_parse", "bioproject_xml_parse",
+                 "pubmed_medline_parse"):
+        plan = plan_of(spark, name)
+        tree = plan.split("\n\n")[0]
+        assert tree.count("Scan parquet") == 1, name
+        assert count_shuffles(tree) == 0, name
+        assert count_op(tree, "MapInPandas") == 1, name
+        assert count_op(tree, "BatchEvalPython") == 0, name
