@@ -109,7 +109,7 @@ def main() -> None:
     )
 
 
-def scale_section(spark, sf_dir: str, rep: int = 10) -> dict:
+def scale_section(spark, sf_dir: str, rep: int = 30) -> dict:
     """Throughput at ~rep× the input scale via IN-PLAN replication
     (explode over a sequence literal — one scan, no synthetic files).
 
@@ -131,16 +131,27 @@ def scale_section(spark, sf_dir: str, rep: int = 10) -> dict:
     repx = F.explode(F.sequence(F.lit(1), F.lit(rep))).alias("__rep")
 
     # 1. mart join + zstd parquet export at rep× rows (the reference's
-    # one concrete benchmark shape).
+    # one concrete benchmark shape: 49.4M rows / 6.9 s on 64 cores).
+    # repartition BEFORE the explode: the shuffle carries only the
+    # un-replicated mart (AQE otherwise coalesces 3 MiB to ONE
+    # partition and the write runs single-threaded); the rep×
+    # multiplication happens in place and every core writes.
     mart = REGISTRY["mart_denormalized"].builder(spark, sf_dir)
     rows = mart.count() * rep
+    big = (
+        mart.repartition(spark.sparkContext.defaultParallelism)
+        .select("*", repx)
+        .drop("__rep")
+    )
     export_dir = tempfile.mkdtemp(prefix="bench_scale_")
     try:
-        t0 = time.perf_counter()
-        mart.select("*", repx).drop("__rep").write.mode("overwrite").option(
-            "compression", "zstd"
-        ).parquet(f"{export_dir}/mart")
-        sec = time.perf_counter() - t0
+        sec = float("inf")
+        for _ in range(2):  # min-of-2: first run pays codegen warmup
+            t0 = time.perf_counter()
+            big.write.mode("overwrite").option("compression", "zstd").parquet(
+                f"{export_dir}/mart"
+            )
+            sec = min(sec, time.perf_counter() - t0)
     finally:
         shutil.rmtree(export_dir, ignore_errors=True)
     out["mart_export_parquet"] = {
