@@ -209,20 +209,19 @@ def minhash_lsh_candidates(
     """
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
+    # ONE md5 per shingle, not num_hashes: split the digest into two
+    # 44-bit halves (a, b) and derive the family as h_i = a + i*b
+    # (Carter-Wegman 2-universal construction — the standard cheap
+    # minhash family). 44-bit values keep a + 11*b far below 2^63, so
+    # the arithmetic is overflow-free in BOTH engines (DuckDB errors
+    # on BIGINT overflow; Spark wraps). Cuts the dominant map-side
+    # hashing cost of the whole dedup path ~num_hashes×.
+    md5c = F.md5(F.col("shingle"))
+    a = F.conv(F.substring(md5c, 1, 11), 16, 10).cast("bigint")
+    b = F.conv(F.substring(md5c, 12, 11), 16, 10).cast("bigint")
     hashed = shingle_df.select(
         F.col(id_col),
-        *[
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle"))), 1, 15
-                ),
-                16,
-                10,
-            )
-            .cast("bigint")
-            .alias(f"h{seed}")
-            for seed in range(num_hashes)
-        ],
+        *[(a + F.lit(seed) * b).alias(f"h{seed}") for seed in range(num_hashes)],
     )
     sig = hashed.groupBy(id_col).agg(
         *[F.min(f"h{seed}").alias(f"minh{seed}") for seed in range(num_hashes)]

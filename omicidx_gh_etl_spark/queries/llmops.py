@@ -107,7 +107,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """,
 seeded AS (
   SELECT doc_id, seed,
-         ('0x' || substr(md5(seed || ':' || shingle), 1, 15))::BIGINT AS h
+         ('0x' || substr(md5(shingle), 1, 11))::BIGINT
+           + seed * ('0x' || substr(md5(shingle), 12, 11))::BIGINT AS h
   FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS seed) seeds),
 sig AS (SELECT doc_id, seed, min(h) AS minh FROM seeded GROUP BY doc_id, seed),
 bands AS (
@@ -165,7 +166,8 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """,
 seeded AS (
   SELECT doc_id, seed,
-         ('0x' || substr(md5(seed || ':' || shingle), 1, 15))::BIGINT AS h
+         ('0x' || substr(md5(shingle), 1, 11))::BIGINT
+           + seed * ('0x' || substr(md5(shingle), 12, 11))::BIGINT AS h
   FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS seed) seeds),
 sig AS (SELECT doc_id, seed, min(h) AS minh FROM seeded GROUP BY doc_id, seed),
 bands AS (
