@@ -178,10 +178,13 @@ def scale_section(spark, sf_dir: str, rep: int = 30) -> dict:
     # ^ the explode multiplies rows inside the source's few input
     # partitions; without the spread the hot shingle map runs on 2-3
     # cores (same reason queries use load_spread on real inputs).
-    t0 = time.perf_counter()
     sh = dedup.shingles(d_rep, "text", "doc_id", n=3, distinct=False)
-    dedup.minhash_lsh_candidates(sh, "doc_id", num_hashes=12, bands=4).count()
-    sec = time.perf_counter() - t0
+    cand = dedup.minhash_lsh_candidates(sh, "doc_id", num_hashes=12, bands=4)
+    sec = float("inf")
+    for _ in range(2):  # min-of-2: first run pays codegen warmup
+        t0 = time.perf_counter()
+        cand.count()
+        sec = min(sec, time.perf_counter() - t0)
     out["dedup_minhash_lsh"] = {
         "rows": n_docs, "sec": round(sec, 3), "rows_per_sec": round(n_docs / sec)
     }
@@ -200,9 +203,12 @@ def scale_section(spark, sf_dir: str, rep: int = 30) -> dict:
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
     )
-    t0 = time.perf_counter()
-    similarity.ivf_search(e_rep, centroids, queries, k=5, nprobe=2).count()
-    sec = time.perf_counter() - t0
+    srch = similarity.ivf_search(e_rep, centroids, queries, k=5, nprobe=2)
+    sec = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        srch.count()
+        sec = min(sec, time.perf_counter() - t0)
     out["similarity_ivf_search"] = {
         "rows": n_vec, "sec": round(sec, 3), "rows_per_sec": round(n_vec / sec)
     }
