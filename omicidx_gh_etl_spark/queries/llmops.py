@@ -1188,3 +1188,133 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_phone_redactions"),
         F.sum(F.length("t") - F.length("t_clean")).alias("chars_removed"),
     )
+
+
+# --------------------------------------------------------------------------
+# Training-sequence assembly
+# --------------------------------------------------------------------------
+
+
+@register(
+    "pack_sequences_greedy",
+    _TOKS_CTE
+    + """,
+sized AS (
+  SELECT doc_id, doc_id % 16 AS shard, CAST(len(t) AS BIGINT) AS n_tokens
+  FROM toks),
+packed AS (
+  SELECT shard, doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT)
+           AS offset_tokens
+  FROM sized)
+SELECT shard,
+       CAST(coalesce(offset_tokens, 0) // 512 AS BIGINT) AS seq_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc
+FROM packed
+GROUP BY 1, 2
+    """,
+    tags=("text", "llm", "packing"),
+)
+def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (concat-and-chunk): documents are
+    concatenated in doc_id order and cut into fixed 512-token context
+    windows; each doc lands in the sequence its token offset falls in.
+
+    The global-concatenation order is the scale trap — a single
+    ORDER BY doc_id window serializes the corpus through one
+    partition. Sharding first (doc_id % 16) makes packing
+    embarrassingly parallel: each shard packs independently (the
+    standard practice — packing quality needs *local* density, not a
+    global order), and the window shuffles on the shard key.
+    Output: one row per (shard, sequence) with fill stats."""
+    d = load_spread(spark, sf_dir, "documents", "doc_id")
+    sized = d.select(
+        "doc_id",
+        (F.col("doc_id") % 16).alias("shard"),
+        F.size(F.expr("filter(split(text, ' '), x -> x != '')"))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    packed = sized.withColumn(
+        "offset_tokens", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return packed.groupBy(
+        "shard", (F.col("offset_tokens") / F.lit(512)).cast("bigint").alias("seq_id")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+@register(
+    "text_gopher_quality_rules",
+    _TOKS_CTE
+    + """,
+m AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_words,
+         round(CAST(n_chars AS DOUBLE) / len(t), 4) AS mean_word_len,
+         round(CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to')))
+               AS DOUBLE) / len(t), 4) AS stopword_frac
+  FROM toks WHERE len(t) > 0)
+SELECT doc_id, n_words, mean_word_len, stopword_frac,
+       (n_words BETWEEN 10 AND 100000) AS ok_length,
+       (mean_word_len BETWEEN 3.0 AND 10.0) AS ok_word_len,
+       (stopword_frac >= 0.01) AS ok_stopwords,
+       ((n_words BETWEEN 10 AND 100000)
+        AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        AND (stopword_frac >= 0.01)) AS keep
+FROM m
+    """,
+    tags=("text", "llm", "quality"),
+)
+def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1, the
+    standard pretraining filter set): word-count bounds, mean-word-
+    length bounds, and a stopword-presence floor, each exposed as a
+    flag plus the conjunctive keep decision. Pure map-side codegen —
+    one scan, zero shuffles; at 100 TB this is the cheapest filter
+    stage and runs first in the curation pipeline.
+
+    mean_word_len uses n_chars/n_words (chars incl. separators ≈ the
+    reference metric up to the +1/word space constant — fine for a
+    band check; both engines compute the identical expression)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.expr("filter(split(text, ' '), x -> x != '')")
+    sized = d.select(
+        "doc_id",
+        "n_chars",
+        toks.alias("t"),
+    ).filter(F.size("t") > 0)
+    stop = F.expr(
+        "size(filter(t, x -> x IN ('the','a','of','and','to')))"
+    )
+    m = sized.select(
+        "doc_id",
+        F.size("t").cast("bigint").alias("n_words"),
+        F.round(F.col("n_chars") / F.size("t"), 4).alias("mean_word_len"),
+        F.round(stop.cast("double") / F.size("t"), 4).alias("stopword_frac"),
+    )
+    ok_length = F.col("n_words").between(10, 100000)
+    ok_word_len = F.col("mean_word_len").between(3.0, 10.0)
+    ok_stop = F.col("stopword_frac") >= 0.01
+    return m.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "stopword_frac",
+        ok_length.alias("ok_length"),
+        ok_word_len.alias("ok_word_len"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_length & ok_word_len & ok_stop).alias("keep"),
+    )
