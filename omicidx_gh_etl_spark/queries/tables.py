@@ -56,7 +56,12 @@ def load_spread(
     co-partitioned.
     """
     df = load_table(spark, sf_dir, name)
-    return df.repartition(spark.sparkContext.defaultParallelism, key)
+    want = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= want:
+        # already parallel enough (the real many-files layout): the
+        # spread would be a pure-cost extra shuffle — skip it.
+        return df
+    return df.repartition(want, key)
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
