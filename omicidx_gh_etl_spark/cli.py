@@ -176,9 +176,16 @@ def cmd_status(args: argparse.Namespace) -> int:
     """Pipeline status dashboard (reference: omicidx_etl/status.py) —
     success rate, per-model durations, and recent failures, computed
     from ``meta.model_runs`` instead of ad-hoc metrics JSON files."""
+    from pathlib import Path
+
     from pyspark.sql import functions as F
 
     runner = _runner(args)
+    # a fresh warehouse has no meta/model_runs directory yet — that is
+    # the normal first-use state, not an error
+    if not (Path(args.warehouse_root) / "meta" / "model_runs").exists():
+        print("no runs recorded")
+        return 0
     runs = runner.run_history(limit=args.limit)
     if runs.isEmpty():
         print("no runs recorded")

@@ -177,18 +177,23 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """MinHash + LSH banding candidate pairs (d1 < d2, distinct).
 
-    Signature h_i(doc) = min over shingles of the first 60 bits of
-    md5(i || ':' || shingle) as a BIGINT; ``num_hashes`` rows split
-    into ``bands`` bands; docs whose band signatures collide become
-    candidates.
+    Hash family: per shingle, ONE md5 digest split into two 44-bit
+    halves ``a`` = substr(hex, 1, 11), ``b`` = substr(hex, 12, 11);
+    the ``num_hashes`` functions are the Carter-Wegman family
+    ``h_i = a + i*b`` (44 bits keeps a + 11b far below 2^63 — safe in
+    both engines). Signature h_i(doc) = min over the doc's shingles;
+    ``num_hashes`` rows split into ``bands`` bands; docs whose band
+    signatures collide become candidates.
 
     Scale / plan shape (the reason this isn't the naive formulation):
 
-    - Each shingle row computes its ``num_hashes`` hashes as a
-      map-side codegen'd projection; ONE groupBy(id) with per-seed MIN
-      yields the signature. BIGINT (not hex-string) min buffers keep
-      this a HashAggregate with map-side partial aggregation —
-      min(string) would force a SortAggregate over every shingle row.
+    - Each shingle row computes ONE md5 plus ``num_hashes`` cheap
+      multiply-adds as a map-side codegen'd projection (hashing is the
+      dominant map cost — per-seed md5s would multiply it); ONE
+      groupBy(id) with per-seed MIN yields the signature. BIGINT (not
+      hex-string) min buffers keep this a HashAggregate with map-side
+      partial aggregation — min(string) would force a SortAggregate
+      over every shingle row.
     - Band signatures are derived column-wise from the one signature
       row (no second aggregation).
     - Pairs come from groupBy(band, bsig) + sorted collect_list +

@@ -1279,12 +1279,12 @@ FROM m
     tags=("text", "llm", "quality"),
 )
 def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style document quality rules (Rae et al. 2021 §A1.1, the
-    standard pretraining filter set): word-count bounds, mean-word-
-    length bounds, and a stopword-presence floor, each exposed as a
-    flag plus the conjunctive keep decision. Pure map-side codegen —
-    one scan, zero shuffles; at 100 TB this is the cheapest filter
-    stage and runs first in the curation pipeline.
+    """Gopher-style document quality rules — the standard pretraining
+    filter set (Rae 2021 §A1.1): word-count bounds, mean-word-length
+    bounds, and a stopword-presence floor, each exposed as a flag plus
+    the conjunctive keep decision. Pure map-side codegen — one scan,
+    zero shuffles; at 100 TB this is the cheapest filter stage and
+    runs first in the curation pipeline.
 
     mean_word_len uses n_chars/n_words (chars incl. separators ≈ the
     reference metric up to the +1/word space constant — fine for a

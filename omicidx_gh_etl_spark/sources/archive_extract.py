@@ -90,11 +90,20 @@ def archive_member_lines(
     ).repartition(min(len(paths), spark.sparkContext.defaultParallelism))
 
     def _expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # bounded-size output batches: an archive decompresses to tens
+        # of GB of lines, so the generator is drained in 50k-line
+        # chunks instead of materializing a whole archive at once.
         cols = [f.name for f in LINES_SCHEMA.fields]
+        buf: list[tuple] = []
         for pdf in batches:
             for path in pdf["path"]:
-                rows = list(_member_lines(path, member_suffix))
-                yield pd.DataFrame(rows, columns=cols)
+                for row in _member_lines(path, member_suffix):
+                    buf.append(row)
+                    if len(buf) >= 50_000:
+                        yield pd.DataFrame(buf, columns=cols)
+                        buf = []
+        if buf:
+            yield pd.DataFrame(buf, columns=cols)
 
     return files_df.mapInPandas(_expand, LINES_SCHEMA)
 

@@ -83,10 +83,25 @@ def _normalize(record: dict, schema: T.StructType) -> dict:
     return out
 
 
-def _root(path: str) -> ET.Element:
+def _stream_elements(path: str, tag: str) -> Iterator[ET.Element]:
+    """Stream ``tag`` elements from a (possibly gzipped) XML file with
+    O(record) memory: ``iterparse`` + per-record ``elem.clear()`` +
+    ``root.clear()``. The real feeds are single multi-GB documents
+    (biosample_set.xml.gz decompresses to tens of GB) — a DOM parse
+    would OOM the executor; this is the generator-parse depth the
+    reference's parser packages use."""
     opener = gzip.open if path.endswith(".gz") else open
     with opener(path, "rb") as fh:
-        return ET.parse(fh).getroot()
+        it = ET.iterparse(fh, events=("start", "end"))
+        _, root = next(it)  # first start event == the document root
+        for event, elem in it:
+            if event != "end" or elem.tag != tag:
+                continue
+            yield elem
+            # free the consumed subtree AND the accumulated (already
+            # emptied) siblings hanging off the root
+            elem.clear()
+            root.clear()
 
 
 # -- BioSample ---------------------------------------------------------------
@@ -171,7 +186,8 @@ def _biosample_elements(root: ET.Element) -> Iterator[dict]:
 
 def biosample_records(path: str) -> Iterator[dict]:
     """<BioSampleSet> file → record dicts (BioSampleParser surface)."""
-    yield from _biosample_elements(_root(path))
+    for elem in _stream_elements(path, "BioSample"):
+        yield _normalize(biosample_record(elem), NCBI_BIOSAMPLE_SCHEMA)
 
 
 # -- BioProject --------------------------------------------------------------
@@ -216,8 +232,17 @@ def _bioproject_elements(root: ET.Element) -> Iterator[dict]:
 
 
 def bioproject_records(path: str) -> Iterator[dict]:
-    """<PackageSet> file → record dicts (BioProjectParser surface)."""
-    yield from _bioproject_elements(_root(path))
+    """<PackageSet> file → record dicts (BioProjectParser surface).
+
+    Streaming nesting note: the inner <Project> (the one owning a
+    direct ProjectID) ends BEFORE its outer wrapper, gets parsed and
+    cleared — so when the outer <Project> end-event fires it no longer
+    has a direct ProjectID child and is skipped, exactly one row per
+    package."""
+    for elem in _stream_elements(path, "Project"):
+        if elem.find("./ProjectID") is None:
+            continue
+        yield _normalize(bioproject_record(elem), NCBI_BIOPROJECT_SCHEMA)
 
 
 # -- PubMed medline ----------------------------------------------------------
@@ -228,7 +253,11 @@ def pubmed_record(elem: ET.Element) -> dict:
     cit = elem.find("MedlineCitation")
     art = cit.find("Article") if cit is not None else None
     doi = None
-    for aid in elem.iter("ArticleId"):
+    # scope to the ARTICLE's own id list: iterating the whole element
+    # would also match cited references' ArticleIds
+    # (PubmedData/ReferenceList/.../ArticleIdList, in the DTD since
+    # 2019) and a reference's DOI would overwrite the article's.
+    for aid in elem.findall("PubmedData/ArticleIdList/ArticleId"):
         if aid.get("IdType") == "doi":
             doi = (aid.text or "").strip()
     pubdate = None
@@ -297,7 +326,8 @@ def pubmed_records(path: str) -> Iterator[dict]:
     """<PubmedArticleSet> file → record dicts; ``source_file`` mirrors
     the reference's ``_read_from`` provenance column
     (etl/pubmed.py:98-99)."""
-    for rec in _pubmed_elements(_root(path)):
+    for elem in _stream_elements(path, "PubmedArticle"):
+        rec = _normalize(pubmed_record(elem), PUBMED_MEDLINE_SCHEMA)
         rec["source_file"] = path
         yield rec
 
@@ -331,9 +361,20 @@ def extract_records(
     cols = [f.name for f in schema.fields]
 
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # bounded-size output batches: one file can hold tens of
+        # millions of records (biosample_set.xml.gz), so buffering a
+        # whole file's rows before yielding would defeat the streaming
+        # parse. 5k rows ≈ a few MB per Arrow batch.
+        buf: list[dict] = []
         for pdf in batches:
-            rows = [rec for path in pdf["path"] for rec in records_fn(path)]
-            yield pd.DataFrame(rows, columns=cols)
+            for path in pdf["path"]:
+                for rec in records_fn(path):
+                    buf.append(rec)
+                    if len(buf) >= 5000:
+                        yield pd.DataFrame(buf, columns=cols)
+                        buf = []
+        if buf:
+            yield pd.DataFrame(buf, columns=cols)
 
     return files_df.mapInPandas(_parse, schema)
 

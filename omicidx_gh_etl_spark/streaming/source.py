@@ -46,8 +46,17 @@ def source_glob(source_path: str) -> str:
 
 def _probe_ts_type(spark: SparkSession, source_path: str) -> T.DataType:
     """Read the parquet footer (batch, schema-only) to learn how ``ts``
-    physically arrives under the pinned session confs."""
-    return spark.read.parquet(source_path).schema["ts"].dataType
+    physically arrives under the pinned session confs.
+
+    A not-yet-populated source directory (the canonical file-drop
+    deployment starts the stream BEFORE files land) cannot be probed —
+    fall back to the historical INT64-nanos encoding so the stream
+    still starts; a later timestamp[us] drop into a stream declared
+    long would fail the batch read loudly rather than misread."""
+    try:
+        return spark.read.parquet(source_path).schema["ts"].dataType
+    except Exception:  # [UNABLE_TO_INFER_SCHEMA] / PATH_NOT_FOUND
+        return T.LongType()
 
 
 def events_stream(

@@ -424,3 +424,45 @@ def test_snapshot_partition_batch_fn_scopes_rewrites(spark, tmp_path):
     # replayed epoch is a no-op
     fn(b([(1, "d1", "a2", 2)]), 1)
     assert table.latest_version() == 1
+
+
+def test_events_stream_starts_on_empty_source(spark, tmp_path):
+    """The canonical file-drop deployment starts the stream before any
+    files land: an unpopulatable probe must fall back to a declared
+    schema, not refuse to start."""
+    import uuid
+    from omicidx_gh_etl_spark.streaming.source import events_stream
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    name = f"empty_{uuid.uuid4().hex[:8]}"
+    q = (
+        events_stream(spark, str(src / "*"))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert spark.table(name).count() == 0
+    # files dropped AFTER the probe (nanos encoding, matching the
+    # declared fallback) are picked up on restart of the same source
+    t0 = 1_700_000_000_000_000
+    _write_events(str(src / "late.parquet"), [(1, t0, 10, 1.0)])
+    got = events_stream(spark, str(src / "*"))
+    name2 = f"late_{uuid.uuid4().hex[:8]}"
+    q2 = (
+        got.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name2)
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    rows = spark.table(name2).collect()
+    assert [r["ts_us"] for r in rows] == [t0]

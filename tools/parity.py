@@ -32,7 +32,11 @@ def _norm(v):
     if v is None:
         return None
     if isinstance(v, Decimal):
-        return ("dec", str(v.normalize()))
+        # registered builders cast final DECIMAL outputs to double
+        # (queries/base.py::hash_safe_output) while DuckDB's fetchall
+        # still yields Decimal — normalize both to the float tag so
+        # value-equal cells compare equal across the dtype gap.
+        return ("f", repr(round(float(v), 10)))
     if isinstance(v, float):
         if math.isnan(v):
             return ("f", "nan")
