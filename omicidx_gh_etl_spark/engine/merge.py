@@ -88,13 +88,15 @@ def publish_parquet(spark: SparkSession, df: DataFrame, target: Path) -> int:
     tmp = target.parent / f"{target.name}.__new_{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").option("compression", "zstd").parquet(str(tmp))
     # row count from the just-written footers (metadata-only), not a
-    # re-read count() of the data — free at any scale.
-    from .catalog import scan_parquet_metadata
+    # re-read count() of the data. The target is a driver-local Path
+    # (the whole function renames via the local filesystem), so a
+    # plain pyarrow loop beats launching a Spark job for it.
+    import pyarrow.parquet as pq
 
-    n = (
-        scan_parquet_metadata(spark, str(tmp))
-        .agg(F.coalesce(F.sum("num_rows"), F.lit(0)).alias("n"))
-        .collect()[0]["n"]
+    n = sum(
+        pq.ParquetFile(str(f)).metadata.num_rows
+        for f in tmp.rglob("*.parquet")
+        if f.is_file()
     )
     old = target.parent / f"{target.name}.__old_{uuid.uuid4().hex[:8]}"
     if target.exists():

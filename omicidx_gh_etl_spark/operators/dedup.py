@@ -177,20 +177,24 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """MinHash + LSH banding candidate pairs (d1 < d2, distinct).
 
-    Hash family: per shingle, ONE md5 digest split into two 44-bit
-    halves ``a`` = substr(hex, 1, 11), ``b`` = substr(hex, 12, 11);
-    the ``num_hashes`` functions are the Carter-Wegman family
-    ``h_i = a + i*b`` (44 bits keeps a + 11b far below 2^63 — safe in
-    both engines). Signature h_i(doc) = min over the doc's shingles;
-    ``num_hashes`` rows split into ``bands`` bands; docs whose band
-    signatures collide become candidates.
+    Signature: ONE PERMUTATION HASHING (Li, Owen & Zhang 2012) — one
+    44-bit md5 hash ``x`` per shingle, the hash space split into
+    ``num_hashes`` bins by ``x % num_hashes``, signature row j =
+    min x within bin j, empty bins filled by rotation densification
+    (first non-empty bin clockwise). Bins see DISJOINT random shingle
+    subsets, so signature rows are independent and the ``bands``-band
+    S-curve holds at ~J^rows_per_band per band. (A seed-linear family
+    like ``a + i*b`` would NOT work here: consecutive rows share their
+    argmin shingle, a band degenerates to ~J sensitivity, and every
+    doc sharing one low-hashing shingle floods the buckets —
+    simulation-verified before choosing this construction.)
 
     Scale / plan shape (the reason this isn't the naive formulation):
 
-    - Each shingle row computes ONE md5 plus ``num_hashes`` cheap
-      multiply-adds as a map-side codegen'd projection (hashing is the
-      dominant map cost — per-seed md5s would multiply it); ONE
-      groupBy(id) with per-seed MIN yields the signature. BIGINT (not
+    - Each shingle row computes ONE md5 as a map-side codegen'd
+      projection (hashing is the dominant map cost — per-seed md5s
+      would multiply it by ``num_hashes``); ONE groupBy(id) with
+      per-bin conditional MIN yields the signature. BIGINT (not
       hex-string) min buffers keep this a HashAggregate with map-side
       partial aggregation — min(string) would force a SortAggregate
       over every shingle row.
@@ -210,26 +214,34 @@ def minhash_lsh_candidates(
       corpus scale, where emitting their n² pairs is never wanted.
 
     md5 (not Spark's xxhash64) keeps signatures reproducible by the
-    DuckDB oracle: ``('0x' || substr(md5(..), 1, 15))::BIGINT``.
+    DuckDB oracle: ``('0x' || substr(md5(shingle), 1, 11))::BIGINT``.
     """
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
-    # ONE md5 per shingle, not num_hashes: split the digest into two
-    # 44-bit halves (a, b) and derive the family as h_i = a + i*b
-    # (Carter-Wegman 2-universal construction — the standard cheap
-    # minhash family). 44-bit values keep a + 11*b far below 2^63, so
-    # the arithmetic is overflow-free in BOTH engines (DuckDB errors
-    # on BIGINT overflow; Spark wraps). Cuts the dominant map-side
-    # hashing cost of the whole dedup path ~num_hashes×.
-    md5c = F.md5(F.col("shingle"))
-    a = F.conv(F.substring(md5c, 1, 11), 16, 10).cast("bigint")
-    b = F.conv(F.substring(md5c, 12, 11), 16, 10).cast("bigint")
+    x = F.conv(F.substring(F.md5(F.col("shingle")), 1, 11), 16, 10).cast(
+        "bigint"
+    )
     hashed = shingle_df.select(
-        F.col(id_col),
-        *[(a + F.lit(seed) * b).alias(f"h{seed}") for seed in range(num_hashes)],
+        F.col(id_col), x.alias("x"), (x % num_hashes).alias("bin")
     )
     sig = hashed.groupBy(id_col).agg(
-        *[F.min(f"h{seed}").alias(f"minh{seed}") for seed in range(num_hashes)]
+        *[
+            F.min(F.when(F.col("bin") == j, F.col("x"))).alias(f"s{j}")
+            for j in range(num_hashes)
+        ]
+    )
+    # rotation densification: an empty bin (doc has < num_hashes
+    # distinct shingle hashes in that residue class) borrows the first
+    # non-empty bin clockwise — every signature row is defined for any
+    # doc with ≥1 shingle.
+    sig = sig.select(
+        F.col(id_col),
+        *[
+            F.coalesce(
+                *[F.col(f"s{(j + k) % num_hashes}") for k in range(num_hashes)]
+            ).alias(f"minh{j}")
+            for j in range(num_hashes)
+        ],
     )
     band_sig = sig.select(
         F.col(id_col),

@@ -105,16 +105,46 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_lsh",
     _SHINGLE_CTE
     + """,
-seeded AS (
-  SELECT doc_id, seed,
-         ('0x' || substr(md5(shingle), 1, 11))::BIGINT
-           + seed * ('0x' || substr(md5(shingle), 12, 11))::BIGINT AS h
-  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS seed) seeds),
-sig AS (SELECT doc_id, seed, min(h) AS minh FROM seeded GROUP BY doc_id, seed),
+hx AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 11))::BIGINT AS x FROM sh),
+sig AS (
+  SELECT doc_id,
+         min(CASE WHEN x % 12 = 0 THEN x END) AS s0,
+         min(CASE WHEN x % 12 = 1 THEN x END) AS s1,
+         min(CASE WHEN x % 12 = 2 THEN x END) AS s2,
+         min(CASE WHEN x % 12 = 3 THEN x END) AS s3,
+         min(CASE WHEN x % 12 = 4 THEN x END) AS s4,
+         min(CASE WHEN x % 12 = 5 THEN x END) AS s5,
+         min(CASE WHEN x % 12 = 6 THEN x END) AS s6,
+         min(CASE WHEN x % 12 = 7 THEN x END) AS s7,
+         min(CASE WHEN x % 12 = 8 THEN x END) AS s8,
+         min(CASE WHEN x % 12 = 9 THEN x END) AS s9,
+         min(CASE WHEN x % 12 = 10 THEN x END) AS s10,
+         min(CASE WHEN x % 12 = 11 THEN x END) AS s11
+  FROM hx GROUP BY doc_id),
+dens AS (
+  SELECT doc_id,
+         coalesce(s0, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11) AS m0,
+         coalesce(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s0) AS m1,
+         coalesce(s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s0, s1) AS m2,
+         coalesce(s3, s4, s5, s6, s7, s8, s9, s10, s11, s0, s1, s2) AS m3,
+         coalesce(s4, s5, s6, s7, s8, s9, s10, s11, s0, s1, s2, s3) AS m4,
+         coalesce(s5, s6, s7, s8, s9, s10, s11, s0, s1, s2, s3, s4) AS m5,
+         coalesce(s6, s7, s8, s9, s10, s11, s0, s1, s2, s3, s4, s5) AS m6,
+         coalesce(s7, s8, s9, s10, s11, s0, s1, s2, s3, s4, s5, s6) AS m7,
+         coalesce(s8, s9, s10, s11, s0, s1, s2, s3, s4, s5, s6, s7) AS m8,
+         coalesce(s9, s10, s11, s0, s1, s2, s3, s4, s5, s6, s7, s8) AS m9,
+         coalesce(s10, s11, s0, s1, s2, s3, s4, s5, s6, s7, s8, s9) AS m10,
+         coalesce(s11, s0, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10) AS m11
+  FROM sig),
 bands AS (
-  SELECT doc_id, seed // 3 AS band,
-         md5(string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed)) AS bsig
-  FROM sig GROUP BY doc_id, seed // 3)
+  SELECT doc_id, 0 AS band, md5(CAST(m0 AS VARCHAR) || ',' || CAST(m1 AS VARCHAR) || ',' || CAST(m2 AS VARCHAR)) AS bsig FROM dens
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(CAST(m3 AS VARCHAR) || ',' || CAST(m4 AS VARCHAR) || ',' || CAST(m5 AS VARCHAR)) AS bsig FROM dens
+  UNION ALL
+  SELECT doc_id, 2 AS band, md5(CAST(m6 AS VARCHAR) || ',' || CAST(m7 AS VARCHAR) || ',' || CAST(m8 AS VARCHAR)) AS bsig FROM dens
+  UNION ALL
+  SELECT doc_id, 3 AS band, md5(CAST(m9 AS VARCHAR) || ',' || CAST(m10 AS VARCHAR) || ',' || CAST(m11 AS VARCHAR)) AS bsig FROM dens)
 SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
 FROM bands a
 JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
@@ -164,16 +194,46 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_components",
     _SHINGLE_CTE
     + """,
-seeded AS (
-  SELECT doc_id, seed,
-         ('0x' || substr(md5(shingle), 1, 11))::BIGINT
-           + seed * ('0x' || substr(md5(shingle), 12, 11))::BIGINT AS h
-  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS seed) seeds),
-sig AS (SELECT doc_id, seed, min(h) AS minh FROM seeded GROUP BY doc_id, seed),
+hx AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 11))::BIGINT AS x FROM sh),
+sig AS (
+  SELECT doc_id,
+         min(CASE WHEN x % 12 = 0 THEN x END) AS s0,
+         min(CASE WHEN x % 12 = 1 THEN x END) AS s1,
+         min(CASE WHEN x % 12 = 2 THEN x END) AS s2,
+         min(CASE WHEN x % 12 = 3 THEN x END) AS s3,
+         min(CASE WHEN x % 12 = 4 THEN x END) AS s4,
+         min(CASE WHEN x % 12 = 5 THEN x END) AS s5,
+         min(CASE WHEN x % 12 = 6 THEN x END) AS s6,
+         min(CASE WHEN x % 12 = 7 THEN x END) AS s7,
+         min(CASE WHEN x % 12 = 8 THEN x END) AS s8,
+         min(CASE WHEN x % 12 = 9 THEN x END) AS s9,
+         min(CASE WHEN x % 12 = 10 THEN x END) AS s10,
+         min(CASE WHEN x % 12 = 11 THEN x END) AS s11
+  FROM hx GROUP BY doc_id),
+dens AS (
+  SELECT doc_id,
+         coalesce(s0, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11) AS m0,
+         coalesce(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s0) AS m1,
+         coalesce(s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s0, s1) AS m2,
+         coalesce(s3, s4, s5, s6, s7, s8, s9, s10, s11, s0, s1, s2) AS m3,
+         coalesce(s4, s5, s6, s7, s8, s9, s10, s11, s0, s1, s2, s3) AS m4,
+         coalesce(s5, s6, s7, s8, s9, s10, s11, s0, s1, s2, s3, s4) AS m5,
+         coalesce(s6, s7, s8, s9, s10, s11, s0, s1, s2, s3, s4, s5) AS m6,
+         coalesce(s7, s8, s9, s10, s11, s0, s1, s2, s3, s4, s5, s6) AS m7,
+         coalesce(s8, s9, s10, s11, s0, s1, s2, s3, s4, s5, s6, s7) AS m8,
+         coalesce(s9, s10, s11, s0, s1, s2, s3, s4, s5, s6, s7, s8) AS m9,
+         coalesce(s10, s11, s0, s1, s2, s3, s4, s5, s6, s7, s8, s9) AS m10,
+         coalesce(s11, s0, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10) AS m11
+  FROM sig),
 bands AS (
-  SELECT doc_id, seed // 3 AS band,
-         md5(string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed)) AS bsig
-  FROM sig GROUP BY doc_id, seed // 3),
+  SELECT doc_id, 0 AS band, md5(CAST(m0 AS VARCHAR) || ',' || CAST(m1 AS VARCHAR) || ',' || CAST(m2 AS VARCHAR)) AS bsig FROM dens
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(CAST(m3 AS VARCHAR) || ',' || CAST(m4 AS VARCHAR) || ',' || CAST(m5 AS VARCHAR)) AS bsig FROM dens
+  UNION ALL
+  SELECT doc_id, 2 AS band, md5(CAST(m6 AS VARCHAR) || ',' || CAST(m7 AS VARCHAR) || ',' || CAST(m8 AS VARCHAR)) AS bsig FROM dens
+  UNION ALL
+  SELECT doc_id, 3 AS band, md5(CAST(m9 AS VARCHAR) || ',' || CAST(m10 AS VARCHAR) || ',' || CAST(m11 AS VARCHAR)) AS bsig FROM dens),
 pairs AS (
   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
   FROM bands a
