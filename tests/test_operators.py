@@ -659,3 +659,29 @@ def test_ann_index_rebuild_pins_versions(spark, sf_dir, tmp_path):
     assert r0_again == r0
     latest_ids = {t[1] for t in idx.search(spark, queries, k=3).collect()}
     assert all(v % 2 == 0 for v in latest_ids)
+
+
+def test_minhash_recall_and_precision_vs_exact_jaccard(spark, sf_dir):
+    """LSH banding quality gate on the synthetic corpus (planted
+    near-dups at J >= 0.9 over a ~0.07 background): every high-Jaccard
+    pair must be a candidate (theory: 1-(1-J^3)^4 ≈ 0.995 at J=0.9),
+    and the background must not flood the buckets — a regression to a
+    correlated hash family (e.g. a seed-linear one) collapses the
+    band S-curve and fails the precision bound long before it fails
+    identical-doc recall."""
+    from omicidx_gh_etl_spark.queries import REGISTRY
+
+    jac = {
+        (r["d1"], r["d2"]): r["jaccard"]
+        for r in REGISTRY["dedup_ngram_jaccard"].builder(spark, sf_dir).collect()
+    }
+    cand = {
+        (r["d1"], r["d2"])
+        for r in REGISTRY["dedup_minhash_lsh"].builder(spark, sf_dir).collect()
+    }
+    high = {k for k, j in jac.items() if j >= 0.9}
+    assert high, "corpus should contain planted near-dups"
+    assert len(high & cand) / len(high) >= 0.9  # recall on true near-dups
+    # precision: candidates may include sub-0.9 pairs, but not a
+    # background explosion (correlated families emit thousands here)
+    assert len(cand) <= 4 * len(high)
