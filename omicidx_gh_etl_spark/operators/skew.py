@@ -95,7 +95,11 @@ def two_stage_agg(
     final: list[Column] = []
     for out, (col, fn) in aggs.items():
         if fn == "count":
-            first.append(F.count(col).alias(out))
+            # col "*" → COUNT(*) (rows); a named col → COUNT(col)
+            # (non-null) — callers matching a SQL count(*) oracle must
+            # use "*" or nulls silently diverge.
+            expr = F.lit(1) if col == "*" else F.col(col)
+            first.append(F.count(expr).alias(out))
             final.append(F.sum(out).cast("long").alias(out))
         elif fn == "sum":
             first.append(F.sum(col).alias(out))

@@ -346,7 +346,7 @@ def skew_two_stage_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev,
         keys=["user_id"],
         aggs={
-            "n": ("v", "count"),
+            "n": ("*", "count"),  # count(*) — the oracle counts rows
             "total_value": ("v", "sum"),
             "last_us": ("ts_us", "max"),
         },
@@ -754,6 +754,7 @@ def event_bigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n
     FROM events
+    WHERE user_id IS NOT NULL
     GROUP BY user_id
     HAVING count(*) > (SELECT count(user_id) FROM events) / 120.0
     """,

@@ -40,6 +40,52 @@ WITH toks AS (
   FROM documents)
 """
 
+# Shared oracle CTE: OPH minhash signature -> densified rows -> band
+# signatures (must stay in lockstep with operators/dedup.py::
+# minhash_lsh_candidates — one definition, used by every minhash query).
+_MINHASH_BANDS_CTE = """,
+hx AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 11))::BIGINT AS x FROM sh),
+sig AS (
+  SELECT doc_id,
+         min(CASE WHEN x % 12 = 0 THEN x END) AS s0,
+         min(CASE WHEN x % 12 = 1 THEN x END) AS s1,
+         min(CASE WHEN x % 12 = 2 THEN x END) AS s2,
+         min(CASE WHEN x % 12 = 3 THEN x END) AS s3,
+         min(CASE WHEN x % 12 = 4 THEN x END) AS s4,
+         min(CASE WHEN x % 12 = 5 THEN x END) AS s5,
+         min(CASE WHEN x % 12 = 6 THEN x END) AS s6,
+         min(CASE WHEN x % 12 = 7 THEN x END) AS s7,
+         min(CASE WHEN x % 12 = 8 THEN x END) AS s8,
+         min(CASE WHEN x % 12 = 9 THEN x END) AS s9,
+         min(CASE WHEN x % 12 = 10 THEN x END) AS s10,
+         min(CASE WHEN x % 12 = 11 THEN x END) AS s11
+  FROM hx GROUP BY doc_id),
+dens AS (
+  SELECT doc_id,
+         coalesce(s0, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11) AS m0,
+         coalesce(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s0) AS m1,
+         coalesce(s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s0, s1) AS m2,
+         coalesce(s3, s4, s5, s6, s7, s8, s9, s10, s11, s0, s1, s2) AS m3,
+         coalesce(s4, s5, s6, s7, s8, s9, s10, s11, s0, s1, s2, s3) AS m4,
+         coalesce(s5, s6, s7, s8, s9, s10, s11, s0, s1, s2, s3, s4) AS m5,
+         coalesce(s6, s7, s8, s9, s10, s11, s0, s1, s2, s3, s4, s5) AS m6,
+         coalesce(s7, s8, s9, s10, s11, s0, s1, s2, s3, s4, s5, s6) AS m7,
+         coalesce(s8, s9, s10, s11, s0, s1, s2, s3, s4, s5, s6, s7) AS m8,
+         coalesce(s9, s10, s11, s0, s1, s2, s3, s4, s5, s6, s7, s8) AS m9,
+         coalesce(s10, s11, s0, s1, s2, s3, s4, s5, s6, s7, s8, s9) AS m10,
+         coalesce(s11, s0, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10) AS m11
+  FROM sig),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(CAST(m0 AS VARCHAR) || ',' || CAST(m1 AS VARCHAR) || ',' || CAST(m2 AS VARCHAR)) AS bsig FROM dens
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(CAST(m3 AS VARCHAR) || ',' || CAST(m4 AS VARCHAR) || ',' || CAST(m5 AS VARCHAR)) AS bsig FROM dens
+  UNION ALL
+  SELECT doc_id, 2 AS band, md5(CAST(m6 AS VARCHAR) || ',' || CAST(m7 AS VARCHAR) || ',' || CAST(m8 AS VARCHAR)) AS bsig FROM dens
+  UNION ALL
+  SELECT doc_id, 3 AS band, md5(CAST(m9 AS VARCHAR) || ',' || CAST(m10 AS VARCHAR) || ',' || CAST(m11 AS VARCHAR)) AS bsig FROM dens)"""
+
+
 
 # --------------------------------------------------------------------------
 # Deduplication
@@ -104,47 +150,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_minhash_lsh",
     _SHINGLE_CTE
-    + """,
-hx AS (
-  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 11))::BIGINT AS x FROM sh),
-sig AS (
-  SELECT doc_id,
-         min(CASE WHEN x % 12 = 0 THEN x END) AS s0,
-         min(CASE WHEN x % 12 = 1 THEN x END) AS s1,
-         min(CASE WHEN x % 12 = 2 THEN x END) AS s2,
-         min(CASE WHEN x % 12 = 3 THEN x END) AS s3,
-         min(CASE WHEN x % 12 = 4 THEN x END) AS s4,
-         min(CASE WHEN x % 12 = 5 THEN x END) AS s5,
-         min(CASE WHEN x % 12 = 6 THEN x END) AS s6,
-         min(CASE WHEN x % 12 = 7 THEN x END) AS s7,
-         min(CASE WHEN x % 12 = 8 THEN x END) AS s8,
-         min(CASE WHEN x % 12 = 9 THEN x END) AS s9,
-         min(CASE WHEN x % 12 = 10 THEN x END) AS s10,
-         min(CASE WHEN x % 12 = 11 THEN x END) AS s11
-  FROM hx GROUP BY doc_id),
-dens AS (
-  SELECT doc_id,
-         coalesce(s0, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11) AS m0,
-         coalesce(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s0) AS m1,
-         coalesce(s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s0, s1) AS m2,
-         coalesce(s3, s4, s5, s6, s7, s8, s9, s10, s11, s0, s1, s2) AS m3,
-         coalesce(s4, s5, s6, s7, s8, s9, s10, s11, s0, s1, s2, s3) AS m4,
-         coalesce(s5, s6, s7, s8, s9, s10, s11, s0, s1, s2, s3, s4) AS m5,
-         coalesce(s6, s7, s8, s9, s10, s11, s0, s1, s2, s3, s4, s5) AS m6,
-         coalesce(s7, s8, s9, s10, s11, s0, s1, s2, s3, s4, s5, s6) AS m7,
-         coalesce(s8, s9, s10, s11, s0, s1, s2, s3, s4, s5, s6, s7) AS m8,
-         coalesce(s9, s10, s11, s0, s1, s2, s3, s4, s5, s6, s7, s8) AS m9,
-         coalesce(s10, s11, s0, s1, s2, s3, s4, s5, s6, s7, s8, s9) AS m10,
-         coalesce(s11, s0, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10) AS m11
-  FROM sig),
-bands AS (
-  SELECT doc_id, 0 AS band, md5(CAST(m0 AS VARCHAR) || ',' || CAST(m1 AS VARCHAR) || ',' || CAST(m2 AS VARCHAR)) AS bsig FROM dens
-  UNION ALL
-  SELECT doc_id, 1 AS band, md5(CAST(m3 AS VARCHAR) || ',' || CAST(m4 AS VARCHAR) || ',' || CAST(m5 AS VARCHAR)) AS bsig FROM dens
-  UNION ALL
-  SELECT doc_id, 2 AS band, md5(CAST(m6 AS VARCHAR) || ',' || CAST(m7 AS VARCHAR) || ',' || CAST(m8 AS VARCHAR)) AS bsig FROM dens
-  UNION ALL
-  SELECT doc_id, 3 AS band, md5(CAST(m9 AS VARCHAR) || ',' || CAST(m10 AS VARCHAR) || ',' || CAST(m11 AS VARCHAR)) AS bsig FROM dens)
+    + _MINHASH_BANDS_CTE
+    + """
 SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
 FROM bands a
 JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
@@ -193,47 +200,8 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_components",
     _SHINGLE_CTE
+    + _MINHASH_BANDS_CTE
     + """,
-hx AS (
-  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 11))::BIGINT AS x FROM sh),
-sig AS (
-  SELECT doc_id,
-         min(CASE WHEN x % 12 = 0 THEN x END) AS s0,
-         min(CASE WHEN x % 12 = 1 THEN x END) AS s1,
-         min(CASE WHEN x % 12 = 2 THEN x END) AS s2,
-         min(CASE WHEN x % 12 = 3 THEN x END) AS s3,
-         min(CASE WHEN x % 12 = 4 THEN x END) AS s4,
-         min(CASE WHEN x % 12 = 5 THEN x END) AS s5,
-         min(CASE WHEN x % 12 = 6 THEN x END) AS s6,
-         min(CASE WHEN x % 12 = 7 THEN x END) AS s7,
-         min(CASE WHEN x % 12 = 8 THEN x END) AS s8,
-         min(CASE WHEN x % 12 = 9 THEN x END) AS s9,
-         min(CASE WHEN x % 12 = 10 THEN x END) AS s10,
-         min(CASE WHEN x % 12 = 11 THEN x END) AS s11
-  FROM hx GROUP BY doc_id),
-dens AS (
-  SELECT doc_id,
-         coalesce(s0, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11) AS m0,
-         coalesce(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s0) AS m1,
-         coalesce(s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s0, s1) AS m2,
-         coalesce(s3, s4, s5, s6, s7, s8, s9, s10, s11, s0, s1, s2) AS m3,
-         coalesce(s4, s5, s6, s7, s8, s9, s10, s11, s0, s1, s2, s3) AS m4,
-         coalesce(s5, s6, s7, s8, s9, s10, s11, s0, s1, s2, s3, s4) AS m5,
-         coalesce(s6, s7, s8, s9, s10, s11, s0, s1, s2, s3, s4, s5) AS m6,
-         coalesce(s7, s8, s9, s10, s11, s0, s1, s2, s3, s4, s5, s6) AS m7,
-         coalesce(s8, s9, s10, s11, s0, s1, s2, s3, s4, s5, s6, s7) AS m8,
-         coalesce(s9, s10, s11, s0, s1, s2, s3, s4, s5, s6, s7, s8) AS m9,
-         coalesce(s10, s11, s0, s1, s2, s3, s4, s5, s6, s7, s8, s9) AS m10,
-         coalesce(s11, s0, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10) AS m11
-  FROM sig),
-bands AS (
-  SELECT doc_id, 0 AS band, md5(CAST(m0 AS VARCHAR) || ',' || CAST(m1 AS VARCHAR) || ',' || CAST(m2 AS VARCHAR)) AS bsig FROM dens
-  UNION ALL
-  SELECT doc_id, 1 AS band, md5(CAST(m3 AS VARCHAR) || ',' || CAST(m4 AS VARCHAR) || ',' || CAST(m5 AS VARCHAR)) AS bsig FROM dens
-  UNION ALL
-  SELECT doc_id, 2 AS band, md5(CAST(m6 AS VARCHAR) || ',' || CAST(m7 AS VARCHAR) || ',' || CAST(m8 AS VARCHAR)) AS bsig FROM dens
-  UNION ALL
-  SELECT doc_id, 3 AS band, md5(CAST(m9 AS VARCHAR) || ',' || CAST(m10 AS VARCHAR) || ',' || CAST(m11 AS VARCHAR)) AS bsig FROM dens),
 pairs AS (
   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
   FROM bands a
@@ -635,11 +603,19 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_features",
     """
+    WITH h AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents)
     SELECT doc_id,
-           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-           CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte,
-           CAST(ascii(substr(text, length(text), 1)) AS INT) AS last_byte
-    FROM documents
+           CAST(length(hx) / 2 AS INT) AS n_bytes,
+           -- UTF-8 BYTE semantics (payload[0]/payload[-1] in the
+           -- operator), not character codepoints: ascii(substr(..))
+           -- diverges on any non-ASCII edge character; -1 on empty
+           CAST(CASE WHEN hx = '' THEN -1
+                ELSE ('0x' || substr(hx, 1, 2))::BIGINT END AS INT)
+             AS first_byte,
+           CAST(CASE WHEN hx = '' THEN -1
+                ELSE ('0x' || substr(hx, -2, 2))::BIGINT END AS INT)
+             AS last_byte
+    FROM h
     """,
     tags=("multimodal",),
 )

@@ -233,9 +233,10 @@ def interval_coalesce_user_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@register(
-    "session_window_builtin",
-    """
+# One oracle for BOTH session_window surfaces (batch builtin here,
+# the watermarked stream in streaming_ops.py) — the "same oracle" claim
+# in their docstrings is enforced by sharing this constant.
+SESSION_WINDOW_ORACLE = """
     WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
     flagged AS (
       SELECT user_id, ts_us,
@@ -254,7 +255,12 @@ def interval_coalesce_user_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
            max(ts_us) + 1800000000 AS session_end_us,
            count(*) AS n_events
     FROM grouped GROUP BY user_id, gid
-    """,
+    """
+
+
+@register(
+    "session_window_builtin",
+    SESSION_WINDOW_ORACLE,
     tags=("windows", "streaming-twin"),
 )
 def session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:

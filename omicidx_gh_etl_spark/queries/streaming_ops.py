@@ -17,6 +17,7 @@ from ..streaming import (
     run_streaming_window_counts,
 )
 from .base import register
+from .reshape import SESSION_WINDOW_ORACLE
 
 
 @register(
@@ -155,26 +156,7 @@ def streaming_static_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_session_window",
-    """
-    WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
-    flagged AS (
-      SELECT user_id, ts_us,
-             CASE WHEN lag(ts_us) OVER w IS NULL
-                       OR ts_us - lag(ts_us) OVER w >= 1800000000
-                  THEN 1 ELSE 0 END AS is_start
-      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
-    grouped AS (
-      SELECT user_id, ts_us,
-             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts_us
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS gid
-      FROM flagged)
-    SELECT user_id,
-           min(ts_us) AS session_start_us,
-           max(ts_us) + 1800000000 AS session_end_us,
-           count(*) AS n_events
-    FROM grouped GROUP BY user_id, gid
-    """,
+    SESSION_WINDOW_ORACLE,  # shared with session_window_builtin
     tags=("streaming", "windows"),
 )
 def streaming_session_window_query(spark: SparkSession, sf_dir: str) -> DataFrame:

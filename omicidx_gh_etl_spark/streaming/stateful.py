@@ -75,8 +75,14 @@ def _session_fn(gap_us: int, timeout: bool):
                 closed.append((user_id, start, last, n, total))
             state.remove()
         else:
-            for pdf in pdfs:
-                pdf = pdf.sort_values(["ts_us", "event_id"])
+            # One key's micro-batch arrives as MULTIPLE Arrow chunks
+            # (maxRecordsPerBatch) in arbitrary shuffle order — a
+            # per-chunk sort would process chunk 2's earlier events
+            # after chunk 1's later ones and mis-split sessions.
+            # Concat + one sort per key; memory is one key's batch.
+            batch = pd.concat(list(pdfs), ignore_index=True)
+            if len(batch):
+                pdf = batch.sort_values(["ts_us", "event_id"])
                 for ts, v in zip(pdf["ts_us"].to_numpy(), pdf["value"].to_numpy()):
                     ts = int(ts)
                     if last is not None and ts - last > gap_us:

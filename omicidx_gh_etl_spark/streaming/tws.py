@@ -95,8 +95,12 @@ class SessionizeProcessor(StatefulProcessor):
         prev_last = last
 
         closed: list[tuple] = []
-        for pdf in rows:
-            pdf = pdf.sort_values(["ts_us", "event_id"])
+        # concat + ONE sort per key: the micro-batch arrives as
+        # multiple Arrow chunks in arbitrary order — a per-chunk sort
+        # would walk events out of time order (see stateful.py twin).
+        batch = pd.concat(list(rows), ignore_index=True)
+        if len(batch):
+            pdf = batch.sort_values(["ts_us", "event_id"])
             for ts, v in zip(pdf["ts_us"].to_numpy(), pdf["value"].to_numpy()):
                 ts = int(ts)
                 if last is not None and ts - last > self._gap_us:

@@ -93,11 +93,34 @@ def run_events_upsert_stream(
 # --------------------------------------------------------------------------
 
 
+def _should_skip(table, txn_id: str | None, epoch_id: int) -> bool:
+    """Replay guard, scoped by transaction id (Delta's txnAppId/
+    txnVersion pattern). Epoch ids restart at 0 for every NEW
+    checkpoint, so a bare ``epoch <= applied`` comparison would
+    silently DROP the first batches of a re-checkpointed or second
+    stream writing to the same table — the epoch only orders batches
+    *within* one txn_id. A batch from a different (or absent) txn_id
+    is never skipped; the merge's latest-version-wins idempotency is
+    the fallback there."""
+    last = table.latest_version()
+    if last is None:
+        return False
+    meta = table.snapshot(last).meta
+    applied = meta.get("epoch_id")
+    return (
+        applied is not None
+        and txn_id is not None
+        and meta.get("txn_id") == txn_id
+        and epoch_id <= applied
+    )
+
+
 def make_snapshot_batch_fn(
     table,
     keys: list[str],
     order_cols: list[str],
     delete_col: str | None = None,
+    txn_id: str | None = None,
 ):
     """Build the ``foreachBatch`` function for streaming upserts into a
     :class:`~..engine.snapshots.SnapshotTable` with exactly-once batch
@@ -109,21 +132,26 @@ def make_snapshot_batch_fn(
     input, but replay still costs a full rewrite — and a non-idempotent
     sink (append) would duplicate. The fix is the table-format
     transaction pattern (Delta's txnAppId/txnVersion): every commit
-    records its epoch id in the snapshot's ``meta``; a batch whose
-    epoch ≤ the last committed epoch is skipped entirely. Epoch ids are
-    monotonic per checkpoint, so one integer of state — stored in the
-    table's own log, crash-atomic with the data — is enough.
+    records ``(txn_id, epoch_id)`` in the snapshot's ``meta``; a batch
+    whose epoch ≤ the last committed epoch OF THE SAME ``txn_id`` is
+    skipped entirely (see :func:`_should_skip` for why the id scoping
+    is load-bearing).
+
+    ``txn_id`` should be stable across restarts of the same logical
+    stream — derive it from the checkpoint location (or StreamingQuery
+    ``id``). Defaults to a fresh uuid per sink build: replays within
+    one process are still skipped; after a restart the guard
+    disengages and correctness falls back to merge idempotency.
     """
     from ..engine.merge import merge_into_snapshot
+
+    txn_id = txn_id or f"txn_{uuid.uuid4().hex[:12]}"
 
     def _apply(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
-        last = table.latest_version()
-        if last is not None:
-            applied = table.snapshot(last).meta.get("epoch_id")
-            if applied is not None and epoch_id <= applied:
-                return  # replayed batch — already durable in the log
+        if _should_skip(table, txn_id, epoch_id):
+            return  # replayed batch — already durable in the log
         merge_into_snapshot(
             table,
             batch,
@@ -131,7 +159,7 @@ def make_snapshot_batch_fn(
             order_cols=order_cols,
             delete_col=delete_col,
             note=f"stream epoch {epoch_id}",
-            meta={"epoch_id": epoch_id},
+            meta={"epoch_id": epoch_id, "txn_id": txn_id},
         )
 
     return _apply
@@ -163,11 +191,12 @@ def make_snapshot_partition_batch_fn(
     order_cols: list[str],
     partition_col: str,
     delete_col: str | None = None,
+    txn_id: str | None = None,
 ):
     """Partition-scoped exactly-once ``foreachBatch``: each micro-batch
     merges into ONLY the partitions it touches
-    (`merge_into_snapshot_partitions`), with the same epoch-id replay
-    guard as :func:`make_snapshot_batch_fn`.
+    (`merge_into_snapshot_partitions`), with the same txn-scoped
+    epoch replay guard as :func:`make_snapshot_batch_fn`.
 
     This is the steady-state 100 TB streaming-CDC shape: per batch,
     work is O(touched partitions + batch), the table's full history
@@ -176,14 +205,13 @@ def make_snapshot_partition_batch_fn(
     """
     from ..engine.merge import merge_into_snapshot_partitions
 
+    txn_id = txn_id or f"txn_{uuid.uuid4().hex[:12]}"
+
     def _apply(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
-        last = table.latest_version()
-        if last is not None:
-            applied = table.snapshot(last).meta.get("epoch_id")
-            if applied is not None and epoch_id <= applied:
-                return
+        if _should_skip(table, txn_id, epoch_id):
+            return
         merge_into_snapshot_partitions(
             table,
             batch,
@@ -192,7 +220,7 @@ def make_snapshot_partition_batch_fn(
             partition_col=partition_col,
             delete_col=delete_col,
             note=f"stream epoch {epoch_id}",
-            meta={"epoch_id": epoch_id},
+            meta={"epoch_id": epoch_id, "txn_id": txn_id},
         )
 
     return _apply

@@ -330,7 +330,8 @@ def test_snapshot_batch_fn_exactly_once_replay(spark, tmp_path):
     fn(b([(1, "a", 1), (2, "b", 1)]), 0)
     fn(b([(1, "a2", 2)]), 1)
     assert table.latest_version() == 1
-    assert table.snapshot(1).meta == {"epoch_id": 1}
+    assert table.snapshot(1).meta["epoch_id"] == 1
+    assert table.snapshot(1).meta["txn_id"]  # txn-scoped guard
 
     # restart replays epoch 1 → must not create a new version
     fn(b([(1, "a2", 2)]), 1)
@@ -346,6 +347,13 @@ def test_snapshot_batch_fn_exactly_once_replay(spark, tmp_path):
     }
     # time travel over ingest history
     assert {r["id"] for r in table.read(spark, 0).collect()} == {1, 2}
+
+    # a NEW checkpoint restarts epochs at 0 — a different txn must NOT
+    # be treated as a replay (the unscoped-guard data-loss case)
+    from omicidx_gh_etl_spark.streaming import make_snapshot_batch_fn as mk
+    fn2 = mk(table, keys=["id"], order_cols=["ver"])
+    fn2(b([(4, "d", 1)]), 0)
+    assert {r["id"] for r in table.read(spark).collect()} == {1, 2, 3, 4}
 
 
 def test_stream_upsert_snapshot_end_to_end(spark, tmp_path):
