@@ -212,11 +212,13 @@ def bioproject_record(elem: ET.Element) -> dict:
             p.get("id") for p in elem.iter("Publication") if p.get("id")
         ],
         "locus_tags": [
-            t.text.strip() for t in elem.iter("LocusTagPrefix") if t.text
+            t.text.strip() for t in elem.iter("LocusTagPrefix") if t.text and t.text.strip()
         ],
-        "data_types": [t.text.strip() for t in elem.iter("DataType") if t.text],
+        "data_types": [
+            t.text.strip() for t in elem.iter("DataType") if t.text and t.text.strip()
+        ],
         "external_links": [
-            u.text.strip() for u in elem.iter("URL") if u.text
+            u.text.strip() for u in elem.iter("URL") if u.text and u.text.strip()
         ],
     }
 
