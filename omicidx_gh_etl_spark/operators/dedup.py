@@ -80,6 +80,90 @@ def _gram_sql(n: int) -> str:
     return f"concat_ws(' ', {parts})"
 
 
+def positional_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int = 8
+) -> DataFrame:
+    """Word ``n``-gram shingles WITH their 0-based start position →
+    rows (id, pos, shingle). The substrate for exact-substring span
+    detection (:func:`duplicate_span_runs`), where *where* a shingle
+    occurs matters, not just *whether* it occurs."""
+    toks = df.select(F.col(id_col), tokens_expr(text_col).alias("t"))
+    arr = (
+        f"CASE WHEN size(t) >= {n} THEN "
+        f"transform(sequence(0, size(t) - {n}), i -> {_gram_sql(n)}) "
+        f"ELSE array() END"
+    )
+    return toks.select(
+        F.col(id_col), F.posexplode(F.expr(arr)).alias("pos", "shingle")
+    )
+
+
+def duplicate_span_runs(
+    pos_shingle_df: DataFrame,
+    id_col: str,
+    n: int,
+    min_len: int,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Maximal shared exact token runs between document pairs — the
+    distributed form of exact-substring training-data dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better": duplicated spans, not whole near-dup documents,
+    are what LMs memorize).
+
+    Pipeline (all DataFrame ops, one lineage):
+
+    1. inverted-index equi-join of positional ``n``-gram hashes
+       (md5 → 128-bit key: shuffle carries a fixed-width hash, not
+       the n-token span text; oracle-reproducible unlike xxhash64),
+       ``d1 < d2`` → matched anchor positions (d1, d2, p1, p2);
+    2. consecutive anchors with the same alignment offset
+       ``p1 - p2`` form a shared run — classic gaps-islands:
+       ``island = p1 - row_number()`` within (d1, d2, offset), since
+       p1 is unique per offset group (p2 ≡ p1 - offset);
+    3. one aggregate per island → (start1, start2,
+       len_tokens = matched shingles + n - 1), filtered to
+       ``len_tokens >= min_len``.
+
+    Scale: the join shuffles on content-hash keys (uniform, skew-free)
+    and its output is ∝ true matched anchors — no n² anywhere. The one
+    blowup risk is a corpus-hot shingle (boilerplate header shared by
+    millions of docs): ``max_shingle_df`` drops shingles occurring
+    more than that many times BEFORE the join, exactly the stop-gram
+    cap production exact-substring pipelines apply. The gaps-islands
+    window repartitions on (d1, d2, offset) — per-pair state only,
+    no global sort.
+    """
+    sh = pos_shingle_df.select(
+        F.col(id_col), F.col("pos"), F.md5("shingle").alias("sh")
+    )
+    if max_shingle_df is not None:
+        freq = sh.groupBy("sh").agg(F.count("*").alias("df_"))
+        sh = sh.join(
+            F.broadcast(freq.filter(F.col("df_") <= max_shingle_df)), "sh"
+        ).drop("df_")
+    a = sh.select(F.col(id_col).alias("d1"), F.col("pos").alias("p1"), "sh")
+    b = sh.select(F.col(id_col).alias("d2"), F.col("pos").alias("p2"), "sh")
+    m = (
+        a.join(b, ["sh"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", "p1", "p2")
+    )
+    off = F.col("p1") - F.col("p2")
+    w = W.partitionBy("d1", "d2", off).orderBy("p1")
+    runs = m.withColumn("isl", F.col("p1") - F.row_number().over(w))
+    return (
+        runs.groupBy("d1", "d2", off.alias("off"), "isl")
+        .agg(
+            F.min("p1").alias("start1"),
+            F.min("p2").alias("start2"),
+            (F.count("*") + F.lit(n - 1)).alias("len_tokens"),
+        )
+        .filter(F.col("len_tokens") >= min_len)
+        .select("d1", "d2", "start1", "start2", "len_tokens")
+    )
+
+
 def jaccard_pairs(
     shingle_df: DataFrame,
     id_col: str,

@@ -877,3 +877,88 @@ def linreg_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept("y", "x"), 4).alias("intercept"),
         F.round(F.regr_r2("y", "x"), 6).alias("r2"),
     )
+
+
+# --------------------------------------------------------------------------
+# Data layout: Z-order (Morton) clustering value
+# --------------------------------------------------------------------------
+
+_Z_BITS = 12
+
+
+def _z_sql(bits: int = _Z_BITS) -> str:
+    """Bit-interleave expression over scaled columns s0/s1 — IDENTICAL
+    text for Spark SQL and DuckDB (floor/power arithmetic instead of
+    engine-specific shift operators; exact for s < 2^52, here < 2^12).
+    One definition feeds both the builder and the oracle below."""
+    terms = []
+    for j in range(bits):
+        for d, s in enumerate(("s0", "s1")):
+            w = 1 << (2 * j + d)
+            terms.append(
+                f"(CAST(floor({s} / power(2, {j})) AS BIGINT) % 2)"
+                f" * CAST({w} AS BIGINT)"
+            )
+    return " + ".join(terms)
+
+
+_Z_SCALE0 = (
+    "least(4095, CAST(floor((user_id - mn0) * 4096.0 "
+    "/ greatest(mx0 - mn0, 1)) AS BIGINT))"
+)
+_Z_SCALE1 = (
+    "least(4095, CAST(floor((day - mn1) * 4096.0 "
+    "/ greatest(mx1 - mn1, 1)) AS BIGINT))"
+)
+
+
+@register(
+    "layout_zorder_events",
+    f"""
+    WITH ev AS (
+      SELECT event_id, user_id, epoch_us(ts) // 86400000000 AS day
+      FROM events),
+    b AS (
+      SELECT min(user_id) AS mn0, max(user_id) AS mx0,
+             min(day) AS mn1, max(day) AS mx1
+      FROM ev),
+    s AS (
+      SELECT event_id, user_id, day,
+             {_Z_SCALE0} AS s0,
+             {_Z_SCALE1} AS s1
+      FROM ev CROSS JOIN b)
+    SELECT event_id, user_id, day, {_z_sql()} AS zval
+    FROM s
+    """,
+    tags=("layout", "olap"),
+)
+def layout_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering value per event over
+    (user_id, day): the multi-dimensional sort key behind
+    sources/layout.py::zorder_write. Sorting files by zval gives BOTH
+    columns tight per-file min/max ranges, so predicates on either
+    prune parquet row groups — the data-layout lever at 100 TB, where
+    a scan-everything query is the thing you must never do.
+
+    Plan: one tiny min/max aggregate (broadcast back as a 1-row cross
+    join), then the scale + interleave is a pure map-side projection —
+    zero extra shuffles on the fact table. The floor/power bit
+    arithmetic is engine-neutral, so the oracle reproduces zval
+    bit-for-bit (see _z_sql)."""
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "user_id", F.expr("ts_us div 86400000000").alias("day")
+    )
+    b = ev.agg(
+        F.min("user_id").alias("mn0"),
+        F.max("user_id").alias("mx0"),
+        F.min("day").alias("mn1"),
+        F.max("day").alias("mx1"),
+    )
+    s = (
+        ev.crossJoin(F.broadcast(b))
+        .withColumn("s0", F.expr(_Z_SCALE0))
+        .withColumn("s1", F.expr(_Z_SCALE1))
+    )
+    return s.select(
+        "event_id", "user_id", "day", F.expr(_z_sql()).alias("zval")
+    )

@@ -85,6 +85,12 @@ bands AS (
   UNION ALL
   SELECT doc_id, 3 AS band, md5(CAST(m9 AS VARCHAR) || ',' || CAST(m10 AS VARCHAR) || ',' || CAST(m11 AS VARCHAR)) AS bsig FROM dens)"""
 
+# Shared oracle macro: cosine similarity over DOUBLE[] lists.
+_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
 
 
 # --------------------------------------------------------------------------
@@ -233,6 +239,118 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_exact_substring_spans",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents),
+    psh0 AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) >= 8
+                         THEN generate_series(1, len(t) - 7) ELSE [] END) AS i,
+             t
+      FROM toks),
+    psh AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' '
+                 || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7])
+             AS sh
+      FROM psh0),
+    keep AS (SELECT sh FROM psh GROUP BY sh HAVING count(*) <= 50),
+    pshk AS (SELECT psh.* FROM psh JOIN keep USING (sh)),
+    m AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, a.pos AS p1, b.pos AS p2
+      FROM pshk a JOIN pshk b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+    runs AS (
+      SELECT d1, d2, p1, p2,
+             p1 - row_number() OVER (PARTITION BY d1, d2, p1 - p2 ORDER BY p1)
+             AS isl
+      FROM m)
+    SELECT d1, d2, min(p1) AS start1, min(p2) AS start2,
+           CAST(count(*) + 7 AS BIGINT) AS len_tokens
+    FROM runs GROUP BY d1, d2, p1 - p2, isl
+    HAVING count(*) + 7 >= 12
+    """,
+    tags=("dedup", "text"),
+)
+def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span dedup (Lee et al. 2022): maximal shared
+    runs of ≥ 12 tokens between document pairs, found via positional
+    8-gram anchors + gaps-islands run merging — the span-level dedup
+    whole-document near-dup methods (minhash/simhash) cannot express.
+    Hot-shingle cap (≤ 50 occurrences) bounds the anchor join exactly
+    like a production stop-gram list. See
+    operators/dedup.py::duplicate_span_runs for the scale analysis."""
+    d = load_spread(spark, sf_dir, "documents", "doc_id")
+    psh = dedup.positional_shingles(d, "text", "doc_id", n=8)
+    return dedup.duplicate_span_runs(
+        psh, "doc_id", n=8, min_len=12, max_shingle_df=50
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    de AS (
+      SELECT d.doc_id, d.source, e.v
+      FROM documents d JOIN e ON e.vec_id = d.doc_id),
+    h AS (SELECT vec_id AS hp_id, v AS hv FROM e WHERE vec_id < 8),
+    bits AS (
+      SELECT de.doc_id, h.hp_id,
+             CASE WHEN list_dot_product(v, hv) >= 0 THEN '1' ELSE '0' END AS b
+      FROM de CROSS JOIN h),
+    buckets AS (
+      SELECT doc_id, string_agg(b, '' ORDER BY hp_id) AS bucket
+      FROM bits GROUP BY doc_id),
+    joined AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2
+      FROM buckets a JOIN buckets b
+        ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+    SELECT d1, d2,
+           round({_COS.format(a='ea.v', b='eb.v')}, 4) AS cos_sim,
+           CASE WHEN ea.source = eb.source THEN 1 ELSE 0 END AS same_source
+    FROM joined
+    JOIN de ea ON ea.doc_id = d1
+    JOIN de eb ON eb.doc_id = d2
+    WHERE {_COS.format(a='ea.v', b='eb.v')} >= 0.3
+    """,
+    tags=("dedup", "similarity"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup over DOCUMENTS: semantic duplicates
+    (paraphrases, translations, re-renderings) that shingle/minhash
+    methods miss because no tokens are shared. Documents join their
+    embedding row (doc_id = vec_id), pairs come from random-hyperplane
+    LSH buckets (sub-quadratic; hyperplanes broadcast), and each pair
+    carries whether both docs share a `source` — the signal a curation
+    pipeline uses to decide cross-source contamination vs in-source
+    duplication. Scale: both joins are equi-joins on ids; the pair
+    join shuffles on the 8-bit bucket signature."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    e = load_spread(spark, sf_dir, "embeddings", "vec_id")
+    de = e.join(docs, e.vec_id == docs.doc_id).select("doc_id", "embedding")
+    hyper = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("hp_id"), F.col("embedding").alias("hv"))
+    )
+    pairs = similarity.lsh_bucket_pairs(de, hyper, threshold=0.3, id_col="doc_id")
+    s1 = docs.select(F.col("doc_id").alias("d1"), F.col("source").alias("s1"))
+    s2 = docs.select(F.col("doc_id").alias("d2"), F.col("source").alias("s2"))
+    return (
+        pairs.join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            "d1",
+            "d2",
+            "cos_sim",
+            F.when(F.col("s1") == F.col("s2"), 1).otherwise(0).alias("same_source"),
+        )
+    )
+
+
+@register(
     "dedup_simhash",
     """
     WITH toks AS (
@@ -336,10 +454,6 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity search
 # --------------------------------------------------------------------------
 
-_COS = (
-    "list_dot_product({a}, {b}) / "
-    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
-)
 
 
 @register(

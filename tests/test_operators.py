@@ -685,3 +685,51 @@ def test_minhash_recall_and_precision_vs_exact_jaccard(spark, sf_dir):
     # precision: candidates may include sub-0.9 pairs, but not a
     # background explosion (correlated families emit thousands here)
     assert len(cand) <= 4 * len(high)
+
+
+def test_duplicate_span_runs_finds_maximal_run(spark):
+    # doc 1 and doc 2 share tokens 10..29 of doc 1 at offset 5 in doc 2;
+    # doc 3 shares nothing long enough.
+    shared = " ".join(f"s{i}" for i in range(20))
+    d1 = " ".join(f"a{i}" for i in range(10)) + " " + shared + " tail1 tail2"
+    d2 = " ".join(f"b{i}" for i in range(5)) + " " + shared + " other"
+    d3 = " ".join(f"c{i}" for i in range(30))
+    df = _docs(spark, [(1, d1), (2, d2), (3, d3)])
+    psh = dedup.positional_shingles(df, "text", "doc_id", n=8)
+    runs = dedup.duplicate_span_runs(psh, "doc_id", n=8, min_len=12).collect()
+    assert len(runs) == 1
+    r = runs[0]
+    assert (r["d1"], r["d2"]) == (1, 2)
+    assert r["start1"] == 10 and r["start2"] == 5
+    assert r["len_tokens"] == 20
+
+
+def test_duplicate_span_runs_splits_on_edit(spark):
+    # one differing token splits a 30-token copy into two runs, each
+    # reported separately with exact boundaries.
+    left = " ".join(f"t{i}" for i in range(15))
+    right = " ".join(f"u{i}" for i in range(15))
+    df = _docs(
+        spark,
+        [(1, left + " EDIT1 " + right), (2, left + " EDIT2 " + right)],
+    )
+    psh = dedup.positional_shingles(df, "text", "doc_id", n=4)
+    runs = {
+        (r["start1"], r["len_tokens"])
+        for r in dedup.duplicate_span_runs(psh, "doc_id", n=4, min_len=10).collect()
+    }
+    assert runs == {(0, 15), (16, 15)}
+
+
+def test_duplicate_span_runs_hot_shingle_cap(spark):
+    # the same boilerplate in every doc: capping shingle frequency at 2
+    # drops it before the pair join, so no spans are reported.
+    boiler = " ".join(f"h{i}" for i in range(12))
+    df = _docs(spark, [(i, boiler) for i in range(1, 5)])
+    psh = dedup.positional_shingles(df, "text", "doc_id", n=8)
+    capped = dedup.duplicate_span_runs(
+        psh, "doc_id", n=8, min_len=12, max_shingle_df=2
+    )
+    assert capped.count() == 0
+    uncapped = dedup.duplicate_span_runs(psh, "doc_id", n=8, min_len=12)
+    assert uncapped.count() == 6  # all C(4,2) pairs share the span
