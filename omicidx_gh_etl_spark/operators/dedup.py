@@ -258,6 +258,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 12,
     bands: int = 4,
     max_bucket_size: int | None = None,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """MinHash + LSH banding candidate pairs (d1 < d2, distinct).
 
@@ -297,14 +298,26 @@ def minhash_lsh_candidates(
       mega-clusters (e.g. millions of copies of an empty document) at
       corpus scale, where emitting their n² pairs is never wanted.
 
-    md5 (not Spark's xxhash64) keeps signatures reproducible by the
-    DuckDB oracle: ``('0x' || substr(md5(shingle), 1, 11))::BIGINT``.
+    ``hash_family``: ``"md5"`` (default) keeps signatures reproducible
+    by the DuckDB oracle — ``('0x' || substr(md5(shingle), 1, 11))::
+    BIGINT``; ``"xxhash64"`` is the PRODUCTION fast path (~2× overall
+    at 30× scale, measured: the md5 hex + string base-conversion chain
+    is the dominant map cost) — same OPH construction over Spark's
+    native 64-bit hash, so the banding S-curve is identical in
+    structure, just not cross-engine reproducible.
     """
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
-    x = F.conv(F.substring(F.md5(F.col("shingle")), 1, 11), 16, 10).cast(
-        "bigint"
-    )
+    if hash_family == "xxhash64":
+        # mask to 62 bits: keeps x nonnegative (so x % bins is a true
+        # bin index) without abs()'s Long.MIN_VALUE edge case.
+        x = F.xxhash64(F.col("shingle")).bitwiseAND(F.lit((1 << 62) - 1))
+    elif hash_family == "md5":
+        x = F.conv(F.substring(F.md5(F.col("shingle")), 1, 11), 16, 10).cast(
+            "bigint"
+        )
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     hashed = shingle_df.select(
         F.col(id_col), x.alias("x"), (x % num_hashes).alias("bin")
     )
@@ -327,23 +340,21 @@ def minhash_lsh_candidates(
             for j in range(num_hashes)
         ],
     )
+    def _bsig(b: int) -> Column:
+        row_cols = [
+            F.col(f"minh{b * rows_per_band + r}") for r in range(rows_per_band)
+        ]
+        if hash_family == "xxhash64":
+            # native multi-arg hash of the BIGINT rows — no hex string
+            return F.xxhash64(*row_cols)
+        return F.md5(F.concat_ws(",", *row_cols))
+
     band_sig = sig.select(
         F.col(id_col),
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col(f"minh{b * rows_per_band + r}")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bsig"),
-                    )
+                    F.struct(F.lit(b).alias("band"), _bsig(b).alias("bsig"))
                     for b in range(bands)
                 ]
             )

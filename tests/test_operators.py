@@ -733,3 +733,29 @@ def test_duplicate_span_runs_hot_shingle_cap(spark):
     assert capped.count() == 0
     uncapped = dedup.duplicate_span_runs(psh, "doc_id", n=8, min_len=12)
     assert uncapped.count() == 6  # all C(4,2) pairs share the span
+
+
+def test_minhash_xxhash64_family_same_quality_gate(spark, sf_dir):
+    """The production hash family (hash_family='xxhash64', used by the
+    bench scale section) must pass the same banding quality gate as
+    the oracle-checked md5 family: high recall on planted near-dups,
+    no background bucket flooding."""
+    from omicidx_gh_etl_spark.queries import REGISTRY
+    from omicidx_gh_etl_spark.queries.tables import load_spread
+
+    jac = {
+        (r["d1"], r["d2"]): r["jaccard"]
+        for r in REGISTRY["dedup_ngram_jaccard"].builder(spark, sf_dir).collect()
+    }
+    d = load_spread(spark, sf_dir, "documents", "doc_id")
+    sh = dedup.shingles(d, "text", "doc_id", n=3, distinct=False)
+    cand = {
+        (r["d1"], r["d2"])
+        for r in dedup.minhash_lsh_candidates(
+            sh, "doc_id", num_hashes=12, bands=4, hash_family="xxhash64"
+        ).collect()
+    }
+    high = {k for k, j in jac.items() if j >= 0.9}
+    assert high, "corpus should contain planted near-dups"
+    assert len(high & cand) / len(high) >= 0.9
+    assert len(cand) <= 4 * len(high)
