@@ -704,3 +704,72 @@ def ivfpq_search(
         .filter(F.col("rk") <= k)
         .select(query_id_col, id_col, "adc_dist", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# Semantic deduplication (SemDeDup): cluster-scoped near-dup pruning
+# --------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    k: int = 8,
+    threshold: float = 0.9,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding
+    space, then compare pairs ONLY within a cluster and drop the
+    higher-id member of every pair with cosine >= threshold →
+    (vec_id, centroid_id, keep).
+
+    The point vs plain pairwise dedup: cluster blocking turns the n²
+    all-pairs comparison into sum-over-clusters (n/k)² while keeping
+    near-identical vectors comparable — semantically close vectors land
+    in the same cell by construction. Exactly the IVF idea applied to
+    dedup instead of search.
+
+    Plan shape: fit is iterative (broadcast centroids, one (centroid,
+    dim) shuffle per round — :func:`kmeans_fit`); assignment is one
+    map-side pass (:func:`ivf_assign`); the in-cluster self-join
+    shuffles on centroid_id, so cost ∝ Σ cluster². A skewed cluster is
+    the known failure mode at corpus scale — raise k (clusters should
+    hold ~10³-10⁴ vectors, SemDeDup uses k=50000 for LAION) or re-split
+    oversized cells with a second kmeans level.
+
+    Deterministic end-to-end (greedy farthest-point seeding + fixed
+    rounds + id tiebreaks), so drop decisions are reproducible across
+    runs — required for training-data lineage.
+    """
+    cent = kmeans_fit(
+        emb, k=k, max_iter=max_iter, id_col=id_col, vec_col=vec_col,
+        init="farthest",
+    )
+    assigned = ivf_assign(emb, cent, id_col=id_col, vec_col=vec_col).select(
+        id_col, "centroid_id"
+    )
+    e = emb.select(F.col(id_col), _as_double(vec_col).alias("v")).join(
+        assigned, id_col
+    )
+    a = e.select(
+        F.col(id_col).alias("d1"), F.col("centroid_id"), F.col("v").alias("va")
+    )
+    b = e.select(
+        F.col(id_col).alias("d2"), F.col("centroid_id"), F.col("v").alias("vb")
+    )
+    sim = cosine_sim_expr(F.col("va"), F.col("vb"))
+    dropped = (
+        a.join(b, ["centroid_id"])
+        .filter(F.col("d1") < F.col("d2"))
+        .filter(F.round(sim, 4) >= threshold)
+        .select(F.col("d2").alias(id_col))
+        .distinct()
+    )
+    return e.select(id_col, "centroid_id").join(
+        dropped.withColumn("_drop", F.lit(True)), id_col, "left"
+    ).select(
+        id_col,
+        "centroid_id",
+        F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"),
+    )

@@ -1468,3 +1468,310 @@ def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_stop.alias("ok_stopwords"),
         (ok_length & ok_word_len & ok_stop).alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cluster keeper selection, domain mixing, and importance weighting —
+# the selection layer that sits on top of dedup/quality in a curation
+# pipeline (which doc survives, which domain is over/under-sampled,
+# which doc matches the target distribution).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_keep_best_per_cluster",
+    _SHINGLE_CTE
+    + _MINHASH_BANDS_CTE
+    + """,
+pairs AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+          UNION SELECT d2, d1 FROM pairs),
+reach AS (
+  WITH RECURSIVE r(a, b) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a)
+  SELECT * FROM r),
+comp AS (SELECT a AS node, least(a, min(b)) AS component
+         FROM reach GROUP BY a),
+q AS (
+  SELECT doc_id,
+         round(len(list_distinct(t)) * 1.0 / len(t), 4) AS ttr
+  FROM toks WHERE len(t) > 0),
+ranked AS (
+  SELECT c.component, c.node, q.ttr,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY q.ttr DESC, c.node ASC) AS rn
+  FROM comp c JOIN q ON q.doc_id = c.node)
+SELECT component,
+       max(CASE WHEN rn = 1 THEN node END) AS keeper,
+       max(CASE WHEN rn = 1 THEN ttr END) AS keeper_ttr,
+       CAST(count(*) AS BIGINT) AS n_members
+FROM ranked GROUP BY component
+    """,
+    tags=("dedup", "llm", "iterative"),
+)
+def dedup_keep_best_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keeper selection over near-dup clusters: LSH pairs → connected
+    components → keep the HIGHEST-QUALITY member per cluster (not the
+    arbitrary min-id), quality = type-token ratio, doc_id tiebreak.
+
+    This is the decision step real pipelines get wrong by keeping
+    "first seen": near-dup clusters mix clean and boilerplate-mangled
+    copies, and keeping the best-scoring one measurably improves the
+    corpus. Plan: the argmax is a max-of-struct aggregate over the
+    (small) component assignment joined to per-doc quality — partial
+    aggregation reduces each component before the exchange; no window
+    over the full corpus. Oracle recomputes components by recursive
+    transitive closure + a ranking window.
+    """
+    d = load_spread(spark, sf_dir, "documents", "doc_id")
+    sh = dedup.shingles(d, "text", "doc_id", n=3, distinct=False)
+    pairs = dedup.minhash_lsh_candidates(sh, "doc_id", num_hashes=12, bands=4)
+    comps = dedup.connected_components(pairs)
+    t = F.expr("filter(split(text, ' '), x -> x != '')")
+    q = d.select(
+        "doc_id",
+        t.alias("t"),
+    ).filter(F.size("t") > 0).select(
+        "doc_id",
+        F.round(
+            F.size(F.array_distinct("t")) * F.lit(1.0) / F.size("t"), 4
+        ).alias("ttr"),
+    )
+    j = comps.join(q, comps["node"] == q["doc_id"]).select(
+        "component", "node", "ttr"
+    )
+    best = F.max(
+        F.struct(
+            F.col("ttr"),
+            (-F.col("node")).alias("neg_node"),
+            F.col("node"),
+        )
+    )
+    return j.groupBy("component").agg(
+        best.getField("node").alias("keeper"),
+        best.getField("ttr").alias("keeper_ttr"),
+        F.count("*").alias("n_members"),
+    )
+
+
+@register(
+    "sample_temperature_sources",
+    """
+    WITH h AS (
+      SELECT source, doc_id, n_chars,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 AS hv
+      FROM documents),
+    cnt AS (SELECT source, count(*) AS n_s FROM h GROUP BY source),
+    w AS (SELECT source, n_s,
+                 CAST(floor(sqrt(n_s * 1000000.0)) AS BIGINT) AS w_s
+          FROM cnt),
+    tot AS (SELECT sum(w_s) AS s_tot, sum(n_s) AS n_tot FROM w),
+    quota AS (SELECT source, n_s,
+                     least(n_s, w_s * (n_tot // 2) // s_tot) AS quota
+              FROM w, tot),
+    ranked AS (
+      SELECT h.*, row_number() OVER (PARTITION BY source
+                                     ORDER BY hv, doc_id) AS rn
+      FROM h)
+    SELECT r.source, q.n_s AS n_total, CAST(q.quota AS BIGINT) AS quota,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(r.n_chars) AS BIGINT) AS kept_chars
+    FROM ranked r JOIN quota q ON q.source = r.source
+    WHERE r.rn <= q.quota
+    GROUP BY 1, 2, 3
+    """,
+    tags=("sampling", "llm"),
+)
+def sample_temperature_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted domain mixing (α = 0.5): sample each source
+    at a rate ∝ n_s^α so small domains are up-weighted relative to
+    their share (the multilingual/domain-balance trick from
+    GPT-3/PaLM-style data recipes), targeting half the corpus overall.
+
+    Everything is INTEGER arithmetic end-to-end (isqrt-scaled weights,
+    integer-division quotas, per-source bottom-k on an md5 hash), so
+    membership is exactly reproducible in any engine — no float
+    cutoff whose last ulp could flip a doc. ``kept_chars`` pins the
+    exact membership set, not just the counts.
+
+    Scale notes: quotas come from a tiny per-source aggregate
+    (broadcast back); selection is bottom-k per source — the window
+    sorts within source partitions only. At extreme per-source
+    cardinality swap the rank for a two-pass hash threshold (approx
+    quantile of hv → filter → exact trim), which needs no full sort;
+    w_s·(N/2) stays within BIGINT below ~10¹⁰ docs per source.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    hv = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    h = d.select("source", "doc_id", "n_chars", hv.alias("hv"))
+    cnt = h.groupBy("source").agg(F.count("*").alias("n_s"))
+    w = cnt.select(
+        "source",
+        "n_s",
+        F.floor(F.sqrt(F.col("n_s") * 1000000.0)).cast("bigint").alias("w_s"),
+    )
+    tot = w.agg(
+        F.sum("w_s").alias("s_tot"), F.sum("n_s").alias("n_tot")
+    )
+    quota = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("n_s").alias("n_total"),
+        F.least(
+            F.col("n_s"), F.expr("(w_s * (n_tot div 2)) div s_tot")
+        ).alias("quota"),
+    )
+    rn = F.row_number().over(W.partitionBy("source").orderBy("hv", "doc_id"))
+    kept = (
+        h.withColumn("rn", rn)
+        .join(F.broadcast(quota), "source")
+        .filter(F.col("rn") <= F.col("quota"))
+    )
+    return kept.groupBy("source", "n_total", "quota").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").cast("bigint").alias("kept_chars"),
+    )
+
+
+@register(
+    "dsir_importance_weights",
+    """
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents),
+    bg AS (
+      SELECT doc_id, source,
+             unnest(CASE WHEN len(t) >= 2 THEN
+                 list_transform(generate_series(1, len(t) - 1),
+                                i -> t[i] || ' ' || t[i+1])
+               ELSE [] END) AS b
+      FROM toks),
+    hb AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(b), 1, 15))::BIGINT % 64 AS bkt
+      FROM bg),
+    dc AS (SELECT doc_id, source, bkt, count(*) AS c
+           FROM hb GROUP BY 1, 2, 3),
+    bcnt AS (SELECT bkt, sum(c) AS bc FROM dc GROUP BY bkt),
+    tcnt AS (SELECT bkt, sum(c) AS tc FROM dc
+             WHERE source = 'src0' GROUP BY bkt),
+    tots AS (
+      SELECT (SELECT sum(c) FROM dc WHERE source = 'src0') AS t_tot,
+             (SELECT sum(c) FROM dc) AS b_tot),
+    lw AS (
+      SELECT b.bkt,
+             ln(((coalesce(t.tc, 0) + 1.0) * (tots.b_tot + 64.0))
+                / ((b.bc + 1.0) * (tots.t_tot + 64.0))) AS w
+      FROM bcnt b LEFT JOIN tcnt t USING (bkt), tots)
+    SELECT d.doc_id, CAST(sum(d.c) AS BIGINT) AS n_bigrams,
+           round(sum(d.c * lw.w), 4) AS dsir_weight
+    FROM dc d JOIN lw USING (bkt)
+    GROUP BY d.doc_id
+    """,
+    tags=("sampling", "llm"),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023): score every doc
+    by how target-like its hashed-bigram profile is — log-likelihood
+    ratio between the target distribution (source 'src0') and the full
+    corpus over 64 md5-hashed bigram buckets, +1 smoothing.
+
+    The data-selection step between quality filtering and sampling:
+    rank raw docs by dsir_weight and keep the top mass to skew a crawl
+    toward a curated target. Hashing n-grams into a fixed bucket space
+    is what makes it corpus-scale: the model is a 64-number table, not
+    a vocabulary.
+
+    Plan: ONE explode+groupBy over (doc, bucket) — the only heavy
+    shuffle; bucket totals, target totals, and the 64-row weight table
+    all derive from that small aggregate and broadcast back. The
+    per-doc score sums ≤64 weighted terms; round(4) absorbs float
+    summation order across engines.
+    """
+    d = load_spread(spark, sf_dir, "documents", "doc_id")
+    t = F.expr("filter(split(text, ' '), x -> x != '')")
+    bigrams = d.select("doc_id", "source", t.alias("t")).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 2 THEN"
+                " transform(sequence(0, size(t) - 2),"
+                "           i -> concat(t[i], ' ', t[i+1]))"
+                " ELSE array() END"
+            )
+        ).alias("b"),
+    )
+    bkt = (
+        F.conv(F.substring(F.md5("b"), 1, 15), 16, 10).cast("bigint") % 64
+    ).alias("bkt")
+    dc = (
+        bigrams.select("doc_id", "source", bkt)
+        .groupBy("doc_id", "source", "bkt")
+        .agg(F.count("*").alias("c"))
+    )
+    bcnt = dc.groupBy("bkt").agg(F.sum("c").alias("bc"))
+    tcnt = (
+        dc.filter(F.col("source") == "src0")
+        .groupBy("bkt")
+        .agg(F.sum("c").alias("tc"))
+    )
+    tots = dc.agg(
+        F.sum(F.when(F.col("source") == "src0", F.col("c"))).alias("t_tot"),
+        F.sum("c").alias("b_tot"),
+    )
+    lw = (
+        bcnt.join(tcnt, "bkt", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "bkt",
+            F.log(
+                ((F.coalesce(F.col("tc"), F.lit(0)) + F.lit(1.0))
+                 * (F.col("b_tot") + F.lit(64.0)))
+                / ((F.col("bc") + F.lit(1.0))
+                   * (F.col("t_tot") + F.lit(64.0)))
+            ).alias("w"),
+        )
+    )
+    return (
+        dc.join(F.broadcast(lw), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+            F.round(F.sum(F.col("c") * F.col("w")), 4).alias("dsir_weight"),
+        )
+    )
+
+
+@register(
+    "dedup_semantic_clusters",
+    None,  # k-means fixpoint is not SQL-expressible — rows-only check;
+           # drop quality pytest-pinned (tests/test_semantic_dedup.py)
+    tags=("dedup", "llm", "iterative"),
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup summary: k-means-cluster the embedding space, drop the
+    higher-id member of every within-cluster pair with cosine ≥ 0.9 →
+    one row per cluster (n_vectors, n_dropped). The cluster blocking
+    turns all-pairs dedup into Σ(cluster²) work — the IVF idea applied
+    to dedup (see operators/similarity.py::semantic_dedup for the
+    plan-shape discussion)."""
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id")
+    marked = similarity.semantic_dedup(emb, k=8, threshold=0.9, max_iter=5)
+    return (
+        marked.groupBy("centroid_id")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
+    )

@@ -759,3 +759,35 @@ def test_minhash_xxhash64_family_same_quality_gate(spark, sf_dir):
     assert high, "corpus should contain planted near-dups"
     assert len(high & cand) / len(high) >= 0.9
     assert len(cand) <= 4 * len(high)
+
+
+def test_semantic_dedup_drops_planted_near_dups(spark):
+    from omicidx_gh_etl_spark.operators import similarity
+
+    # two well-separated clusters (cones around +x and +z, members at
+    # distinct angles >= 0.1 rad apart so background cos <= ~0.995);
+    # plant exact/near duplicates in each
+    import math
+
+    rows = []
+    for i in range(8):
+        a = 0.1 * i
+        rows.append((i, [math.cos(a), math.sin(a), 0.0]))        # x-cone
+        rows.append((100 + i, [0.0, math.sin(a), math.cos(a)]))  # z-cone
+    rows.append((50, [1.0, 0.0, 0.0]))      # dup of vec 0 (cos = 1.0)
+    rows.append((51, [1.0, 0.001, 0.0]))    # near-dup of vec 0
+    rows.append((150, [0.0, 0.0, 1.0]))     # dup of vec 100
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    marked = similarity.semantic_dedup(emb, k=2, threshold=0.999, max_iter=4)
+    got = {r["vec_id"]: (r["centroid_id"], r["keep"]) for r in marked.collect()}
+    assert len(got) == len(rows)
+    # planted dups are dropped (higher id of each qualifying pair)
+    assert not got[50][1] and not got[51][1] and not got[150][1]
+    # their lower-id originals survive
+    assert got[0][1] and got[100][1]
+    # drops happen within a cluster: dup shares its original's cell
+    assert got[50][0] == got[0][0]
+    assert got[150][0] == got[100][0]
+    # the clusters themselves are far apart -> no cross-cluster drops
+    dropped = {v for v, (_, k) in got.items() if not k}
+    assert dropped == {50, 51, 150}

@@ -36,15 +36,12 @@ def test_query_executes(spark, sf_dir, name):
 
 
 def test_sketch_error_bounds(spark, sf_dir):
-    """Approximate sketches are rows-only for the driver; the error
-    bound is the real assertion and it lives here."""
+    """The sketch queries emit oracle-checkable bound FLAGS (the
+    estimates themselves are engine-specific); this test asserts the
+    flags are actually true, i.e. the bounds hold."""
     rows = REGISTRY["sketch_approx_distinct"].builder(spark, sf_dir).collect()
     assert rows
-    for r in rows:
-        assert abs(r["n_approx"] - r["n_exact"]) <= max(3, 0.05 * r["n_exact"])
+    assert all(r["approx_within_5pct"] for r in rows)
     qrows = REGISTRY["sketch_approx_quantiles"].builder(spark, sf_dir).collect()
     assert qrows and {r["quantile"] for r in qrows} == {0.5, 0.95}
-    for r in qrows:  # flat: one (event_type, quantile) per row
-        assert abs(r["q_approx"] - r["q_exact"]) <= 0.05 * max(
-            abs(r["q_exact"]), 1.0
-        )
+    assert all(r["approx_in_band"] for r in qrows)
