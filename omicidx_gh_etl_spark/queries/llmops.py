@@ -239,6 +239,42 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_components_star",
+    _SHINGLE_CTE
+    + _MINHASH_BANDS_CTE
+    + """,
+pairs AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+          UNION SELECT d2, d1 FROM pairs),
+reach AS (
+  WITH RECURSIVE r(a, b) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a)
+  SELECT * FROM r)
+SELECT a AS node, least(a, min(b)) AS component
+FROM reach GROUP BY a
+    """,
+    tags=("dedup", "iterative"),
+)
+def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters via alternating large-star/small-star
+    contraction (Kiveris et al. 2014) over the same MinHash LSH edges
+    as ``dedup_components`` — identical output contract (node →
+    min-id component), O(log² n) rounds on ANY graph topology where
+    label propagation needs O(diameter). The scale-safe default when
+    the candidate graph may contain long chains rather than dense
+    near-dup clusters. Oracle: recursive transitive-closure CTE."""
+    d = load_spread(spark, sf_dir, "documents", "doc_id")
+    sh = dedup.shingles(d, "text", "doc_id", n=3, distinct=False)
+    pairs = dedup.minhash_lsh_candidates(sh, "doc_id", num_hashes=12, bands=4)
+    return dedup.connected_components_star(pairs)
+
+
+@register(
     "dedup_exact_substring_spans",
     """
     WITH toks AS (

@@ -335,6 +335,47 @@ def test_connected_components_chains_and_islands(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_star_matches_propagation(spark):
+    from omicidx_gh_etl_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (21, 20)], "d1 long, d2 long"
+    )
+    out = {r["node"]: r["component"]
+           for r in dedup.connected_components_star(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_star_long_chain_few_rounds(spark):
+    from omicidx_gh_etl_spark.operators import dedup
+
+    # 120-node path: label propagation would need ~120 rounds; star
+    # contraction must finish within its default 20 — if it didn't
+    # converge, non-root labels would disagree with the chain min.
+    n = 120
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "d1 long, d2 long"
+    )
+    out = {r["node"]: r["component"]
+           for r in dedup.connected_components_star(pairs).collect()}
+    assert out == {i: 0 for i in range(n + 1)}
+
+
+def test_connected_components_star_random_equivalence(spark):
+    import random
+
+    from omicidx_gh_etl_spark.operators import dedup
+
+    rng = random.Random(7)
+    edges = list({tuple(sorted(rng.sample(range(60), 2))) for _ in range(70)})
+    pairs = spark.createDataFrame(edges, "d1 long, d2 long")
+    prop = {r["node"]: r["component"]
+            for r in dedup.connected_components(pairs, max_iter=60).collect()}
+    star = {r["node"]: r["component"]
+            for r in dedup.connected_components_star(pairs).collect()}
+    assert star == prop
+
+
 def test_containment_catches_embedded_doc(spark):
     from omicidx_gh_etl_spark.operators import dedup
 
