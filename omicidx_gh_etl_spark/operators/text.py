@@ -7,9 +7,16 @@ All JVM-side expressions (no Python in the hot path):
 - ``quality_flag``       — length/diversity quality scoring
 - ``fingerprint``        — normalization + md5 document fingerprint
                            (whitespace-collapse canonicalization)
+- ``split_segments`` / ``segment_token_windows`` — document →
+  (id, seg_idx, segment) units for segment-level corpus operators
+- ``remove_boilerplate_segments`` — CCNet/RefinedWeb-style removal of
+  segments duplicated across many documents (headers, footers, nav
+  bars), by corpus-wide segment document-frequency
 
-Scale: every operator is a map-only projection — no shuffle, fully
-pipelined into whatever scan/write surrounds it.
+Scale: the per-document operators are map-only projections — no
+shuffle, fully pipelined into whatever scan/write surrounds them.
+``remove_boilerplate_segments`` shuffles on md5 segment hashes
+(uniform, skew-free) — see its docstring.
 """
 
 from __future__ import annotations
@@ -95,6 +102,126 @@ def fingerprint_expr(text_col: str | Column) -> Column:
 
 def fingerprint(df: DataFrame, text_col: str, keep: list[str]) -> DataFrame:
     return df.select(*keep, fingerprint_expr(text_col).alias("fp"))
+
+
+def split_segments(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    delimiter: str = "\n",
+) -> DataFrame:
+    """Document → (id, seg_idx, segment) rows, one per delimiter-split
+    segment (line/paragraph). Map-side posexplode; empty segments are
+    kept (their positions matter for faithful reassembly)."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delimiter)).alias(
+            "seg_idx", "segment"
+        ),
+    )
+
+
+def segment_token_windows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 10,
+) -> DataFrame:
+    """Document → (id, seg_idx, segment) fixed ``window``-token
+    pseudo-paragraphs — the segmentation for corpora without line
+    structure (and the deterministic unit used by tests/oracles).
+    Map-side: tokenize, slice into windows, posexplode. Docs with no
+    tokens produce no rows."""
+    t = tokens_expr(text_col)
+    segs = F.expr(
+        f"transform(sequence(0, int(ceil(size(__t) / {window}.0)) - 1),"
+        f" i -> concat_ws(' ', slice(__t, i * {window} + 1, {window})))"
+    )
+    return (
+        df.select(F.col(id_col), t.alias("__t"))
+        .filter(F.size("__t") > 0)
+        .select(F.col(id_col), F.posexplode(segs).alias("seg_idx", "segment"))
+    )
+
+
+def boilerplate_hash_expr(seg_col: str | Column) -> Column:
+    """CCNet-style segment canonicalization hash: lowercase, digit runs
+    → '0', whitespace collapsed, trimmed, md5'd. Digit folding makes
+    'Page 3 of 12' and 'Page 7 of 12' the same boilerplate unit."""
+    c = F.col(seg_col) if isinstance(seg_col, str) else seg_col
+    return F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(c), r"[0-9]+", "0"), r"\s+", " "
+            )
+        )
+    )
+
+
+def remove_boilerplate_segments(
+    segments: DataFrame,
+    id_col: str,
+    min_docs: int = 3,
+    seg_col: str = "segment",
+    idx_col: str = "seg_idx",
+) -> DataFrame:
+    """CCNet/RefinedWeb-style boilerplate removal: drop segments whose
+    canonical form appears in ≥ ``min_docs`` DISTINCT documents
+    (headers, footers, cookie banners, nav bars), reassemble the rest
+    in order → (id, n_segments, n_removed, text_clean).
+
+    Scale shape (3 shuffles, all on uniform keys, no n² anywhere):
+    1. segment doc-frequency: groupBy(md5 segment hash) +
+       count(distinct id) — map-side partial agg, hash keys uniform.
+       A corpus-hot segment is exactly what we're hunting, and it
+       aggregates to ONE row, so skew cannot blow up this stage.
+    2. equi-join segments → df counts on the hash (uniform); the hot
+       rows fan out only as many times as they occur — same as input.
+    3. reassembly: groupBy(id) + ordered collect of kept segments.
+       Per-doc segment counts are bounded by doc length, so collect
+       buffers stay document-sized.
+
+    Docs whose every segment is boilerplate survive with
+    ``text_clean = ''`` — dropping them is a downstream filter
+    decision, not this operator's."""
+    seg = segments.select(
+        F.col(id_col).alias("__id"),
+        F.col(idx_col).alias("__idx"),
+        F.col(seg_col).alias("__seg"),
+        boilerplate_hash_expr(seg_col).alias("__h"),
+    )
+    freq = seg.groupBy("__h").agg(
+        F.countDistinct("__id").alias("__docs")
+    )
+    flagged = seg.join(freq, "__h").select(
+        "__id",
+        "__idx",
+        "__seg",
+        (F.col("__docs") >= min_docs).alias("__bp"),
+    )
+    kept_sorted = F.expr(
+        "transform(array_sort(filter(__rows, r -> NOT r.bp)), r -> r.seg)"
+    )
+    return (
+        flagged.groupBy("__id")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("__idx").alias("idx"),
+                    F.col("__bp").alias("bp"),
+                    F.col("__seg").alias("seg"),
+                )
+            ).alias("__rows")
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.size("__rows").cast("bigint").alias("n_segments"),
+            F.expr("size(filter(__rows, r -> r.bp))")
+            .cast("bigint")
+            .alias("n_removed"),
+            F.concat_ws(" ", kept_sorted).alias("text_clean"),
+        )
+    )
 
 
 # (lang, token, weight) rows for the profile-table language ID; a real

@@ -239,6 +239,46 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_remove_boilerplate",
+    _TOKS_CTE
+    + """,
+seg AS (
+  SELECT doc_id, i AS seg_idx,
+         array_to_string(t[(i * 10 + 1):(i * 10 + 10)], ' ') AS segment
+  FROM toks, UNNEST(range(0, CAST(ceil(len(t) / 10.0) AS BIGINT))) AS u(i)
+  WHERE len(t) > 0),
+hashed AS (
+  SELECT doc_id, seg_idx, segment,
+         md5(trim(regexp_replace(regexp_replace(lower(segment),
+             '[0-9]+', '0', 'g'), '\\s+', ' ', 'g'))) AS h
+  FROM seg),
+freq AS (SELECT h, count(DISTINCT doc_id) AS docs FROM hashed GROUP BY h)
+SELECT hashed.doc_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(count(*) FILTER (WHERE docs >= 3) AS BIGINT) AS n_removed,
+       coalesce(string_agg(segment, ' ' ORDER BY seg_idx)
+                FILTER (WHERE docs < 3), '') AS text_clean
+FROM hashed JOIN freq USING (h)
+GROUP BY hashed.doc_id
+    """,
+    tags=("text", "llm", "dedup"),
+)
+def text_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb-style boilerplate removal: segments whose
+    canonical form (lowercase, digit runs → 0, whitespace collapsed)
+    recurs in ≥3 distinct documents are dropped corpus-wide, and each
+    document is reassembled from its surviving segments in order. The
+    synthetic corpus has no line structure, so segmentation is fixed
+    10-token pseudo-paragraphs (``segment_token_windows``); real
+    corpora pass newline/sentence splits (``split_segments``) into the
+    same operator. 3 shuffles, all on uniform md5/doc keys — the plan
+    that survives 100 TB (see remove_boilerplate_segments)."""
+    d = load_spread(spark, sf_dir, "documents", "doc_id")
+    seg = text.segment_token_windows(d, "text", "doc_id", window=10)
+    return text.remove_boilerplate_segments(seg, "doc_id", min_docs=3)
+
+
+@register(
     "dedup_components_star",
     _SHINGLE_CTE
     + _MINHASH_BANDS_CTE

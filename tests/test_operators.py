@@ -335,6 +335,29 @@ def test_connected_components_chains_and_islands(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
 
+def test_remove_boilerplate_segments_newline_corpus(spark):
+    from omicidx_gh_etl_spark.operators import text as T
+
+    footer = "Copyright 2024 Example Corp"
+    docs = [
+        (1, f"unique first body\n{footer}\nPage 1 of 9"),
+        (2, f"second doc content here\n{footer}\nPage 4 of 9"),
+        (3, f"third story entirely\n{footer}\nPage 7 of 9"),
+        (4, "standalone document no footer"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    seg = T.split_segments(df, "text", "doc_id", delimiter="\n")
+    out = {r["doc_id"]: r for r in
+           T.remove_boilerplate_segments(seg, "doc_id", min_docs=3).collect()}
+    # footer recurs in 3 docs -> removed; page lines digit-fold to the
+    # same canonical form across 3 docs -> removed too
+    assert out[1]["text_clean"] == "unique first body"
+    assert out[1]["n_removed"] == 2 and out[1]["n_segments"] == 3
+    assert out[2]["text_clean"] == "second doc content here"
+    assert out[4]["text_clean"] == "standalone document no footer"
+    assert out[4]["n_removed"] == 0
+
+
 def test_connected_components_star_matches_propagation(spark):
     from omicidx_gh_etl_spark.operators import dedup
 
