@@ -309,6 +309,25 @@ def minhash_lsh_candidates(
     native 64-bit hash, so the banding S-curve is identical in
     structure, just not cross-engine reproducible.
     """
+    band_sig = minhash_band_signatures(
+        shingle_df, id_col, num_hashes, bands, hash_family
+    )
+    return lsh_pairs_from_bands(band_sig, id_col, max_bucket_size)
+
+
+def minhash_band_signatures(
+    shingle_df: DataFrame,
+    id_col: str,
+    num_hashes: int = 12,
+    bands: int = 4,
+    hash_family: str = "md5",
+) -> DataFrame:
+    """OPH minhash signature → (id, band, bsig) band-signature rows —
+    the PERSISTABLE LSH index half of :func:`minhash_lsh_candidates`
+    (same construction, see that docstring). Write this table once per
+    corpus (e.g. as a SnapshotTable partitioned/sorted by (band,
+    bsig)); then each new ingest batch only computes ITS OWN bands and
+    joins — see :func:`incremental_lsh_candidates`."""
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
     if hash_family == "xxhash64":
@@ -352,7 +371,7 @@ def minhash_lsh_candidates(
             return F.xxhash64(*row_cols)
         return F.md5(F.concat_ws(",", *row_cols))
 
-    band_sig = sig.select(
+    return sig.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -363,6 +382,16 @@ def minhash_lsh_candidates(
             )
         ).alias("bs"),
     ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig"))
+
+
+def lsh_pairs_from_bands(
+    band_sig: DataFrame,
+    id_col: str,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """(id, band, bsig) band rows → distinct candidate pairs (d1 < d2)
+    via the bucket-aggregate pair explosion (no self-join — see
+    minhash_lsh_candidates' plan-shape notes)."""
     buckets = band_sig.groupBy("band", "bsig").agg(
         F.array_sort(F.collect_list(id_col)).alias("ids")
     )
@@ -378,6 +407,61 @@ def minhash_lsh_candidates(
         ).alias("p")
     )
     return pairs.select("p.d1", "p.d2").distinct()
+
+
+def incremental_lsh_candidates(
+    index_bands: DataFrame,
+    delta_bands: DataFrame,
+    id_col: str,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup candidates for a NEW ingest batch against an existing
+    corpus, without recomputing the corpus: (d1 < d2) pairs where at
+    least one side is a delta doc.
+
+    ``index_bands`` is the persisted (id, band, bsig) table for the
+    already-deduped corpus (:func:`minhash_band_signatures`, written
+    once); ``delta_bands`` the same for the new batch only. Per
+    increment this does O(|delta| + matched-bucket) work:
+
+    - delta × corpus: one equi-join on (band, bsig) — uniform md5
+      keys; AQE broadcasts the delta side when the batch is small,
+      which is the common production shape (daily batch vs 100 TB
+      corpus). Corpus-internal pairs are NOT re-derived — they were
+      resolved when the corpus was deduped.
+    - delta-internal: the standard bucket-aggregate explosion over the
+      delta bands alone.
+
+    ``max_bucket_size`` caps degenerate corpus buckets: a hot bsig
+    matching millions of corpus docs (empty/boilerplate documents)
+    would fan every matching delta doc out by that million — cap and
+    route to a quarantine list, as in the batch operator."""
+    d = delta_bands.select(
+        F.col("band"), F.col("bsig"), F.col(id_col).alias("__d")
+    )
+    ix = index_bands.select(
+        F.col("band"), F.col("bsig"), F.col(id_col).alias("__b")
+    )
+    if max_bucket_size is not None:
+        hot = (
+            ix.groupBy("band", "bsig")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > max_bucket_size)
+            .select("band", "bsig")
+        )
+        ix = ix.join(hot, ["band", "bsig"], "left_anti")
+    cross = (
+        d.join(ix, ["band", "bsig"])
+        .filter(F.col("__d") != F.col("__b"))
+        .select(
+            F.least("__d", "__b").alias("d1"),
+            F.greatest("__d", "__b").alias("d2"),
+        )
+    )
+    internal = lsh_pairs_from_bands(
+        delta_bands, id_col, max_bucket_size=max_bucket_size
+    )
+    return cross.union(internal).distinct()
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:

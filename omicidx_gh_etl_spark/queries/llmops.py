@@ -239,6 +239,41 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_incremental_lsh",
+    _SHINGLE_CTE
+    + _MINHASH_BANDS_CTE
+    + """
+SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0
+    """,
+    tags=("dedup", "incremental"),
+)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup candidates: a new ingest batch (docs with
+    doc_id % 5 = 0 stand in for 'today's crawl') is deduped against
+    the already-indexed corpus WITHOUT recomputing corpus signatures —
+    the production shape at 100 TB, where re-running full LSH per
+    daily batch would rescan everything. The corpus band index
+    (minhash_band_signatures) persists across ingests; per batch this
+    computes delta bands + one (band, bsig) equi-join + the
+    delta-internal bucket pairs — O(|delta| + matches). Oracle: full
+    banding with pairs filtered to those touching a delta doc."""
+    d = load_spread(spark, sf_dir, "documents", "doc_id")
+    is_delta = F.col("doc_id") % 5 == 0
+    base_sh = dedup.shingles(
+        d.filter(~is_delta), "text", "doc_id", n=3, distinct=False
+    )
+    delta_sh = dedup.shingles(
+        d.filter(is_delta), "text", "doc_id", n=3, distinct=False
+    )
+    index = dedup.minhash_band_signatures(base_sh, "doc_id")
+    delta = dedup.minhash_band_signatures(delta_sh, "doc_id")
+    return dedup.incremental_lsh_candidates(index, delta, "doc_id")
+
+
+@register(
     "text_remove_boilerplate",
     _TOKS_CTE
     + """,

@@ -335,6 +335,33 @@ def test_connected_components_chains_and_islands(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
 
+def test_incremental_lsh_matches_full_batch_filtered(spark):
+    from omicidx_gh_etl_spark.operators import dedup
+
+    base_text = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                 "kappa lambda mu nu xi omicron pi rho sigma tau")
+    docs = [
+        (1, base_text),
+        (2, base_text + " upsilon"),           # near-dup of 1 (base pair)
+        (3, "totally different words entirely here now and then some"),
+        (10, base_text + " phi"),              # delta near-dup of 1/2
+        (15, "totally different words entirely here now and then some more"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    is_delta = df["doc_id"] % 5 == 0
+    mk = lambda d: dedup.minhash_band_signatures(
+        dedup.shingles(d, "text", "doc_id", n=3), "doc_id")
+    inc = {(r["d1"], r["d2"]) for r in dedup.incremental_lsh_candidates(
+        mk(df.filter(~is_delta)), mk(df.filter(is_delta)), "doc_id"
+    ).collect()}
+    full = {(r["d1"], r["d2"]) for r in dedup.minhash_lsh_candidates(
+        dedup.shingles(df, "text", "doc_id", n=3), "doc_id").collect()}
+    expect = {p for p in full if p[0] % 5 == 0 or p[1] % 5 == 0}
+    assert inc == expect
+    assert (1, 10) in inc and (3, 15) in inc  # cross base-delta dups found
+    assert (1, 2) not in inc  # base-internal pair not re-derived
+
+
 def test_remove_boilerplate_segments_newline_corpus(spark):
     from omicidx_gh_etl_spark.operators import text as T
 
