@@ -224,6 +224,99 @@ def remove_boilerplate_segments(
     )
 
 
+def repetition_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    top_n: int = 2,
+    dup_n: int = 5,
+) -> DataFrame:
+    """Gopher repetition filters (Rae et al. 2021 §A1.1): per document,
+    the fraction of characters covered by (a) the MOST FREQUENT
+    ``top_n``-gram (all its occurrences) and (b) all ``dup_n``-grams
+    that occur more than once → (id, top{top_n}gram_frac,
+    dup{dup_n}gram_frac). Repetition loops ("click here click here
+    click here…") pass length/stopword rules but fail these.
+
+    Definitions (matching the open implementations of the paper's
+    rules, e.g. DataTrove/Dolma):
+
+    - top fraction: occurrences × gram chars / length(text), clamped
+      to 1.0 (overlapping occurrences of a self-overlapping gram like
+      'x x' in 'x x x' can overcount — the clamp keeps the upper
+      bound honest).
+    - dup fraction: the fraction of TOKEN POSITIONS covered by at
+      least one duplicated ``dup_n``-gram — a positional union, so
+      overlapping duplicate grams never double-count.
+
+    Shape: n-grams explode → count per (doc, gram) → per-doc
+    aggregates; the dup side joins duplicated grams back to their
+    positions and unions coverage in-array. All shuffle keys are doc
+    id (+gram) — group sizes bounded by document length."""
+    from .dedup import _gram_sql, positional_shingles, tokens_expr
+
+    toks = df.select(
+        F.col(id_col),
+        F.length(text_col).alias("__chars"),
+        F.size(tokens_expr(text_col)).alias("__ntok"),
+    )
+    top_toks = df.select(F.col(id_col), tokens_expr(text_col).alias("t"))
+    arr = (
+        f"CASE WHEN size(t) >= {top_n} THEN "
+        f"transform(sequence(0, size(t) - {top_n}), i -> {_gram_sql(top_n)}) "
+        f"ELSE array() END"
+    )
+    top = (
+        top_toks.select(F.col(id_col), F.explode(F.expr(arr)).alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.max(F.col("c") * F.length("g")).alias("__top_chars"))
+    )
+    pos = positional_shingles(df, text_col, id_col, n=dup_n)
+    dup_grams = (
+        pos.groupBy(id_col, "shingle")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .select(id_col, "shingle")
+    )
+    cov = (
+        pos.join(dup_grams, [id_col, "shingle"])
+        .groupBy(id_col)
+        .agg(
+            F.size(
+                F.array_distinct(
+                    F.flatten(
+                        F.collect_list(
+                            F.sequence(
+                                F.col("pos"), F.col("pos") + (dup_n - 1)
+                            )
+                        )
+                    )
+                )
+            ).alias("__cov_toks")
+        )
+    )
+    return (
+        toks.join(top, id_col, "left")
+        .join(cov, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.round(
+                F.least(
+                    F.coalesce(F.col("__top_chars"), F.lit(0))
+                    / F.col("__chars"),
+                    F.lit(1.0),
+                ),
+                4,
+            ).alias(f"top{top_n}gram_frac"),
+            F.round(
+                F.coalesce(F.col("__cov_toks"), F.lit(0)) / F.col("__ntok"), 4
+            ).alias(f"dup{dup_n}gram_frac"),
+        )
+    )
+
+
 # (lang, token, weight) rows for the profile-table language ID; a real
 # deployment loads a trained table (e.g. per-language token log-odds)
 DEFAULT_LANG_PROFILE: tuple[tuple[str, str, float], ...] = (

@@ -239,6 +239,78 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repetition_rules",
+    """
+    WITH toks AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents),
+    g2 AS (
+      SELECT doc_id, unnest(CASE WHEN len(t) >= 2 THEN
+          list_transform(generate_series(1, len(t) - 1),
+                         i -> t[i] || ' ' || t[i+1]) ELSE [] END) AS g
+      FROM toks),
+    c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+    t2 AS (SELECT doc_id, max(c * length(g)) AS top_chars FROM c2 GROUP BY 1),
+    p50 AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) >= 5
+                    THEN generate_series(1, len(t) - 4) ELSE [] END) AS i,
+             t
+      FROM toks),
+    p5 AS (
+      SELECT doc_id, i - 1 AS pos,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                  || t[i+3] || ' ' || t[i+4] AS g
+      FROM p50),
+    c5 AS (SELECT doc_id, g, count(*) AS c FROM p5 GROUP BY 1, 2),
+    d5g AS (SELECT doc_id, g FROM c5 WHERE c > 1),
+    cov AS (
+      SELECT p.doc_id, count(DISTINCT p.pos + o.k) AS cov_toks
+      FROM p5 p
+      JOIN d5g USING (doc_id, g),
+           UNNEST(generate_series(0, 4)) AS o(k)
+      GROUP BY p.doc_id),
+    m AS (
+      SELECT toks.doc_id,
+             round(least(CAST(coalesce(top_chars, 0) AS DOUBLE)
+                   / length(text), 1.0), 4) AS top2gram_frac,
+             round(CAST(coalesce(cov_toks, 0) AS DOUBLE)
+                   / len(t), 4) AS dup5gram_frac
+      FROM toks
+      LEFT JOIN t2 USING (doc_id) LEFT JOIN cov USING (doc_id))
+    SELECT doc_id, top2gram_frac, dup5gram_frac,
+           (top2gram_frac <= 0.20) AS ok_top2gram,
+           (dup5gram_frac <= 0.15) AS ok_dup5gram,
+           (top2gram_frac <= 0.20 AND dup5gram_frac <= 0.15) AS keep
+    FROM m
+    """,
+    tags=("text", "llm", "quality"),
+)
+def text_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters (Rae 2021 §A1.1), the half of the
+    quality rule set ``text_gopher_quality_rules`` doesn't cover:
+    reject documents whose most-frequent 2-gram covers > 20% of
+    characters or whose duplicated 5-grams cover > 15% — the
+    repetition-loop failure mode (scraped pagination, "click here"
+    chains) that passes length/stopword rules. Thresholds are the
+    paper's; the dup measure is positional token coverage (overlaps
+    counted once — see repetition_stats)."""
+    d = load_spread(spark, sf_dir, "documents", "doc_id")
+    m = text.repetition_stats(d, "text", "doc_id", top_n=2, dup_n=5)
+    ok_top = F.col("top2gram_frac") <= 0.20
+    ok_dup = F.col("dup5gram_frac") <= 0.15
+    return m.select(
+        "doc_id",
+        "top2gram_frac",
+        "dup5gram_frac",
+        ok_top.alias("ok_top2gram"),
+        ok_dup.alias("ok_dup5gram"),
+        (ok_top & ok_dup).alias("keep"),
+    )
+
+
+@register(
     "dedup_incremental_lsh",
     _SHINGLE_CTE
     + _MINHASH_BANDS_CTE

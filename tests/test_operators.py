@@ -335,6 +335,25 @@ def test_connected_components_chains_and_islands(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
 
+def test_repetition_stats_flags_loops(spark):
+    from omicidx_gh_etl_spark.operators import text as T
+
+    looped = ("click here " * 12).strip() + " end"  # one dominant 2-gram
+    clean = ("every single word appearing within this considerably "
+             "longer sentence shows up precisely once and therefore "
+             "no repeated bigram can dominate its character count")
+    df = spark.createDataFrame(
+        [(1, looped), (2, clean)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           T.repetition_stats(df, "text", "doc_id").collect()}
+    assert 0.20 < out[1]["top2gram_frac"] <= 1.0
+    assert out[1]["dup5gram_frac"] > 0.15      # positional token coverage
+    assert out[1]["dup5gram_frac"] <= 1.0
+    assert out[2]["top2gram_frac"] < 0.20
+    assert out[2]["dup5gram_frac"] == 0.0
+
+
 def test_incremental_lsh_matches_full_batch_filtered(spark):
     from omicidx_gh_etl_spark.operators import dedup
 
