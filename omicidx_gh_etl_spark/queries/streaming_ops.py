@@ -17,6 +17,7 @@ from ..streaming import (
     run_streaming_window_counts,
 )
 from .base import register
+from .llmops import _MINHASH_BANDS_CTE, _SHINGLE_CTE
 from .reshape import SESSION_WINDOW_ORACLE
 
 
@@ -168,3 +169,36 @@ def streaming_session_window_query(spark: SparkSession, sf_dir: str) -> DataFram
     from ..streaming.windows import run_streaming_session_counts
 
     return run_streaming_session_counts(spark, f"{sf_dir}/events.parquet")
+
+
+@register(
+    "streaming_neardup_lsh",
+    _SHINGLE_CTE
+    + _MINHASH_BANDS_CTE
+    + """
+SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+    """,
+    tags=("streaming", "dedup"),
+)
+def streaming_neardup_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup ingestion: each micro-batch of documents is
+    checked against the accumulated corpus band index (SnapshotTable)
+    via incremental_lsh_candidates, then its bands are appended for
+    later batches — the continuous-crawl dedup shape. The pair set is
+    ingestion-order-invariant (pinned by test_streaming_neardup), so
+    the bounded run equals one-shot batch LSH, which IS the oracle."""
+    import tempfile
+
+    from ..engine.snapshots import SnapshotTable
+    from ..streaming.neardup import run_neardup_stream
+
+    tmp = tempfile.mkdtemp(prefix="neardup_q_")
+    return run_neardup_stream(
+        spark,
+        f"{sf_dir}/documents.parquet",
+        "doc_id long, text string, source string, lang string, n_chars long",
+        SnapshotTable(f"{tmp}/index"),
+        SnapshotTable(f"{tmp}/pairs"),
+    )
