@@ -195,6 +195,40 @@ def scale_section(spark, sf_dir: str, rep: int = 30) -> dict:
         "rows": n_docs, "sec": round(sec, 3), "rows_per_sec": round(n_docs / sec)
     }
 
+    # 2b. Incremental LSH: the daily-batch-vs-corpus shape. The corpus
+    # band index is PRECOMPUTED (the persisted-index contract —
+    # minhash_band_signatures written once per corpus); timed work is
+    # one day's delta (~1/rep of docs): delta bands + (band, bsig)
+    # index join + delta-internal pairs. The point of the number: per
+    # ingest this costs O(delta), not the full-LSH seconds above.
+    is_delta = (F.col("doc_id") % F.lit(rep)) == 0
+    index_bands = dedup.minhash_band_signatures(
+        dedup.shingles(d_rep.filter(~is_delta), "text", "doc_id", n=3,
+                       distinct=False),
+        "doc_id", num_hashes=12, bands=4, hash_family="xxhash64",
+    ).localCheckpoint(eager=True)  # materialized = read-from-index, not recompute
+    delta = d_rep.filter(is_delta)
+    n_delta = delta.count()
+    inc = dedup.incremental_lsh_candidates(
+        index_bands,
+        dedup.minhash_band_signatures(
+            dedup.shingles(delta, "text", "doc_id", n=3, distinct=False),
+            "doc_id", num_hashes=12, bands=4, hash_family="xxhash64",
+        ),
+        "doc_id",
+    )
+    sec = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        inc.count()
+        sec = min(sec, time.perf_counter() - t0)
+    out["dedup_incremental_lsh"] = {
+        "rows": n_docs,
+        "delta_rows": n_delta,
+        "sec": round(sec, 3),
+        "delta_rows_per_sec": round(n_delta / sec),
+    }
+
     # 3. IVF ANN search over a rep× corpus (same vectors, distinct ids:
     # every cell grows rep× uniformly — the cell-scan cost the probe
     # pruning is supposed to bound). Queries/centroids stay fixed.
