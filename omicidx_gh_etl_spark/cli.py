@@ -172,6 +172,24 @@ def cmd_extract(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_curate(args: argparse.Namespace) -> int:
+    """Materialize a curated training corpus: quality + repetition
+    rules, exact + near-dup keepers, split assignment — one write job
+    with observe()-collected funnel stats (engine/curate.py)."""
+    from .engine.curate import curate_corpus, format_stats
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    stats = curate_corpus(
+        df,
+        args.output,
+        min_tokens=args.min_tokens,
+        min_distinct_ratio=args.min_distinct_ratio,
+    )
+    print(format_stats(stats))
+    return 0
+
+
 def cmd_status(args: argparse.Namespace) -> int:
     """Pipeline status dashboard (reference: omicidx_etl/status.py) —
     success rate, per-model durations, and recent failures, computed
@@ -465,6 +483,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--block-size", type=int, default=1_000_000,
                     help="max records per parquet file (SRA_BLOCK_SIZE)")
     sp.set_defaults(fn=cmd_extract)
+
+    sp = sub.add_parser("curate", help="materialize a curated training corpus")
+    sp.add_argument("--input", required=True,
+                    help="documents parquet (doc_id, text, ... columns)")
+    sp.add_argument("--output", required=True,
+                    help="curated corpus dir (partitioned by split)")
+    sp.add_argument("--min-tokens", type=int, default=10)
+    sp.add_argument("--min-distinct-ratio", type=float, default=0.2)
+    sp.set_defaults(fn=cmd_curate)
 
     sp = sub.add_parser("status", help="pipeline status dashboard")
     common(sp)

@@ -1,0 +1,69 @@
+"""Curation pipeline: label semantics, one-pass funnel stats, and the
+CLI curate verb."""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import functions as F
+
+from omicidx_gh_etl_spark import cli
+from omicidx_gh_etl_spark.engine.curate import curate_corpus, label_corpus
+
+GOOD = ("the quick brown fox jumps over a lazy dog while seventeen "
+        "other animals watch from beneath the tall green trees nearby "
+        "and nobody expects this particular sentence anywhere")
+LOOP = ("click here click here click here click here click here click "
+        "here click here click here click here click here click here")
+SHORT = "too short"
+
+
+def _docs(spark):
+    rows = [
+        (1, GOOD),                       # survives everything
+        (2, GOOD),                       # exact dup of 1 -> dropped
+        (3, GOOD + " trailing extras appended for near dup effect"),
+        #                                 ^ near-dup of 1 -> dropped
+        (4, LOOP),                       # repetition reject
+        (5, SHORT),                      # quality reject
+        (6, ("completely unrelated second document with plenty of "
+             "distinct vocabulary items spread across many unique "
+             "tokens forming an acceptable training sample easily")),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_label_corpus_flags(spark):
+    lab = {r["doc_id"]: r for r in label_corpus(_docs(spark)).collect()}
+    assert lab[1]["keep"] is True
+    assert lab[2]["exact_keeper"] is False          # dup of keeper 1
+    assert lab[3]["neardup_keeper"] is False        # LSH cluster, 1 is min
+    assert lab[4]["rep_ok"] is False  # repetition loop caught
+    assert lab[5]["quality_ok"] is False
+    assert lab[6]["keep"] is True
+    assert all(r["split"] in ("train", "val", "test") for r in lab.values())
+
+
+def test_curate_corpus_writes_and_counts(spark, tmp_path):
+    out = str(tmp_path / "curated")
+    stats = curate_corpus(_docs(spark), out)
+    assert stats["n_docs"] == 6
+    assert stats["n_curated"] == 2                  # docs 1 and 6
+    assert stats["n_train"] + stats["n_val"] + stats["n_test"] == 2
+    assert stats["curated_tokens"] > 0
+    back = spark.read.parquet(out)
+    assert {r["doc_id"] for r in back.select("doc_id").collect()} == {1, 6}
+    assert "split" in back.columns                  # partition column survives
+
+
+def test_cli_curate(spark, tmp_path, capsys):
+    src = str(tmp_path / "docs")
+    _docs(spark).write.parquet(src)
+    ns = argparse.Namespace(
+        cmd="curate", cpus=8, input=src, output=str(tmp_path / "out"),
+        min_tokens=10, min_distinct_ratio=0.2,
+    )
+    assert cli.cmd_curate(ns) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["n_curated"] == 2 and stats["n_docs"] == 6
