@@ -49,15 +49,19 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    if "--scale-only" in sys.argv:
+        # Child mode: run ONLY the scale section in this (quiet) JVM
+        # and emit its dict as the sole stdout JSON line.
+        spark = get_spark(app_name="bench-scale")
+        spark.read.parquet(f"{sf_dir}/region.parquet").count()
+        print(json.dumps(scale_section(spark, sf_dir)))
+        return
+
     spark = get_spark(app_name="bench")
 
     # Warmup: JVM + parquet reader + codegen paths.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
-
-    # Scale section first: measured on a warm-but-quiet JVM (after a
-    # few hundred headline stages the same plans run 3-5× slower from
-    # accumulated driver/executor pressure — observed, not theorized).
-    scale = scale_section(spark, sf_dir)
 
     # Three iterations per query, report the warm (min) time: the first
     # run pays one-off JVM/JIT/codegen costs, and single-run timings on
@@ -93,6 +97,29 @@ def main() -> None:
         timings["mart_export_parquet"] = round(best, 3)
     finally:
         shutil.rmtree(export_dir, ignore_errors=True)
+
+    # Scale section in a FRESH subprocess JVM: both sections need a
+    # quiet JVM (after a few hundred stages the same plans run 1.3-5×
+    # slower from accumulated driver/executor pressure — measured:
+    # running scale first inflated every headline query 1.2-1.4×).
+    # A child process is the only real isolation in local mode — the
+    # gateway JVM survives a SparkContext restart.
+    import subprocess
+
+    scale: dict = {}
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scale-only"],
+            capture_output=True, text=True, timeout=1200,
+            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+        )
+        for line in reversed(proc.stdout.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                scale = json.loads(line)
+                break
+    except Exception as exc:  # bench must still emit its one JSON line
+        scale = {"error": str(exc)[:200]}
 
     total = round(sum(timings.values()), 3)
     print(
