@@ -424,3 +424,54 @@ def winnow_fingerprints(
         grams.select(F.col(id_col), F.min("h").over(frame).alias("fp"))
         .distinct()
     )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    text_col: str,
+    keep: list[str],
+    n_buckets: int = 64,
+    weight_seed: str = "w",
+) -> DataFrame:
+    """Fasttext-style hashed-feature linear quality scorer — the shape
+    of every cheap learned document filter (CCNet's LM filter slot,
+    fasttext quality/langid classifiers): hash each token into one of
+    ``n_buckets`` feature buckets, look up an integer weight per
+    bucket, score = mean weight, probability = sigmoid(score).
+
+    Offline stand-in for trained weights: weight(b) is derived from
+    ``md5(weight_seed || b)`` — an arbitrary-but-fixed integer in
+    [-1000, 1000], so the whole model is reproducible from a seed
+    string (and by the DuckDB oracle). Swapping in real trained
+    weights = replacing the weight expression with a broadcast-join
+    against a (bucket, weight) table — same plan shape.
+
+    Scale: map-only projection, no shuffle; the token loop runs as a
+    codegen'd higher-order ``transform``/``aggregate`` chain (no
+    Python). The integer score sum is exact in any evaluation order —
+    only the final sigmoid touches floats, so the output is
+    cross-engine hash-stable.
+    """
+    toks = tokens_expr(text_col)
+    d = df.withColumn("__t", toks).filter(F.size("__t") > 0)
+    # token -> bucket: first 4 md5 hex chars -> [0, n_buckets)
+    buckets = F.expr(
+        f"transform(__t, x -> cast(conv(substring(md5(x), 1, 4), 16, 10)"
+        f" as bigint) % {n_buckets})"
+    )
+    # bucket -> integer weight in [-1000, 1000]
+    weights = F.expr(
+        f"transform(__b, b -> cast(conv(substring("
+        f"md5(concat('{weight_seed}', cast(b as string))), 1, 6), 16, 10)"
+        f" as bigint) % 2001 - 1000)"
+    )
+    score_int = F.expr("aggregate(__w, 0L, (acc, x) -> acc + x)")
+    d = d.withColumn("__b", buckets).withColumn("__w", weights)
+    d = d.withColumn("__s", score_int)
+    mean = F.col("__s").cast("double") / (F.size("__t") * F.lit(1000.0))
+    return d.select(
+        *keep,
+        F.col("__s").alias("score_int"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-mean)), 4).alias("prob_keep"),
+        F.when(F.col("__s") >= 0, "keep").otherwise("drop").alias("label"),
+    )

@@ -6,6 +6,7 @@ from . import (  # noqa: F401  (registration)
     llmops,
     parsers,
     reshape,
+    scoring,
     streaming_ops,
     tpch,
 )

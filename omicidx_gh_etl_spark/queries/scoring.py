@@ -1,0 +1,201 @@
+"""Corpus scoring / selection queries (round-3 additions).
+
+Model-shaped document filtering (hashed linear classifier), dedup-aware
+dataset splitting (the leakage guard a contamination-free eval needs),
+late-materialization top-k (the wide-table pattern), and video-frame
+sampling plumbing. All DataFrame-native; oracles follow the parity
+rules in base.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, multimodal, text
+from .base import register
+from .llmops import _MINHASH_BANDS_CTE, _SHINGLE_CTE
+from .tables import load_spread, load_table
+
+
+@register(
+    "text_quality_classifier",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents),
+    feat AS (
+      SELECT doc_id, t,
+             list_aggregate(list_transform(
+               list_transform(t, x ->
+                 ('0x' || substr(md5(x), 1, 4))::BIGINT % 64),
+               b -> ('0x' || substr(md5('w' || CAST(b AS VARCHAR)), 1, 6))
+                      ::BIGINT % 2001 - 1000), 'sum') AS s
+      FROM toks WHERE len(t) > 0)
+    SELECT doc_id, CAST(s AS BIGINT) AS score_int,
+           round(1.0 / (1.0 + exp(-(CAST(s AS DOUBLE) / (len(t) * 1000.0)))),
+                 4) AS prob_keep,
+           CASE WHEN s >= 0 THEN 'keep' ELSE 'drop' END AS label
+    FROM feat
+    """,
+    tags=("text", "llm", "D3"),
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fasttext-style hashed-feature linear document classifier (the
+    cheap learned-filter slot in CCNet/RefinedWeb pipelines): token →
+    hash bucket → integer weight, score = mean weight, sigmoid
+    probability. Map-only, codegen'd higher-order functions — the
+    trained-weights variant swaps the weight expression for a
+    broadcast (bucket, weight) join with the same plan shape."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.hashed_linear_score(d, "text", ["doc_id"], n_buckets=64)
+
+
+@register(
+    "late_materialization_topk",
+    """
+    WITH topk AS (
+      SELECT o_orderkey FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 100)
+    SELECT o.o_orderkey, o.o_orderstatus, o.o_orderpriority,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           o.o_totalprice AS total_price,
+           c.c_name
+    FROM orders o
+    JOIN topk USING (o_orderkey)
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    tags=("O1", "J5", "perf"),
+)
+def late_materialization_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late materialization: rank on a NARROW projection (key + sort
+    column only — the scan's ReadSchema carries 2 columns), take the
+    top-k keys, then fetch the wide row + dimension columns for just
+    those k by a broadcast semi-join back into the fact.
+
+    The pattern that makes top-k over wide tables viable at 100 TB: a
+    direct ``ORDER BY … LIMIT k`` over the full projection drags every
+    column of every row through TakeOrderedAndProject's per-partition
+    heaps; here the heavy columns are only read for k rows (with
+    column pruning, only the two ranking columns are ever fully
+    scanned)."""
+    o = load_table(spark, sf_dir, "orders")
+    topk = (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(F.broadcast(topk), "o_orderkey")
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_orderpriority",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            F.col("o_totalprice").alias("total_price"),
+            "c_name",
+        )
+    )
+
+
+@register(
+    "split_leakage_free",
+    _SHINGLE_CTE
+    + _MINHASH_BANDS_CTE
+    + """,
+pairs AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+          UNION SELECT d2, d1 FROM pairs),
+reach AS (
+  WITH RECURSIVE r(a, b) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a)
+  SELECT * FROM r),
+comp AS (
+  SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a),
+rep AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
+SELECT doc_id, component,
+       CASE WHEN bucket < 8 THEN 'train'
+            WHEN bucket = 8 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, component,
+         ('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 15))
+             ::BIGINT % 10 AS bucket
+  FROM rep)
+    """,
+    tags=("sampling", "dedup", "llm"),
+)
+def split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split: hash the doc's NEAR-DUP
+    COMPONENT (from MinHash-LSH connected components), not the doc id,
+    so a document and its near-duplicates always land in the SAME
+    split — the leakage guard that makes held-out evaluation honest
+    (an id-hash split puts ~J of each near-dup cluster's members in
+    train and the rest in test, leaking the answers).
+
+    Plan: the LSH + components lineage runs over candidate docs only;
+    singleton docs (no candidate pair — the overwhelming majority) skip
+    the component join via the left join's null and hash their own id.
+    Same split arithmetic as ``split_train_val_test``."""
+    d = load_spread(spark, sf_dir, "documents", "doc_id")
+    sh = dedup.shingles(d, "text", "doc_id", n=3, distinct=False)
+    pairs = dedup.minhash_lsh_candidates(sh, "doc_id", num_hashes=12, bands=4)
+    comp = dedup.connected_components(pairs)
+    rep = F.coalesce(F.col("component"), F.col("doc_id"))
+    bucket = (
+        F.conv(F.substring(F.md5(rep.cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % 10
+    )
+    return (
+        d.select("doc_id")
+        .join(F.broadcast(comp), d["doc_id"] == comp["node"], "left")
+        .select(
+            "doc_id",
+            rep.alias("component"),
+            F.when(bucket < 8, "train")
+            .when(bucket == 8, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH b AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+    f AS (
+      SELECT doc_id, hx,
+             unnest(CASE WHEN length(hx) >= 32 THEN
+                 generate_series(0, length(hx) // 32 - 1) ELSE [] END) AS i
+      FROM b)
+    SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           substr(hx, i * 32 + 1, 32) AS frame_hex
+    FROM f WHERE i % 2 = 0
+    """,
+    tags=("multimodal", "D3"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: raw payload = concatenated
+    16-byte frames, sample every 2nd frame → one row per sampled frame
+    (Arrow-batched ``mapInPandas``; codec stubbed, buffer math real —
+    the frame rows are what a per-frame embed/caption stage consumes).
+    The oracle replays the byte slicing on the hex encoding; frames
+    are exposed hex-encoded because BLOB cells don't survive either
+    engine's pandas canonicalization."""
+    d = load_spread(spark, sf_dir, "documents", "doc_id")
+    wrapped = multimodal.attach_binary_payload(d, "text", "doc_id")
+    frames = multimodal.sample_frames(wrapped, every_n=2, frame_bytes=16)
+    return frames.select(
+        "doc_id", "frame_idx", F.hex(F.col("frame")).alias("frame_hex")
+    )

@@ -1,0 +1,107 @@
+"""Semantic properties of the round-3 scoring/selection queries —
+beyond the oracle hash: the *invariants* each operator promises."""
+
+from __future__ import annotations
+
+import pytest
+
+from omicidx_gh_etl_spark.operators import dedup
+from omicidx_gh_etl_spark.queries import REGISTRY
+
+
+def test_leakage_free_split_property(spark, sf_dir):
+    """THE property: no LSH candidate pair straddles two splits."""
+    splits = {
+        r["doc_id"]: r["split"]
+        for r in REGISTRY["split_leakage_free"].builder(spark, sf_dir).collect()
+    }
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = dedup.shingles(d, "text", "doc_id", n=3, distinct=False)
+    pairs = dedup.minhash_lsh_candidates(
+        sh, "doc_id", num_hashes=12, bands=4
+    ).collect()
+    assert pairs, "smoke corpus should contain planted near-dups"
+    for p in pairs:
+        assert splits[p["d1"]] == splits[p["d2"]], (
+            f"pair ({p['d1']}, {p['d2']}) straddles splits "
+            f"{splits[p['d1']]}/{splits[p['d2']]}"
+        )
+    # all docs assigned, and all three splits materialize
+    assert len(splits) == d.count()
+    assert set(splits.values()) == {"train", "val", "test"}
+
+
+def test_quality_classifier_is_deterministic_and_consistent(spark, sf_dir):
+    q = REGISTRY["text_quality_classifier"]
+    a = {r["doc_id"]: r for r in q.builder(spark, sf_dir).collect()}
+    b = {r["doc_id"]: r for r in q.builder(spark, sf_dir).collect()}
+    assert a.keys() == b.keys() and len(a) > 0
+    for k in a:
+        assert a[k] == b[k]
+        # label must agree with the integer score's sign
+        assert (a[k]["label"] == "keep") == (a[k]["score_int"] >= 0)
+        assert 0.0 <= a[k]["prob_keep"] <= 1.0
+        # sigmoid midpoint consistency
+        if a[k]["score_int"] >= 0:
+            assert a[k]["prob_keep"] >= 0.5
+
+
+def test_late_materialization_matches_direct_topk(spark, sf_dir):
+    """The late-materialized result must equal the straightforward
+    wide ORDER BY ... LIMIT k (same rows, same values)."""
+    from pyspark.sql import functions as F
+
+    got = {
+        r["o_orderkey"]: r
+        for r in REGISTRY["late_materialization_topk"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    want_keys = [
+        r["o_orderkey"]
+        for r in o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+        .collect()
+    ]
+    assert set(got) == set(want_keys)
+    assert len(got) == min(100, o.count())
+
+
+def test_frame_sample_buffer_math(spark, sf_dir):
+    """Every sampled frame is exactly frame_bytes long, indices step by
+    every_n, and the partial tail frame is dropped."""
+    rows = REGISTRY["multimodal_frame_sample"].builder(spark, sf_dir).collect()
+    assert rows
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    n_bytes = {r["doc_id"]: len(r["text"].encode("utf-8")) for r in docs}
+    seen: dict[int, list[int]] = {}
+    for r in rows:
+        assert len(r["frame_hex"]) == 32  # 16 bytes hex-encoded
+        assert r["frame_idx"] % 2 == 0
+        seen.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    for did, idxs in seen.items():
+        n_frames = n_bytes[did] // 16
+        assert sorted(idxs) == list(range(0, n_frames, 2))
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "text_quality_classifier",
+        "split_leakage_free",
+        "late_materialization_topk",
+    ],
+)
+def test_no_python_udf_in_plan(spark, sf_dir, name):
+    """The JVM-side queries must stay JVM-side (frame sampling is the
+    one deliberate Arrow/mapInPandas surface)."""
+    plan = (
+        REGISTRY[name]
+        .builder(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
