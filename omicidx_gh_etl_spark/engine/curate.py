@@ -153,3 +153,61 @@ def curate_corpus(
 
 def format_stats(stats: dict) -> str:
     return json.dumps(stats, sort_keys=True)
+
+
+def token_budget_select(
+    df: DataFrame,
+    score_col: str,
+    tokens_col: str,
+    id_col: str,
+    budget_frac: float = 0.3,
+) -> DataFrame:
+    """Select the highest-scoring documents whose cumulative token
+    count fits a budget (``budget_frac`` of the corpus total) — the
+    rank-and-cut step that turns per-doc quality scores into a fixed
+    token-count training mix.
+
+    Semantics: exactly the greedy scan in (score DESC, id ASC) order,
+    stopping when the running token total would exceed the budget.
+    Zero-token docs are excluded up front (unselectable content, and
+    they would make the greedy frontier ambiguous).
+
+    Scale: the naive formulation is a single global-order running sum —
+    one partition does all the work. This computes the same set with
+    parallel stages only:
+
+    1. per-SCORE prefix sums over an aggregated (score, bucket_tokens)
+       table — the only global-ordered window, sized by |distinct
+       scores| (bounded by the score range, not the corpus);
+    2. fully-kept / boundary buckets decided from that tiny table,
+       broadcast back onto the docs;
+    3. a within-bucket running sum PARTITIONED BY score (parallel,
+       balanced) resolves the one boundary bucket's partial take.
+    """
+    from pyspark.sql import Window as W
+
+    d = df.filter(F.col(tokens_col) > 0)
+    total = d.agg(
+        (F.sum(tokens_col) * F.lit(budget_frac)).alias("__B")
+    )
+    b = d.groupBy(score_col).agg(F.sum(tokens_col).alias("__btok"))
+    wb = W.orderBy(F.desc(score_col)).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    b = (
+        b.withColumn("__cum", F.sum("__btok").over(wb))
+        .crossJoin(F.broadcast(total))
+        .select(score_col, "__btok", "__cum", "__B")
+    )
+    j = d.join(F.broadcast(b), score_col)
+    wd = W.partitionBy(score_col).orderBy(id_col).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    # running total as the greedy scan would see it at this doc:
+    # tokens of all strictly-better buckets + in-bucket prefix.
+    run = F.col("__cum") - F.col("__btok") + F.sum(tokens_col).over(wd)
+    return (
+        j.withColumn("__run", run)
+        .filter(F.col("__run") <= F.col("__B"))
+        .drop("__btok", "__cum", "__B", "__run")
+    )

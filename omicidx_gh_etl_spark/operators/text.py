@@ -432,6 +432,7 @@ def hashed_linear_score(
     keep: list[str],
     n_buckets: int = 64,
     weight_seed: str = "w",
+    include_n_tokens: bool = False,
 ) -> DataFrame:
     """Fasttext-style hashed-feature linear quality scorer — the shape
     of every cheap learned document filter (CCNet's LM filter slot,
@@ -469,9 +470,15 @@ def hashed_linear_score(
     d = d.withColumn("__b", buckets).withColumn("__w", weights)
     d = d.withColumn("__s", score_int)
     mean = F.col("__s").cast("double") / (F.size("__t") * F.lit(1000.0))
+    extra = (
+        [F.size("__t").cast("bigint").alias("n_tokens")]
+        if include_n_tokens
+        else []
+    )
     return d.select(
         *keep,
         F.col("__s").alias("score_int"),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-mean)), 4).alias("prob_keep"),
         F.when(F.col("__s") >= 0, "keep").otherwise("drop").alias("label"),
+        *extra,
     )

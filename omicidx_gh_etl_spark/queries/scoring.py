@@ -199,3 +199,50 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "doc_id", "frame_idx", F.hex(F.col("frame")).alias("frame_hex")
     )
+
+
+@register(
+    "curation_token_budget",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents),
+    base AS (
+      SELECT doc_id,
+             CAST(list_aggregate(list_transform(
+               list_transform(t, x ->
+                 ('0x' || substr(md5(x), 1, 4))::BIGINT % 64),
+               b -> ('0x' || substr(md5('w' || CAST(b AS VARCHAR)), 1, 6))
+                      ::BIGINT % 2001 - 1000), 'sum') AS BIGINT) AS score_int,
+             CAST(len(t) AS BIGINT) AS n_tokens
+      FROM toks WHERE len(t) > 0),
+    tot AS (SELECT 0.3 * sum(n_tokens) AS b FROM base),
+    r AS (
+      SELECT doc_id, score_int, n_tokens,
+             sum(n_tokens) OVER (ORDER BY score_int DESC, doc_id) AS cum
+      FROM base)
+    SELECT doc_id, score_int, n_tokens FROM r, tot WHERE cum <= b
+    """,
+    tags=("sampling", "llm", "perf"),
+)
+def curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: keep the best-scoring documents
+    (hashed linear classifier score) until 30% of the corpus's tokens
+    are spent — the rank-and-cut that turns per-doc quality scores
+    into a fixed-size training mix.
+
+    The oracle is the naive single-ordered running sum; the Spark plan
+    computes the identical set with only parallel stages (per-score
+    prefix sums on a tiny aggregated table + windows PARTITIONED BY
+    score) — see ``engine/curate.py::token_budget_select``. At 100 TB
+    the naive window is one partition doing everything; this shape has
+    no global-ordered pass over doc-level data at all."""
+    from ..engine.curate import token_budget_select
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = text.hashed_linear_score(
+        d, "text", ["doc_id"], n_buckets=64, include_n_tokens=True
+    ).select("doc_id", "score_int", "n_tokens")
+    return token_budget_select(
+        scored, "score_int", "n_tokens", "doc_id", budget_frac=0.3
+    )

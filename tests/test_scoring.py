@@ -105,3 +105,69 @@ def test_no_python_udf_in_plan(spark, sf_dir, name):
     )
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_token_budget_select_equals_naive_greedy(spark, sf_dir):
+    """The parallel bucket formulation must equal the naive global
+    running-sum greedy, and spend within the budget."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from omicidx_gh_etl_spark.engine.curate import token_budget_select
+    from omicidx_gh_etl_spark.operators import text as text_ops
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = text_ops.hashed_linear_score(
+        d, "text", ["doc_id"], include_n_tokens=True
+    ).select("doc_id", "score_int", "n_tokens")
+
+    got = token_budget_select(
+        scored, "score_int", "n_tokens", "doc_id", budget_frac=0.3
+    )
+    total = scored.agg(F.sum("n_tokens")).collect()[0][0]
+    budget = 0.3 * total
+
+    naive = (
+        scored.filter(F.col("n_tokens") > 0)
+        .withColumn(
+            "cum",
+            F.sum("n_tokens").over(
+                W.orderBy(F.desc("score_int"), F.asc("doc_id")).rowsBetween(
+                    W.unboundedPreceding, W.currentRow
+                )
+            ),
+        )
+        .filter(F.col("cum") <= budget)
+    )
+    got_ids = {r["doc_id"] for r in got.collect()}
+    naive_ids = {r["doc_id"] for r in naive.collect()}
+    assert got_ids == naive_ids and got_ids
+    spent = (
+        got.agg(F.sum("n_tokens")).collect()[0][0]
+    )
+    assert spent <= budget
+    # greedy maximality: the best-scoring excluded doc would overflow
+    assert spent > 0
+
+
+def test_token_budget_no_global_doc_window(spark, sf_dir):
+    """The doc-level window must be PARTITIONED (by score) — a global
+    empty-partition window over doc rows is the 1-core trap."""
+    from omicidx_gh_etl_spark.queries import REGISTRY
+
+    plan = (
+        REGISTRY["curation_token_budget"]
+        .builder(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    # every Window over doc-level rows partitions by the score column;
+    # the only unpartitioned window runs on the aggregated score table
+    wins = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
+    assert wins, "expected window operators in the plan"
+    assert any("score_int" in w for w in wins), (
+        "doc-level window lost its PARTITION BY score_int:\n" + plan
+    )
