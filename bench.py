@@ -136,7 +136,7 @@ def main() -> None:
     )
 
 
-def scale_section(spark, sf_dir: str, rep: int = 30) -> dict:
+def scale_section(spark, sf_dir: str, rep: int = 100) -> dict:
     """Throughput at ~rep× the input scale via IN-PLAN replication
     (explode over a sequence literal — one scan, no synthetic files).
 
