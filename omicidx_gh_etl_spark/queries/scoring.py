@@ -246,3 +246,46 @@ def curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_select(
         scored, "score_int", "n_tokens", "doc_id", budget_frac=0.3
     )
+
+
+@register(
+    "sample_fixed_k_per_group",
+    """
+    SELECT doc_id, source, rk
+    FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents)
+    WHERE rk <= 50
+    """,
+    tags=("sampling", "llm"),
+)
+def sample_fixed_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic EXACT-k-per-group sample: rank group members by
+    the md5 of their id (a fixed uniform-but-arbitrary order) and keep
+    the first k — the eval-set/spot-check constructor. Unlike
+    rate-based hash sampling (``sample_hash_stratified``) the quota is
+    exact per group; unlike rand() it is reproducible across engines,
+    runs, and appends-that-don't-change-membership.
+
+    Scale: one shuffle on the group key; the rank window is
+    partitioned per group so no global order exists. Skew note: a
+    mega-group ranks all its members on one partition — for quotas at
+    100 TB, pre-filter with a rate-based hash cut to ~10k× the quota
+    first, then exact-rank the survivors (two map stages, same
+    result)."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+    )
+    return (
+        d.select("doc_id", "source")
+        .withColumn("rk", rk)
+        .filter(F.col("rk") <= 50)
+    )

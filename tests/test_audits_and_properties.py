@@ -312,3 +312,46 @@ def test_consecutive_islands_equals_bruteforce(spark, vals):
                 start, length = cur, 1
         want.add((k, start, length))
     assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-5, max_value=5),   # score (heavy ties)
+            st.integers(min_value=0, max_value=20),   # n_tokens (incl. 0)
+        ),
+        min_size=0,
+        max_size=25,
+    ),
+    frac=st.sampled_from([0.0, 0.25, 0.5, 1.0]),
+)
+def test_token_budget_select_property(spark, rows, frac):
+    """For arbitrary (score, tokens) corpora and budget fractions, the
+    parallel bucket formulation equals the naive sequential greedy."""
+    from omicidx_gh_etl_spark.engine.curate import token_budget_select
+
+    data = [(i, s, t) for i, (s, t) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "doc_id long, score_int long, n_tokens long"
+    )
+    got = {
+        r["doc_id"]
+        for r in token_budget_select(
+            df, "score_int", "n_tokens", "doc_id", budget_frac=frac
+        ).collect()
+    }
+    # reference: PREFIX greedy over (score DESC, doc_id ASC), tokens>0 —
+    # the running sum is cut at the first overflow (cum is monotone, so
+    # nothing after the frontier can re-enter), matching the operator's
+    # contract and the naive running-sum-window SQL.
+    budget = frac * sum(t for _, _, t in data)
+    want, cum = set(), 0
+    for i, s, t in sorted(data, key=lambda r: (-r[1], r[0])):
+        if t <= 0:
+            continue
+        cum += t
+        if cum <= budget:
+            want.add(i)
+    assert got == want
