@@ -71,3 +71,64 @@ def heavy_hitters(df: DataFrame, key: str | Column, k: int) -> DataFrame:
         .where(F.col("n") > F.col("__total") / k)
         .drop("__total")
     )
+
+
+def _cms_bucket(j_col: Column, key_col: Column, width: int) -> Column:
+    """Row j's hash bucket for a key: md5("j:key") -> [0, width)."""
+    s = F.concat(
+        j_col.cast("string"), F.lit(":"), key_col.cast("string")
+    )
+    return (
+        F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+        % F.lit(width)
+    )
+
+
+def count_min_build(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Count-Min sketch counters (Cormode & Muthukrishnan 2005) over a
+    key column → (j, bucket, c): depth independent hash rows, each key
+    incrementing one of ``width`` counters per row.
+
+    The fixed-size mergeable frequency summary: ``depth × width``
+    counters total regardless of input size, counters from different
+    partitions/days/sources merge by addition (it's a sum-aggregate),
+    and estimates never underestimate. At 100 TB the build is one
+    map-side-combinable groupBy on (j, bucket) — uniform md5 keys, no
+    skew — and the finished sketch is a broadcast-size table.
+
+    Hashes are md5-derived so an external engine (the DuckDB oracle)
+    reproduces the counters EXACTLY — unlike HLL/GK, the whole sketch
+    is cross-engine value-checkable, not just bound-checkable."""
+    j = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j")
+    hashed = df.select(F.col(key_col), j).select(
+        "j", _cms_bucket(F.col("j"), F.col(key_col), width).alias("bucket")
+    )
+    return hashed.groupBy("j", "bucket").agg(F.count("*").alias("c"))
+
+
+def count_min_estimate(
+    counters: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-frequency estimates from Count-Min counters for a set of
+    query keys → (key, n_cms): min over the key's depth counters.
+
+    Plan: the counters table is depth × width rows — broadcast it;
+    per query key this is a map-side lookup + tiny grouped min, no
+    shuffle of anything corpus-sized."""
+    j = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j")
+    qh = keys.select(F.col(key_col), j).select(
+        key_col,
+        "j",
+        _cms_bucket(F.col("j"), F.col(key_col), width).alias("bucket"),
+    )
+    return (
+        qh.join(F.broadcast(counters), ["j", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("n_cms"))
+    )

@@ -1008,3 +1008,59 @@ def layout_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "event_id", "user_id", "day", F.expr(_z_sql()).alias("zval")
     )
+
+
+@register(
+    "sketch_count_min",
+    """
+    WITH h AS (
+      SELECT e.user_id, t.j,
+             ('0x' || substr(md5(CAST(t.j AS VARCHAR) || ':' ||
+                 CAST(e.user_id AS VARCHAR)), 1, 8))::BIGINT % 256 AS bucket
+      FROM events e, generate_series(0, 3) AS t(j)),
+    counters AS (
+      SELECT j, bucket, count(*) AS c FROM h GROUP BY 1, 2),
+    q AS (SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0),
+    qh AS (
+      SELECT q.user_id, t.j,
+             ('0x' || substr(md5(CAST(t.j AS VARCHAR) || ':' ||
+                 CAST(q.user_id AS VARCHAR)), 1, 8))::BIGINT % 256 AS bucket
+      FROM q, generate_series(0, 3) AS t(j)),
+    est AS (
+      SELECT user_id, CAST(min(COALESCE(c, 0)) AS BIGINT) AS n_cms
+      FROM qh LEFT JOIN counters USING (j, bucket) GROUP BY 1),
+    ex AS (
+      SELECT user_id, count(*) AS n_exact
+      FROM events WHERE user_id % 97 = 0 GROUP BY 1)
+    SELECT user_id, n_exact, n_cms,
+           n_cms >= n_exact AS never_underestimates
+    FROM ex JOIN est USING (user_id)
+    """,
+    tags=("sketch", "A4"),
+)
+def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point-frequency estimates vs exact counts for a probe
+    key set. Unlike the HLL/GK queries (engine-specific estimates,
+    bound-flag-checked only), CMS counters are md5-derived, so the
+    ENTIRE sketch — counters and estimates — is reproduced by the
+    oracle and value-hash-checked; the one-sided error guarantee
+    (never underestimates) rides along as a checked flag.
+
+    Scale: build = one map-side-combinable groupBy onto depth×width
+    counters (a broadcast-size summary of any input size); estimate =
+    broadcast lookup + per-key min, no corpus-sized shuffle. See
+    operators/sketch.py::count_min_build."""
+    from ..operators import sketch
+
+    ev = load_events(spark, sf_dir)
+    counters = sketch.count_min_build(ev, "user_id", depth=4, width=256)
+    probes = ev.filter(F.col("user_id") % 97 == 0)
+    keys = probes.select("user_id").distinct()
+    est = sketch.count_min_estimate(counters, keys, "user_id", depth=4, width=256)
+    exact = probes.groupBy("user_id").agg(F.count("*").alias("n_exact"))
+    return exact.join(est, "user_id").select(
+        "user_id",
+        "n_exact",
+        "n_cms",
+        (F.col("n_cms") >= F.col("n_exact")).alias("never_underestimates"),
+    )

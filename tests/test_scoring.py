@@ -171,3 +171,41 @@ def test_token_budget_no_global_doc_window(spark, sf_dir):
     assert any("score_int" in w for w in wins), (
         "doc-level window lost its PARTITION BY score_int:\n" + plan
     )
+
+
+def test_count_min_merge_and_bounds(spark, sf_dir):
+    """CMS counters built on two halves and summed == counters built on
+    the whole (mergeability — the property that makes it a sketch),
+    and every estimate >= the exact count (one-sided error)."""
+    from pyspark.sql import functions as F
+
+    from omicidx_gh_etl_spark.operators import sketch
+    from omicidx_gh_etl_spark.queries.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    whole = sketch.count_min_build(ev, "user_id")
+    halves = [
+        sketch.count_min_build(ev.filter(F.col("event_id") % 2 == i), "user_id")
+        for i in (0, 1)
+    ]
+    merged = (
+        halves[0].unionByName(halves[1])
+        .groupBy("j", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    w = {(r["j"], r["bucket"]): r["c"] for r in whole.collect()}
+    m = {(r["j"], r["bucket"]): r["c"] for r in merged.collect()}
+    assert w == m and w
+
+    keys = ev.select("user_id").distinct().limit(30)
+    est = {
+        r["user_id"]: r["n_cms"]
+        for r in sketch.count_min_estimate(whole, keys, "user_id").collect()
+    }
+    exact = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert est
+    for uid, e in est.items():
+        assert e >= exact[uid]
