@@ -289,3 +289,66 @@ def sample_fixed_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", rk)
         .filter(F.col("rk") <= 50)
     )
+
+
+@register(
+    "udf_ewma_per_user",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn
+      FROM events)
+    SELECT a.user_id, a.event_id, a.ts_us, a.value,
+           round(sum(power(0.5, a.rn - b.rn) * b.value)
+                 / sum(power(0.5, a.rn - b.rn)), 4) AS ewma
+    FROM e a JOIN e b ON a.user_id = b.user_id AND b.rn <= a.rn
+    GROUP BY a.user_id, a.event_id, a.ts_us, a.value
+    """,
+    tags=("D3", "window"),
+)
+def udf_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values via grouped-map ``applyInPandas``
+    — per-row recursive state that no Spark window expression can
+    state (the oracle verifies it with the O(n²) closed form
+    Σ d^(t-i)·v_i / Σ d^(t-i), viable only at test scale).
+
+    Plan: one shuffle on user_id, then each user's (bounded) event
+    history is one Arrow batch in Python; vectorized ``Series.ewm``
+    inside. See functions/pandas_udfs.py for the scale-honesty note."""
+    from ..functions.pandas_udfs import ewma_per_key
+    from .tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    return ewma_per_key(ev, "user_id", ("ts_us", "event_id"), "value")
+
+
+@register(
+    "udf_trimmed_mean_by_type",
+    """
+    WITH r AS (
+      SELECT event_type, value,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events)
+    SELECT event_type, round(avg(value), 4) AS trimmed_mean
+    FROM r
+    WHERE n <= 2 * (n // 10) OR (rn > n // 10 AND rn <= n - n // 10)
+    GROUP BY event_type
+    """,
+    tags=("D3", "A10"),
+)
+def udf_trimmed_mean_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean per event_type via a GROUPED_AGG pandas UDF —
+    a robust aggregate that needs the group's order statistics (not
+    partial-aggregatable; the oracle states it with rank windows).
+    One shuffle on the (low-cardinality) group key; each group is one
+    Arrow batch."""
+    from ..functions.pandas_udfs import trimmed_mean_10
+    from .tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(trimmed_mean_10("value"), 4).alias("trimmed_mean")
+    )
