@@ -209,3 +209,28 @@ def test_count_min_merge_and_bounds(spark, sf_dir):
     assert est
     for uid, e in est.items():
         assert e >= exact[uid]
+
+
+def test_streaming_count_min_multibatch(spark, sf_dir, tmp_path):
+    """Streamed CMS over MULTIPLE micro-batches (one file each) must
+    equal the batch build — additive merge across real batch
+    boundaries, not just the single-batch smoke the registry runs."""
+    from pyspark.sql import functions as F
+
+    from omicidx_gh_etl_spark.operators import sketch
+    from omicidx_gh_etl_spark.queries.tables import load_events
+    from omicidx_gh_etl_spark.streaming.cms import run_streaming_count_min
+
+    ev = load_events(spark, sf_dir)
+    src = str(tmp_path / "ev_parts")
+    # 4 files -> 4 micro-batches under maxFilesPerTrigger=1
+    ev.select("event_id", "user_id", "event_type", "value", "props", "ts") \
+        .repartition(4).write.parquet(src)
+
+    streamed = run_streaming_count_min(
+        spark, src, "user_id", max_files_per_trigger=1
+    )
+    batch = sketch.count_min_build(ev, "user_id")
+    s = {(r["j"], r["bucket"]): r["c"] for r in streamed.collect()}
+    b = {(r["j"], r["bucket"]): r["c"] for r in batch.collect()}
+    assert s == b and len(s) > 0
