@@ -185,6 +185,9 @@ def cmd_curate(args: argparse.Namespace) -> int:
         args.output,
         min_tokens=args.min_tokens,
         min_distinct_ratio=args.min_distinct_ratio,
+        use_classifier=args.classifier,
+        leakage_free_split=args.leakage_free_split,
+        token_budget_frac=args.token_budget_frac,
     )
     print(format_stats(stats))
     return 0
@@ -491,6 +494,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="curated corpus dir (partitioned by split)")
     sp.add_argument("--min-tokens", type=int, default=10)
     sp.add_argument("--min-distinct-ratio", type=float, default=0.2)
+    sp.add_argument("--classifier", action="store_true",
+                    help="add the hashed-linear model gate (clf_ok)")
+    sp.add_argument("--leakage-free-split", action="store_true",
+                    help="hash the near-dup component for the split")
+    sp.add_argument("--token-budget-frac", type=float, default=None,
+                    help="cap output at this fraction of survivor "
+                         "tokens, best classifier scores first")
     sp.set_defaults(fn=cmd_curate)
 
     sp = sub.add_parser("status", help="pipeline status dashboard")

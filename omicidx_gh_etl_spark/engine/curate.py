@@ -36,8 +36,15 @@ from ..operators import dedup, text
 def split_expr(id_col: str = "doc_id") -> F.Column:
     """Deterministic append-stable 80/10/10 split on the md5 of the id
     (same construction as the ``split_train_val_test`` query)."""
+    return split_key_expr(F.col(id_col))
+
+
+def split_key_expr(key: F.Column) -> F.Column:
+    """80/10/10 split on the md5 of an arbitrary key column — pass the
+    near-dup component for a leakage-free split (same arithmetic as
+    the ``split_leakage_free`` query)."""
     bucket = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10)
         .cast("bigint")
         % 10
     )
@@ -54,11 +61,20 @@ def label_corpus(
     min_distinct_ratio: float = 0.2,
     max_top2gram: float = 0.20,
     max_dup5gram: float = 0.15,
+    use_classifier: bool = False,
+    leakage_free_split: bool = False,
 ) -> DataFrame:
     """Source docs → per-doc decision columns (nothing dropped):
     quality_ok, rep_ok, exact_keeper, neardup_keeper, split, n_tokens,
     keep = conjunction. The auditable decision table a production
-    pipeline persists alongside the curated corpus."""
+    pipeline persists alongside the curated corpus.
+
+    ``use_classifier`` adds the hashed-linear model gate (``clf_ok`` +
+    ``score_int`` columns; see operators/text.py::hashed_linear_score).
+    ``leakage_free_split`` hashes the near-dup COMPONENT instead of the
+    doc id for the split, so near-duplicates never straddle train/test
+    — reusing the components the near-dup keeper stage already
+    computed, no extra lineage."""
     q = text.quality_flag(
         df,
         text_col,
@@ -79,32 +95,53 @@ def label_corpus(
     pairs = dedup.minhash_lsh_candidates(
         dedup.shingles(df, text_col, id_col, n=3, distinct=False), id_col
     )
-    near_drop = (
-        dedup.connected_components_star(pairs)
-        .filter(F.col("node") != F.col("component"))
-        .select(F.col("node").alias(id_col), F.lit(False).alias("neardup_keeper"))
+    comp = dedup.connected_components_star(pairs)
+    near_drop = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col), F.lit(False).alias("neardup_keeper")
     )
     labeled = (
         df.join(q, id_col, "left")
         .join(rep, id_col, "left")
         .join(exact_keepers, id_col, "left")
         .join(near_drop, id_col, "left")
-        .select(
-            "*",
-            split_expr(id_col).alias("split"),
-        )
-        .fillna(
-            {"quality_ok": False, "rep_ok": False, "exact_keeper": False,
-             "neardup_keeper": True}
-        )
     )
-    return labeled.withColumn(
-        "keep",
+    if leakage_free_split:
+        labeled = (
+            labeled.join(
+                F.broadcast(comp.select(F.col("node").alias(id_col),
+                                        "component")),
+                id_col,
+                "left",
+            )
+            .withColumn(
+                "split",
+                split_key_expr(
+                    F.coalesce(F.col("component"), F.col(id_col))
+                ),
+            )
+            .drop("component")
+        )
+    else:
+        labeled = labeled.withColumn("split", split_expr(id_col))
+    labeled = labeled.fillna(
+        {"quality_ok": False, "rep_ok": False, "exact_keeper": False,
+         "neardup_keeper": True}
+    )
+    keep = (
         F.col("quality_ok")
         & F.col("rep_ok")
         & F.col("exact_keeper")
-        & F.col("neardup_keeper"),
+        & F.col("neardup_keeper")
     )
+    if use_classifier:
+        clf = text.hashed_linear_score(df, text_col, [id_col]).select(
+            id_col,
+            "score_int",
+            (F.col("label") == "keep").alias("clf_ok"),
+        )
+        labeled = labeled.join(clf, id_col, "left").fillna({"clf_ok": False})
+        keep = keep & F.col("clf_ok")
+    return labeled.withColumn("keep", keep)
 
 
 def curate_corpus(
@@ -112,11 +149,19 @@ def curate_corpus(
     out_dir: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    token_budget_frac: float | None = None,
     **label_kwargs,
 ) -> dict:
     """Run the full pipeline and write the curated corpus to
     ``out_dir`` partitioned by split (zstd). Returns the funnel stats
-    dict — computed by ``observe`` during the write itself."""
+    dict — computed by ``observe`` during the write itself.
+
+    ``token_budget_frac`` caps the curated output at that fraction of
+    the SURVIVORS' total tokens, keeping the best classifier-scored
+    docs first (forces the classifier stage on; see
+    :func:`token_budget_select` for the no-global-window plan)."""
+    if token_budget_frac is not None:
+        label_kwargs["use_classifier"] = True
     labeled = label_corpus(df, text_col, id_col, **label_kwargs)
     obs = Observation("curate_funnel")
     cnt = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0)).alias(c)  # noqa: E731
@@ -138,15 +183,34 @@ def curate_corpus(
             for s in ("train", "val", "test")
         ],
     )
+    flag_cols = ["quality_ok", "rep_ok", "exact_keeper", "neardup_keeper",
+                 "keep"]
+    if label_kwargs.get("use_classifier"):
+        flag_cols.append("clf_ok")
+    out = watched.filter(F.col("keep")).drop(*flag_cols)
+    budget_obs = None
+    if token_budget_frac is not None:
+        out = token_budget_select(
+            out, "score_int", "n_tokens", id_col,
+            budget_frac=token_budget_frac,
+        )
+        budget_obs = Observation("curate_budget")
+        out = out.observe(
+            budget_obs,
+            F.count(F.lit(1)).alias("budget_docs"),
+            F.sum(F.col("n_tokens").cast("bigint")).alias("budget_tokens"),
+        )
     (
-        watched.filter(F.col("keep"))
-        .drop("quality_ok", "rep_ok", "exact_keeper", "neardup_keeper", "keep")
-        .write.mode("overwrite")
+        out.write.mode("overwrite")
         .partitionBy("split")
         .option("compression", "zstd")
         .parquet(out_dir)
     )
-    stats = {k: int(v) for k, v in obs.get.items()}
+    # sum() over an empty frame observes as None (e.g. a budget so
+    # tight the prefix greedy selects nothing) — report 0, not a crash.
+    stats = {k: int(v or 0) for k, v in obs.get.items()}
+    if budget_obs is not None:
+        stats.update({k: int(v or 0) for k, v in budget_obs.get.items()})
     stats["output"] = out_dir
     return stats
 

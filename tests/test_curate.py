@@ -63,7 +63,48 @@ def test_cli_curate(spark, tmp_path, capsys):
     ns = argparse.Namespace(
         cmd="curate", cpus=8, input=src, output=str(tmp_path / "out"),
         min_tokens=10, min_distinct_ratio=0.2,
+        classifier=False, leakage_free_split=False, token_budget_frac=None,
     )
     assert cli.cmd_curate(ns) == 0
     stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats["n_curated"] == 2 and stats["n_docs"] == 6
+
+
+def test_label_corpus_leakage_free_split(spark):
+    """Docs 1/2/3 form one dup cluster — under leakage_free_split they
+    must all carry the SAME split label (hashed on the component)."""
+    lab = {
+        r["doc_id"]: r
+        for r in label_corpus(_docs(spark), leakage_free_split=True).collect()
+    }
+    assert lab[1]["split"] == lab[2]["split"] == lab[3]["split"]
+    assert all(r["split"] in ("train", "val", "test") for r in lab.values())
+
+
+def test_label_corpus_classifier_gate(spark):
+    lab = {
+        r["doc_id"]: r
+        for r in label_corpus(_docs(spark), use_classifier=True).collect()
+    }
+    for r in lab.values():
+        assert r["clf_ok"] == (r["score_int"] >= 0)
+        if r["keep"]:
+            assert r["clf_ok"]
+
+
+def test_curate_corpus_token_budget(spark, tmp_path):
+    """budget_frac=1.0 keeps every survivor; a small budget keeps a
+    strict best-scoring subset, and the stats record the spend."""
+    full = curate_corpus(
+        _docs(spark), str(tmp_path / "full"), token_budget_frac=1.0
+    )
+    assert full["budget_docs"] == full["n_curated"]
+    # survivors: doc1 (28 tokens, score 2316) then doc6 (21, 1984);
+    # frac=0.6 -> budget 29.4 of 49: prefix greedy keeps exactly doc1
+    part = curate_corpus(
+        _docs(spark), str(tmp_path / "part"), token_budget_frac=0.6
+    )
+    assert part["budget_docs"] == 1
+    assert part["budget_tokens"] == 28
+    back = spark.read.parquet(str(tmp_path / "part"))
+    assert [r["doc_id"] for r in back.collect()] == [1]
