@@ -352,3 +352,43 @@ def udf_trimmed_mean_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.round(trimmed_mean_10("value"), 4).alias("trimmed_mean")
     )
+
+
+@register(
+    "scd2_user_event_history",
+    """
+    WITH u AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, max(event_type) AS event_type
+      FROM events GROUP BY 1, 2),
+    ch AS (
+      SELECT user_id, ts_us, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts_us) AS prev
+      FROM u),
+    v AS (
+      SELECT user_id, ts_us, event_type FROM ch
+      WHERE prev IS NULL OR prev <> event_type)
+    SELECT user_id, ts_us AS valid_from,
+           lead(ts_us) OVER (
+             PARTITION BY user_id ORDER BY ts_us) AS valid_to,
+           event_type
+    FROM v
+    """,
+    tags=("I6", "scd"),
+)
+def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build (engine/scd.py::scd2_apply): each
+    event sets the user's current event_type attribute; consecutive
+    no-op updates mint no version; valid_from/valid_to ranges come
+    from one per-key window pass. The reference keeps latest-state
+    only and defers update handling (ebi_biosample/README.md "Known
+    Issues #4") — this is the versioned answer, and "state on date D"
+    becomes an as-of filter (scd2_as_of, pytest-pinned).
+
+    Scale: one (key, ts) aggregate + one key-partitioned window — each
+    key's history is partition-local regardless of table size."""
+    from ..engine.scd import scd2_apply
+    from .tables import load_events
+
+    ev = load_events(spark, sf_dir).select("user_id", "ts_us", "event_type")
+    return scd2_apply(None, ev, ["user_id"], "ts_us", ["event_type"])
