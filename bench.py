@@ -118,6 +118,11 @@ def main() -> None:
             if line.startswith("{"):
                 scale = json.loads(line)
                 break
+        if not scale:  # crashed child must be visible, not an empty dict
+            tail = proc.stderr.strip().splitlines()[-1][:160] if (
+                proc.stderr.strip()
+            ) else "empty output"
+            scale = {"error": f"scale child rc={proc.returncode}: {tail}"}
     except Exception as exc:  # bench must still emit its one JSON line
         scale = {"error": str(exc)[:200]}
 

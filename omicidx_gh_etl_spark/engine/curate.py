@@ -225,6 +225,7 @@ def token_budget_select(
     tokens_col: str,
     id_col: str,
     budget_frac: float = 0.3,
+    coarse: int = 1024,
 ) -> DataFrame:
     """Select the highest-scoring documents whose cumulative token
     count fits a budget (``budget_frac`` of the corpus total) — the
@@ -238,40 +239,56 @@ def token_budget_select(
 
     Scale: the naive formulation is a single global-order running sum —
     one partition does all the work. This computes the same set with
-    parallel stages only:
+    bounded-size serial work regardless of corpus size:
 
-    1. per-SCORE prefix sums over an aggregated (score, bucket_tokens)
-       table — the only global-ordered window, sized by |distinct
-       scores| (bounded by the score range, not the corpus);
-    2. fully-kept / boundary buckets decided from that tiny table,
-       broadcast back onto the docs;
-    3. a within-bucket running sum PARTITIONED BY score (parallel,
-       balanced) resolves the one boundary bucket's partial take.
+    1. scores are QUANTIZED into ≤ ``coarse`` order-preserving buckets
+       (step derived from the observed score range — raw scores can be
+       near-unique per doc, so grouping by the raw score would just
+       rebuild a corpus-sized table);
+    2. per-bucket prefix sums over the aggregated (bucket, tokens)
+       table — the only global-ordered window, ≤ ``coarse`` rows;
+    3. fully-kept / boundary buckets decided from that tiny broadcast
+       table; a running sum PARTITIONED BY bucket, ordered by
+       (score DESC, id), resolves every bucket's partial take in
+       parallel. The greedy's running total at any doc is exactly
+       (tokens of all strictly-better buckets) + (in-bucket prefix),
+       so the kept set equals the naive scan's (hypothesis-pinned in
+       tests). The boundary bucket is the one serial region —
+       ~corpus/coarse docs for non-degenerate score distributions
+       (an all-one-score corpus degrades to the naive scan, which is
+       inherent to that tie order, not to this plan).
     """
     from pyspark.sql import Window as W
 
     d = df.filter(F.col(tokens_col) > 0)
-    total = d.agg(
-        (F.sum(tokens_col) * F.lit(budget_frac)).alias("__B")
+    # order-preserving quantization step from the observed range; the
+    # range agg is a full-reduce (no shuffle of rows, one tiny result)
+    rng = d.agg(
+        F.min(score_col).alias("__lo"),
+        F.max(score_col).alias("__hi"),
+        (F.sum(tokens_col) * F.lit(budget_frac)).alias("__B"),
     )
-    b = d.groupBy(score_col).agg(F.sum(tokens_col).alias("__btok"))
-    wb = W.orderBy(F.desc(score_col)).rowsBetween(
+    step = F.greatest(
+        F.lit(1),
+        F.ceil((F.col("__hi") - F.col("__lo") + 1) / F.lit(coarse)),
+    )
+    d = d.crossJoin(F.broadcast(rng)).withColumn(
+        "__qb", F.floor(F.col(score_col) / step)
+    )
+    b = d.groupBy("__qb").agg(F.sum(tokens_col).alias("__btok"))
+    wb = W.orderBy(F.desc("__qb")).rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
-    b = (
-        b.withColumn("__cum", F.sum("__btok").over(wb))
-        .crossJoin(F.broadcast(total))
-        .select(score_col, "__btok", "__cum", "__B")
-    )
-    j = d.join(F.broadcast(b), score_col)
-    wd = W.partitionBy(score_col).orderBy(id_col).rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
+    b = b.withColumn("__cum", F.sum("__btok").over(wb))
+    j = d.join(F.broadcast(b), "__qb")
+    wd = W.partitionBy("__qb").orderBy(
+        F.desc(score_col), F.asc(id_col)
+    ).rowsBetween(W.unboundedPreceding, W.currentRow)
     # running total as the greedy scan would see it at this doc:
     # tokens of all strictly-better buckets + in-bucket prefix.
     run = F.col("__cum") - F.col("__btok") + F.sum(tokens_col).over(wd)
     return (
         j.withColumn("__run", run)
         .filter(F.col("__run") <= F.col("__B"))
-        .drop("__btok", "__cum", "__B", "__run")
+        .drop("__qb", "__btok", "__cum", "__B", "__lo", "__hi", "__run")
     )

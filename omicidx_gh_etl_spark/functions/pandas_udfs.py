@@ -26,31 +26,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EWMA_SCHEMA = T.StructType(
-    [
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts_us", T.LongType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("ewma", T.DoubleType()),
-    ]
-)
-
-
 def ewma_per_key(
     df: DataFrame,
     key_col: str = "user_id",
-    order_cols: tuple[str, str] = ("ts_us", "event_id"),
+    order_cols: tuple[str, ...] = ("ts_us", "event_id"),
     value_col: str = "value",
     decay: float = 0.5,
 ) -> DataFrame:
     """Per-key exponentially-weighted moving average of ``value_col``
-    in event order (``adjust=True`` weighting:
+    in ``order_cols`` order (``adjust=True`` weighting:
     ewma_t = Σ decay^(t-i)·v_i / Σ decay^(t-i), i ≤ t).
 
     ``applyInPandas`` grouped-map: one shuffle on the key, then each
     group is one in-memory pandas frame — the recursive state that SQL
-    windows can't express runs as a vectorized ``Series.ewm``."""
+    windows can't express runs as a vectorized ``Series.ewm``.
+
+    Output: (key, *order_cols, value_col, ewma) — the schema is
+    derived from the input's actual types, so any key/order/value
+    column choice works."""
+    if not 0.0 < decay < 1.0:
+        raise ValueError(f"decay must be in (0, 1), got {decay}")
+    cols = [key_col, *order_cols, value_col]
+    narrow = df.select(*cols)
+    schema = T.StructType(
+        [narrow.schema[c] for c in cols]
+        + [T.StructField("ewma", T.DoubleType())]
+    )
 
     def _ewma(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(list(order_cols), kind="mergesort")
@@ -58,14 +59,9 @@ def ewma_per_key(
         pdf["ewma"] = (
             pdf[value_col].ewm(alpha=1.0 - decay, adjust=True).mean().round(4)
         )
-        return pdf[[key_col, "event_id", *order_cols[:1], value_col, "ewma"]]
+        return pdf[cols + ["ewma"]]
 
-    cols = [key_col, "event_id", order_cols[0], value_col]
-    return (
-        df.select(*cols)
-        .groupBy(key_col)
-        .applyInPandas(_ewma, EWMA_SCHEMA)
-    )
+    return narrow.groupBy(key_col).applyInPandas(_ewma, schema)
 
 
 @F.pandas_udf("double")

@@ -1010,9 +1010,13 @@ def layout_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sketch_count_min",
-    """
+# CMS contract shared by the batch and streaming queries: depth=4,
+# width=256, probe keys user_id %% 97 == 0. ONE oracle string and ONE
+# probe/compare builder — the "streamed counters == batch counters"
+# claim is enforced by both queries hashing against the same SQL.
+CMS_DEPTH, CMS_WIDTH, CMS_PROBE_MOD = 4, 256, 97
+
+CMS_ORACLE_SQL = """
     WITH h AS (
       SELECT e.user_id, t.j,
              ('0x' || substr(md5(CAST(t.j AS VARCHAR) || ':' ||
@@ -1035,7 +1039,35 @@ def layout_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, n_exact, n_cms,
            n_cms >= n_exact AS never_underestimates
     FROM ex JOIN est USING (user_id)
-    """,
+    """
+
+
+def cms_probe_compare(
+    spark: SparkSession, sf_dir: str, counters: DataFrame
+) -> DataFrame:
+    """Probe the CMS ``counters`` with the shared key set and join the
+    exact counts — the (user_id, n_exact, n_cms, never_underestimates)
+    result both CMS queries hash against ``CMS_ORACLE_SQL``."""
+    from ..operators.sketch import count_min_estimate
+
+    ev = load_events(spark, sf_dir)
+    probes = ev.filter(F.col("user_id") % CMS_PROBE_MOD == 0)
+    keys = probes.select("user_id").distinct()
+    est = count_min_estimate(
+        counters, keys, "user_id", depth=CMS_DEPTH, width=CMS_WIDTH
+    )
+    exact = probes.groupBy("user_id").agg(F.count("*").alias("n_exact"))
+    return exact.join(est, "user_id").select(
+        "user_id",
+        "n_exact",
+        "n_cms",
+        (F.col("n_cms") >= F.col("n_exact")).alias("never_underestimates"),
+    )
+
+
+@register(
+    "sketch_count_min",
+    CMS_ORACLE_SQL,
     tags=("sketch", "A4"),
 )
 def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1053,14 +1085,7 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import sketch
 
     ev = load_events(spark, sf_dir)
-    counters = sketch.count_min_build(ev, "user_id", depth=4, width=256)
-    probes = ev.filter(F.col("user_id") % 97 == 0)
-    keys = probes.select("user_id").distinct()
-    est = sketch.count_min_estimate(counters, keys, "user_id", depth=4, width=256)
-    exact = probes.groupBy("user_id").agg(F.count("*").alias("n_exact"))
-    return exact.join(est, "user_id").select(
-        "user_id",
-        "n_exact",
-        "n_cms",
-        (F.col("n_cms") >= F.col("n_exact")).alias("never_underestimates"),
+    counters = sketch.count_min_build(
+        ev, "user_id", depth=CMS_DEPTH, width=CMS_WIDTH
     )
+    return cms_probe_compare(spark, sf_dir, counters)

@@ -147,25 +147,20 @@ def split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
     singleton docs (no candidate pair — the overwhelming majority) skip
     the component join via the left join's null and hash their own id.
     Same split arithmetic as ``split_train_val_test``."""
+    from ..engine.curate import split_key_expr
+
     d = load_spread(spark, sf_dir, "documents", "doc_id")
     sh = dedup.shingles(d, "text", "doc_id", n=3, distinct=False)
     pairs = dedup.minhash_lsh_candidates(sh, "doc_id", num_hashes=12, bands=4)
     comp = dedup.connected_components(pairs)
     rep = F.coalesce(F.col("component"), F.col("doc_id"))
-    bucket = (
-        F.conv(F.substring(F.md5(rep.cast("string")), 1, 15), 16, 10)
-        .cast("bigint") % 10
-    )
     return (
         d.select("doc_id")
         .join(F.broadcast(comp), d["doc_id"] == comp["node"], "left")
         .select(
             "doc_id",
             rep.alias("component"),
-            F.when(bucket < 8, "train")
-            .when(bucket == 8, "val")
-            .otherwise("test")
-            .alias("split"),
+            split_key_expr(rep).alias("split"),
         )
     )
 
@@ -232,11 +227,14 @@ def curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     into a fixed-size training mix.
 
     The oracle is the naive single-ordered running sum; the Spark plan
-    computes the identical set with only parallel stages (per-score
-    prefix sums on a tiny aggregated table + windows PARTITIONED BY
-    score) — see ``engine/curate.py::token_budget_select``. At 100 TB
-    the naive window is one partition doing everything; this shape has
-    no global-ordered pass over doc-level data at all."""
+    computes the identical set with bounded serial work: scores are
+    quantized into ≤1024 order-preserving buckets (raw scores are
+    near-unique per doc — grouping by them would rebuild a corpus-sized
+    table), prefix sums run on that tiny aggregated table, and the
+    doc-level window is PARTITIONED BY the bucket — see
+    ``engine/curate.py::token_budget_select``. At 100 TB the naive
+    window is one partition doing everything; this shape has no
+    global-ordered pass over doc-level data at all."""
     from ..engine.curate import token_budget_select
 
     d = load_table(spark, sf_dir, "documents")
@@ -363,11 +361,18 @@ def udf_trimmed_mean_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch AS (
       SELECT user_id, ts_us, event_type,
              lag(event_type) OVER (
-               PARTITION BY user_id ORDER BY ts_us) AS prev
+               PARTITION BY user_id ORDER BY ts_us) AS prev,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts_us) AS rn
       FROM u),
     v AS (
+      -- rn=1 + IS DISTINCT FROM matches the Spark side's eqNullSafe
+      -- change detection exactly: the first version is always kept
+      -- (even with a NULL attribute, where scalar lag can't tell
+      -- "no previous row" from "previous value was NULL"), and later
+      -- versions are kept iff null-safely different from the previous
       SELECT user_id, ts_us, event_type FROM ch
-      WHERE prev IS NULL OR prev <> event_type)
+      WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
     SELECT user_id, ts_us AS valid_from,
            lead(ts_us) OVER (
              PARTITION BY user_id ORDER BY ts_us) AS valid_to,

@@ -16,6 +16,7 @@ from ..streaming import (
     run_sessionize_stream,
     run_streaming_window_counts,
 )
+from .advanced import CMS_ORACLE_SQL
 from .base import register
 from .llmops import _MINHASH_BANDS_CTE, _SHINGLE_CTE
 from .reshape import SESSION_WINDOW_ORACLE
@@ -206,56 +207,22 @@ def streaming_neardup_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_count_min",
-    """
-    WITH h AS (
-      SELECT e.user_id, t.j,
-             ('0x' || substr(md5(CAST(t.j AS VARCHAR) || ':' ||
-                 CAST(e.user_id AS VARCHAR)), 1, 8))::BIGINT % 256 AS bucket
-      FROM events e, generate_series(0, 3) AS t(j)),
-    counters AS (
-      SELECT j, bucket, count(*) AS c FROM h GROUP BY 1, 2),
-    q AS (SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0),
-    qh AS (
-      SELECT q.user_id, t.j,
-             ('0x' || substr(md5(CAST(t.j AS VARCHAR) || ':' ||
-                 CAST(q.user_id AS VARCHAR)), 1, 8))::BIGINT % 256 AS bucket
-      FROM q, generate_series(0, 3) AS t(j)),
-    est AS (
-      SELECT user_id, CAST(min(COALESCE(c, 0)) AS BIGINT) AS n_cms
-      FROM qh LEFT JOIN counters USING (j, bucket) GROUP BY 1),
-    ex AS (
-      SELECT user_id, count(*) AS n_exact
-      FROM events WHERE user_id % 97 = 0 GROUP BY 1)
-    SELECT user_id, n_exact, n_cms,
-           n_cms >= n_exact AS never_underestimates
-    FROM ex JOIN est USING (user_id)
-    """,
+    CMS_ORACLE_SQL,
     tags=("streaming", "sketch"),
 )
 def streaming_count_min_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch built INCREMENTALLY over the event stream
     (foreachBatch: per-batch counters merged by addition — the driver
     state is sketch-sized, never data-sized), then probed exactly like
-    the batch `sketch_count_min`. Same oracle as the batch query: CMS
-    mergeability makes the streamed counters bit-identical to a batch
-    build, and the value hash proves it."""
-    from pyspark.sql import functions as F
-
-    from ..operators.sketch import count_min_estimate
+    the batch `sketch_count_min` via the SHARED cms_probe_compare /
+    CMS_ORACLE_SQL: CMS mergeability makes the streamed counters
+    bit-identical to a batch build, and hashing both queries against
+    one oracle string enforces it."""
     from ..streaming.cms import run_streaming_count_min
-    from .tables import load_events
+    from .advanced import CMS_DEPTH, CMS_WIDTH, cms_probe_compare
 
     counters = run_streaming_count_min(
-        spark, f"{sf_dir}/events.parquet", "user_id", depth=4, width=256
+        spark, f"{sf_dir}/events.parquet", "user_id",
+        depth=CMS_DEPTH, width=CMS_WIDTH,
     )
-    ev = load_events(spark, sf_dir)
-    probes = ev.filter(F.col("user_id") % 97 == 0)
-    keys = probes.select("user_id").distinct()
-    est = count_min_estimate(counters, keys, "user_id", depth=4, width=256)
-    exact = probes.groupBy("user_id").agg(F.count("*").alias("n_exact"))
-    return exact.join(est, "user_id").select(
-        "user_id",
-        "n_exact",
-        "n_cms",
-        (F.col("n_cms") >= F.col("n_exact")).alias("never_underestimates"),
-    )
+    return cms_probe_compare(spark, sf_dir, counters)

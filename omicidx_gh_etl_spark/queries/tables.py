@@ -42,22 +42,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _scan_units(path: str, cap: int) -> int:
-    """How many independently-readable chunks a parquet path really
-    has: files, and row groups within them. Spark's planned partition
-    COUNT lies here — it byte-range-splits a single file into
-    ``maxPartitionBytes`` slices, but parquet is only readable at row
-    group boundaries, so a 1-row-group file yields one NON-EMPTY
-    partition no matter how many splits the plan shows. Footer reads
-    stop as soon as ``cap`` units are proven (at a real many-file
-    layout the file count alone clears the bar — no footers touched).
+    """How many partitions Spark's scan will actually KEEP BUSY for a
+    parquet path. Two ways the planned partition count lies:
+
+    - a single file is byte-range-split into ``maxPartitionBytes``
+      slices, but parquet is only readable at row-group boundaries —
+      a 1-row-group file yields ONE non-empty partition however many
+      splits the plan shows;
+    - conversely many tiny row groups don't buy parallelism either:
+      Spark packs input into splits of ``max(openCostInBytes=4MB,
+      bytes/cores)``, so a 4 MB file with 8 row groups still plans as
+      one split.
+
+    Per file the effective unit count is therefore
+    ``min(row_groups, ceil(bytes / 4MB))``. Footer reads stop as soon
+    as ``cap`` units are proven (at a real many-file layout the file
+    count alone clears the bar — no footers touched).
     """
     import glob as _glob
+    import math
     import os
 
     import pyarrow.parquet as _pq
 
+    open_cost = 4 * 1024 * 1024  # spark.sql.files.openCostInBytes default
     if os.path.isdir(path):
-        files = _glob.glob(os.path.join(path, "*.parquet"))
+        files = _glob.glob(
+            os.path.join(path, "**", "*.parquet"), recursive=True
+        )
     elif any(ch in path for ch in "*?["):
         files = _glob.glob(path)
     else:
@@ -67,7 +79,9 @@ def _scan_units(path: str, cap: int) -> int:
     units = 0
     for f in files:
         try:
-            units += max(1, _pq.ParquetFile(f).metadata.num_row_groups)
+            rg = max(1, _pq.ParquetFile(f).metadata.num_row_groups)
+            by_size = max(1, math.ceil(os.path.getsize(f) / open_cost))
+            units += min(rg, by_size)
         except Exception:
             units += 1
         if units >= cap:

@@ -151,8 +151,14 @@ def test_token_budget_select_equals_naive_greedy(spark, sf_dir):
 
 
 def test_token_budget_no_global_doc_window(spark, sf_dir):
-    """The doc-level window must be PARTITIONED (by score) — a global
-    empty-partition window over doc rows is the 1-core trap."""
+    """The doc-level window must be PARTITIONED (by the quantized
+    score bucket) — a global empty-partition window over doc rows is
+    the 1-core trap. Exactly ONE unpartitioned window may exist: the
+    prefix sum over the aggregated (bucket, tokens) table, which is
+    bounded at `coarse` rows by construction, and its input must be an
+    aggregate (not raw doc rows)."""
+    import re
+
     from omicidx_gh_etl_spark.queries import REGISTRY
 
     plan = (
@@ -162,15 +168,18 @@ def test_token_budget_no_global_doc_window(spark, sf_dir):
         .executedPlan()
         .toString()
     )
-    import re
-
-    # every Window over doc-level rows partitions by the score column;
-    # the only unpartitioned window runs on the aggregated score table
-    wins = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
+    # Window [funcs], [partitionSpec], [orderSpec]
+    wins = re.findall(r"Window(?:GroupLimit)? \[[^\]]*\], \[([^\]]*)\]", plan)
     assert wins, "expected window operators in the plan"
-    assert any("score_int" in w for w in wins), (
-        "doc-level window lost its PARTITION BY score_int:\n" + plan
+    partitioned = [w for w in wins if "__qb" in w]
+    unpartitioned = [w for w in wins if not w.strip()]
+    assert partitioned, (
+        "doc-level window lost its PARTITION BY __qb:\n" + plan
     )
+    # the only global-ordered window is the bucket prefix sum — its
+    # lineage must flow through the bucket aggregate, never raw docs
+    assert len(unpartitioned) <= 1, plan
+    assert plan.count("Window ") <= 2, plan
 
 
 def test_count_min_merge_and_bounds(spark, sf_dir):
