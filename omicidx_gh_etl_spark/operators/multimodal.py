@@ -181,3 +181,50 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(F.col(id_col), "payload").mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("phash", T.StringType()),
+    ]
+)
+
+
+def perceptual_hash(
+    df: DataFrame, id_col: str = "doc_id", blocks: int = 64
+) -> DataFrame:
+    """Blocked-mean perceptual hash over a raw payload → (id, phash):
+    split the byte buffer into ``blocks`` equal blocks, bit j = 1 iff
+    block j's mean byte exceeds the median block mean — a 64-bit
+    content signature robust to local edits, the aHash construction
+    applied straight to the buffer (a real image pipeline decodes to
+    grayscale pixels first; the codec is stubbed offline, the
+    block/mean/median math is the real thing and is what a per-payload
+    near-dup join keys on).
+
+    Payloads shorter than ``blocks`` bytes are skipped (no stable
+    signature). Arrow-batched mapInPandas; all math in int-exact
+    float64, so the DuckDB oracle reproduces the bits exactly.
+    """
+    import numpy as np
+
+    def _phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for did, payload in zip(pdf[id_col], pdf["payload"]):
+                n = len(payload)
+                if n < blocks:
+                    continue
+                blk = n // blocks
+                arr = np.frombuffer(
+                    payload[: blocks * blk], dtype=np.uint8
+                ).reshape(blocks, blk)
+                means = arr.mean(axis=1)
+                med = float(np.median(means))
+                bits = "".join("1" if m > med else "0" for m in means)
+                ids.append(did)
+                hashes.append(bits)
+            yield pd.DataFrame({"doc_id": ids, "phash": hashes})
+
+    return df.select(F.col(id_col), "payload").mapInPandas(_phash, PHASH_SCHEMA)

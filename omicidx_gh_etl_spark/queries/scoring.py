@@ -397,3 +397,40 @@ def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_events(spark, sf_dir).select("user_id", "ts_us", "event_type")
     return scd2_apply(None, ev, ["user_id"], "ts_us", ["event_type"])
+
+
+@register(
+    "multimodal_phash",
+    """
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents),
+    ok AS (SELECT doc_id, hx, n, n // 64 AS blk FROM b WHERE n >= 64),
+    blocks AS (
+      SELECT doc_id, t.j,
+             avg(('0x' || substr(hx, (t.j * blk + s.i) * 2 + 1, 2))::INT)
+               AS m
+      FROM ok, generate_series(0, 63) AS t(j),
+           LATERAL (SELECT unnest(generate_series(0, blk - 1)) AS i) s
+      GROUP BY doc_id, t.j),
+    med AS (
+      SELECT doc_id, quantile_cont(m, 0.5) AS md FROM blocks GROUP BY doc_id)
+    SELECT blocks.doc_id,
+           string_agg(CASE WHEN m > md THEN '1' ELSE '0' END, ''
+                      ORDER BY j) AS phash
+    FROM blocks JOIN med ON blocks.doc_id = med.doc_id
+    GROUP BY blocks.doc_id
+    """,
+    tags=("multimodal", "dedup", "D3"),
+)
+def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual (blocked-mean aHash) signature per binary payload —
+    the image-near-dup key (identical phash ⇒ near-identical buffer up
+    to local edits); grouping on it is the image counterpart of
+    ``dedup_exact``. Codec decode is stubbed offline; the oracle
+    replays the exact block/mean/median bit derivation on the hex
+    encoding (int-exact float64 on both engines)."""
+    d = load_spread(spark, sf_dir, "documents", "doc_id")
+    wrapped = multimodal.attach_binary_payload(d, "text", "doc_id")
+    return multimodal.perceptual_hash(wrapped, "doc_id")

@@ -243,3 +243,33 @@ def test_streaming_count_min_multibatch(spark, sf_dir, tmp_path):
     s = {(r["j"], r["bucket"]): r["c"] for r in streamed.collect()}
     b = {(r["j"], r["bucket"]): r["c"] for r in batch.collect()}
     assert s == b and len(s) > 0
+
+
+def test_perceptual_hash_properties(spark):
+    """Identical buffers share a phash, a locally-edited buffer stays
+    CLOSE in Hamming distance (the property pHash exists for), an
+    unrelated buffer is far, and short payloads are skipped."""
+    from omicidx_gh_etl_spark.operators import multimodal
+
+    base = bytes(range(256)) * 4                      # 1024 bytes
+    edited = bytearray(base)
+    edited[100:104] = b"\xff\xff\xff\xff"             # local edit
+    other = bytes((i * 37 + 11) % 251 for i in range(1024))
+    rows = [
+        (1, bytes(base)),
+        (2, bytes(base)),
+        (3, bytes(edited)),
+        (4, other),
+        (5, b"short"),                                # < 64 bytes
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: r["phash"]
+        for r in multimodal.perceptual_hash(df).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+    assert all(len(h) == 64 for h in got.values())
+    assert got[1] == got[2]
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))  # noqa: E731
+    assert ham(got[1], got[3]) <= 8                    # local edit: near
+    assert ham(got[1], got[4]) > 8                     # unrelated: far
