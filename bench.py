@@ -127,6 +127,7 @@ def main() -> None:
         scale = {"error": str(exc)[:200]}
 
     total = round(sum(timings.values()), 3)
+    oracle = oracle_section(sf_dir)
     print(
         json.dumps(
             {
@@ -136,9 +137,52 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "scale": scale,
+                "oracle_duckdb": oracle,
             }
         )
     )
+
+
+def oracle_section(sf_dir: str) -> dict:
+    """Time the headline queries' own DuckDB oracle SQL on this host,
+    right now (threads = the same CPU budget) — the reference-engine
+    side of the 2× bar, measured under identical conditions as the
+    Spark timings instead of on someone else's run. Spark pays a fixed
+    ~0.2-0.9 s scheduling/codegen floor per query at this scale that
+    DuckDB does not; the scale section's rows/s numbers show where
+    that floor amortizes."""
+    try:
+        import duckdb
+    except Exception:
+        return {}
+    tables = (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split()
+    try:
+        con = duckdb.connect()
+        con.execute(f"SET threads={os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+        for t in tables:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        out: dict = {}
+        total = 0.0
+        for name in HEADLINE:
+            q = REGISTRY[name]
+            if q.oracle is None:
+                continue
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                con.execute(q.oracle).fetchall()
+                best = min(best, time.perf_counter() - t0)
+            out[name] = round(best, 3)
+            total += best
+        return {"total": round(total, 3), "queries": out}
+    except Exception as exc:
+        return {"error": str(exc)[:200]}
 
 
 def scale_section(spark, sf_dir: str, rep: int = 100) -> dict:

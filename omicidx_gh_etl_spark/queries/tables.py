@@ -65,6 +65,19 @@ def _scan_units(path: str, cap: int) -> int:
 
     import pyarrow.parquet as _pq
 
+    units, _rows = _scan_info(path, cap)
+    return units
+
+
+def _scan_info(path: str, cap: int) -> tuple[int, int | None]:
+    """(effective scan units, total rows) — rows is None when the probe
+    bailed early (enough units proven without reading every footer)."""
+    import glob as _glob
+    import math
+    import os
+
+    import pyarrow.parquet as _pq
+
     open_cost = 4 * 1024 * 1024  # spark.sql.files.openCostInBytes default
     if os.path.isdir(path):
         files = _glob.glob(
@@ -75,18 +88,20 @@ def _scan_units(path: str, cap: int) -> int:
     else:
         files = [path]
     if len(files) >= cap:
-        return len(files)
-    units = 0
+        return len(files), None
+    units, rows = 0, 0
     for f in files:
         try:
-            rg = max(1, _pq.ParquetFile(f).metadata.num_row_groups)
+            meta = _pq.ParquetFile(f).metadata
+            rg = max(1, meta.num_row_groups)
             by_size = max(1, math.ceil(os.path.getsize(f) / open_cost))
             units += min(rg, by_size)
+            rows += meta.num_rows
         except Exception:
             units += 1
         if units >= cap:
-            break
-    return units
+            return units, None
+    return units, rows
 
 
 def load_spread(
@@ -108,14 +123,27 @@ def load_spread(
     partitions of which 31 are empty, so ``rdd.getNumPartitions()``
     reports full parallelism while the map runs on one core (measured:
     2× on the minhash headline at sf0.1).
+
+    The spread WIDTH is row-aware, not blindly all-cores: a task needs
+    enough rows to amortize its scheduling cost, so width =
+    clamp(rows / 256, 1, cores) (measured on the minhash headline at
+    sf0.1: 5k docs over 8-16 partitions beats 32 by ~25%; at larger
+    row counts the clamp saturates at all cores, and at a real
+    many-file layout the probe bails before counting rows and the
+    spread is skipped entirely).
     """
     df = load_table(spark, sf_dir, name)
     want = spark.sparkContext.defaultParallelism
-    if _scan_units(f"{sf_dir}/{name}.parquet", want) >= want:
+    units, rows = _scan_info(f"{sf_dir}/{name}.parquet", want)
+    if units >= want:
         # already parallel enough (the real many-files layout): the
         # spread would be a pure-cost extra shuffle — skip it.
         return df
-    return df.repartition(want, key)
+    width = want if rows is None else max(1, min(want, rows // 256))
+    if width <= units:
+        # the scan already yields that much effective parallelism
+        return df
+    return df.repartition(width, key)
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
