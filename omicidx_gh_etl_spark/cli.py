@@ -11,9 +11,10 @@ Commands:
   history      — recent model runs from meta.model_runs
   catalog      — parquet row-group stats rollup for a data directory
   deploy       — write catalog.json over an export root
-  extract      — per-source XML/archive→parquet extraction
-                 (--source sra|biosample|bioproject|pubmed|geo-soft|icite,
-                 the oidx per-source verb surface)
+  extract      — per-source extraction → parquet
+                 (--source sra|biosample|bioproject|pubmed|geo-soft|icite
+                 for XML/archives, ebi-biosample|europepmc|nih-reporter
+                 for paged-REST; the oidx per-source verb surface)
   status       — pipeline status dashboard over meta.model_runs
                  (success rate, durations, last failures)
   audit        — data-quality audits against materialized models
@@ -137,6 +138,9 @@ def cmd_extract(args: argparse.Namespace) -> int:
     from .sources.writers import write_parquet
 
     spark = _spark(args)
+    if args.source in ("sra", "biosample", "bioproject", "pubmed",
+                       "geo-soft", "icite") and not args.input:
+        raise SystemExit(f"--input is required for --source {args.source}")
     if args.source == "sra":
         from .sources.xml_extract import extract_experiments
 
@@ -155,6 +159,21 @@ def cmd_extract(args: argparse.Namespace) -> int:
         if not args.schema:
             raise SystemExit("--schema DDL is required for --source icite")
         df = read_archive_jsonl(spark, args.input, args.schema)
+    elif args.source in ("ebi-biosample", "europepmc", "nih-reporter"):
+        # paged-REST sources (reference cli.py:29,33,34) via the Spark 4
+        # Python DataSource: partition-per-page planning, executor-side
+        # fetch (S8/S9). Offline the transport is synthetic; online each
+        # source plugs its own PagedClient (cursor vs offset pagination)
+        # into the same reader.
+        from .sources.rest_source import RestPagesDataSource
+
+        spark.dataSource.register(RestPagesDataSource)
+        df = (
+            spark.read.format("rest_pages")
+            .option("total", str(args.total))
+            .option("page_size", str(args.page_size))
+            .load()
+        )
     else:  # pragma: no cover - argparse choices guard this
         raise SystemExit(f"unknown source {args.source}")
     write_parquet(
@@ -476,10 +495,18 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("extract", help="per-source XML/archive→parquet extraction")
     sp.add_argument("--source", default="sra",
                     choices=["sra", "biosample", "bioproject", "pubmed",
-                             "geo-soft", "icite"],
+                             "geo-soft", "icite", "ebi-biosample",
+                             "europepmc", "nih-reporter"],
                     help="which record stream to parse (oidx <source> extract)")
-    sp.add_argument("--input", required=True,
-                    help="dir of *.xml / *.xml.gz / *.soft / archives")
+    sp.add_argument("--input", default=None,
+                    help="dir of *.xml / *.xml.gz / *.soft / archives "
+                         "(file-based sources)")
+    sp.add_argument("--total", type=int, default=1000,
+                    help="paged-REST sources: records the transport "
+                         "exposes (synthetic offline)")
+    sp.add_argument("--page-size", type=int, default=200,
+                    help="paged-REST sources: records per page "
+                         "(EBI default 200)")
     sp.add_argument("--output", required=True)
     sp.add_argument("--schema", default=None,
                     help="DDL schema for jsonl archive members (icite)")

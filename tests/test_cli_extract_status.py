@@ -47,3 +47,26 @@ def test_cli_extract_icite_requires_schema(tmp_path):
 
 # the `status` dashboard test lives in test_warehouse_models.py (it
 # needs that module's reference-shaped data_root fixture).
+
+
+def test_cli_extract_rest_source(spark, tmp_path, capsys):
+    """extract --source ebi-biosample: paged-REST DataSource → chunked
+    zstd parquet (synthetic transport offline; partition-per-page)."""
+    import argparse
+    import json
+
+    from omicidx_gh_etl_spark import cli
+
+    out = str(tmp_path / "rest_out")
+    ns = argparse.Namespace(
+        cmd="extract", cpus=8, source="ebi-biosample", input=None,
+        output=out, schema=None, block_size=1000, total=450, page_size=200,
+    )
+    assert cli.cmd_extract(ns) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["records"] == 450
+    back = spark.read.parquet(out)
+    assert back.count() == 450
+    # partition-per-page planning: 450 records / 200-page => pages 0..2
+    assert {r["page"] for r in back.select("page").distinct().collect()} \
+        == {0, 1, 2}
