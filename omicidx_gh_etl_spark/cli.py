@@ -167,7 +167,10 @@ def cmd_extract(args: argparse.Namespace) -> int:
         # into the same reader.
         from .sources.rest_source import RestPagesDataSource
 
-        spark.dataSource.register(RestPagesDataSource)
+        try:
+            spark.dataSource.register(RestPagesDataSource)
+        except Exception:
+            pass  # name already registered on this (shared) session
         df = (
             spark.read.format("rest_pages")
             .option("total", str(args.total))
