@@ -132,3 +132,26 @@ def count_min_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("n_cms"))
     )
+
+
+def count_min_inner_product(
+    counters_a: DataFrame, counters_b: DataFrame
+) -> DataFrame:
+    """Join-size estimate from two Count-Min sketches (the AMS/CM
+    inner-product estimator): for each hash row j, Σ_bucket
+    cA(j,b)·cB(j,b) overestimates |A ⋈ B| on the sketched key; the
+    MIN over rows is the estimate, still never below the true size.
+
+    The planner's question at 100 TB — "how big is this join?" —
+    answered from two broadcast-size summaries without executing the
+    join: the multiply-join runs on depth×width rows. Collision
+    inflation is ≤ ||A||₁·||B||₁/width per row; size width to the
+    tolerance."""
+    a = counters_a.select("j", "bucket", F.col("c").alias("ca"))
+    b = counters_b.select("j", "bucket", F.col("c").alias("cb"))
+    per_row = (
+        a.join(b, ["j", "bucket"])
+        .groupBy("j")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
+    )
+    return per_row.agg(F.min("ip").alias("est_join_size"))

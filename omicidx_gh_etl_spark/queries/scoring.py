@@ -434,3 +434,66 @@ def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_spread(spark, sf_dir, "documents", "doc_id")
     wrapped = multimodal.attach_binary_payload(d, "text", "doc_id")
     return multimodal.perceptual_hash(wrapped, "doc_id")
+
+
+@register(
+    "sketch_join_cardinality",
+    """
+    WITH ha AS (
+      SELECT t.j,
+             ('0x' || substr(md5(CAST(t.j AS VARCHAR) || ':' ||
+                 CAST(o.o_custkey AS VARCHAR)), 1, 8))::BIGINT % 4096
+               AS bucket
+      FROM orders o, generate_series(0, 3) AS t(j)),
+    ca AS (SELECT j, bucket, count(*) AS c FROM ha GROUP BY 1, 2),
+    hb AS (
+      SELECT t.j,
+             ('0x' || substr(md5(CAST(t.j AS VARCHAR) || ':' ||
+                 CAST(c.c_custkey AS VARCHAR)), 1, 8))::BIGINT % 4096
+               AS bucket
+      FROM customer c, generate_series(0, 3) AS t(j)),
+    cb AS (SELECT j, bucket, count(*) AS c FROM hb GROUP BY 1, 2),
+    ip AS (
+      SELECT ca.j, sum(ca.c * cb.c) AS ip
+      FROM ca JOIN cb ON ca.j = cb.j AND ca.bucket = cb.bucket
+      GROUP BY ca.j),
+    est AS (SELECT CAST(min(ip) AS BIGINT) AS est_join_size FROM ip),
+    ex AS (
+      SELECT count(*) AS exact_join_size
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+    SELECT exact_join_size, est_join_size,
+           est_join_size >= exact_join_size AS never_underestimates
+    FROM ex, est
+    """,
+    tags=("sketch", "perf"),
+)
+def sketch_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from Count-Min sketches (AMS/CM inner
+    product) vs the exact join count — the 100 TB planner question
+    ("how big is orders ⋈ customer?") answered from two
+    broadcast-size summaries without shuffling either table. md5
+    hashing makes estimate AND exact value-checkable; the one-sided
+    bound rides along as a flag. The exact side here is the test
+    oracle — at scale you compute only the sketch side."""
+    from ..operators import sketch
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    ca = sketch.count_min_build(
+        o.select(F.col("o_custkey").alias("k")), "k", depth=4, width=4096
+    )
+    cb = sketch.count_min_build(
+        c.select(F.col("c_custkey").alias("k")), "k", depth=4, width=4096
+    )
+    est = sketch.count_min_inner_product(ca, cb)
+    exact = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .agg(F.count("*").alias("exact_join_size"))
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_join_size",
+        "est_join_size",
+        (F.col("est_join_size") >= F.col("exact_join_size")).alias(
+            "never_underestimates"
+        ),
+    )
