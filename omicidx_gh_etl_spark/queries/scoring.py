@@ -497,3 +497,75 @@ def sketch_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "never_underestimates"
         ),
     )
+
+
+@register(
+    "temporal_join_scd2",
+    """
+    WITH u AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, max(event_type) AS event_type
+      FROM events GROUP BY 1, 2),
+    ch AS (
+      SELECT user_id, ts_us, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts_us) AS prev,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts_us) AS rn
+      FROM u),
+    v AS (
+      SELECT user_id, ts_us, event_type FROM ch
+      WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+    hist AS (
+      SELECT user_id, ts_us AS valid_from,
+             lead(ts_us) OVER (
+               PARTITION BY user_id ORDER BY ts_us) AS valid_to,
+             event_type AS state_at_purchase
+      FROM v),
+    p AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'purchase')
+    SELECT p.user_id, p.event_id, p.ts_us, h.state_at_purchase
+    FROM p JOIN hist h
+      ON p.user_id = h.user_id
+     AND h.valid_from <= p.ts_us
+     AND (h.valid_to IS NULL OR p.ts_us < h.valid_to)
+    """,
+    tags=("scd", "J5", "window"),
+)
+def temporal_join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: enrich each purchase event with
+    the SCD2 dimension version VALID AT THE EVENT'S TIME — the
+    feature-store correctness pattern (training features must reflect
+    state as-of the label's timestamp; joining current state leaks the
+    future).
+
+    Plan: equi-join on the entity key first (each key's history is
+    small by construction — change-compressed versions), then the
+    validity-interval predicate filters within the key's matches — a
+    hash join + filter, never a nested-loop range join. Exactly one
+    match per probe (validity ranges partition the timeline)."""
+    from ..engine.scd import scd2_apply
+    from .tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    hist = scd2_apply(
+        None,
+        ev.select("user_id", "ts_us", "event_type"),
+        ["user_id"],
+        "ts_us",
+        ["event_type"],
+    ).select(
+        "user_id",
+        "valid_from",
+        "valid_to",
+        F.col("event_type").alias("state_at_purchase"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts_us"
+    )
+    return p.join(
+        hist,
+        (p["user_id"] == hist["user_id"])
+        & (hist["valid_from"] <= p["ts_us"])
+        & (hist["valid_to"].isNull() | (p["ts_us"] < hist["valid_to"])),
+    ).select(p["user_id"], "event_id", "ts_us", "state_at_purchase")

@@ -273,3 +273,20 @@ def test_perceptual_hash_properties(spark):
     ham = lambda a, b: sum(x != y for x, y in zip(a, b))  # noqa: E731
     assert ham(got[1], got[3]) <= 8                    # local edit: near
     assert ham(got[1], got[4]) > 8                     # unrelated: far
+
+
+def test_temporal_join_exactly_one_state_per_probe(spark, sf_dir):
+    """Validity ranges partition the timeline: every purchase matches
+    EXACTLY one dimension version, and it's the version in effect at
+    the purchase's timestamp (never a later one — no future leakage)."""
+    from pyspark.sql import functions as F
+
+    from omicidx_gh_etl_spark.queries.tables import load_events
+
+    rows = REGISTRY["temporal_join_scd2"].builder(spark, sf_dir).collect()
+    assert rows
+    ev = load_events(spark, sf_dir)
+    n_purchases = ev.filter(F.col("event_type") == "purchase").count()
+    assert len(rows) == n_purchases              # one match per probe
+    assert len({r["event_id"] for r in rows}) == n_purchases
+    assert all(r["state_at_purchase"] is not None for r in rows)
