@@ -1089,3 +1089,66 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "user_id", depth=CMS_DEPTH, width=CMS_WIDTH
     )
     return cms_probe_compare(spark, sf_dir, counters)
+
+
+@register(
+    "sketch_hll_partitioned_union",
+    """
+    WITH per_source AS (
+      SELECT source, count(DISTINCT text) AS nd FROM documents GROUP BY 1),
+    g AS (SELECT count(DISTINCT text) AS nd_global FROM documents)
+    SELECT s.source,
+           CAST(s.nd AS BIGINT) AS nd_exact,
+           TRUE AS source_within_5pct,
+           CAST(g.nd_global AS BIGINT) AS nd_global_exact,
+           TRUE AS union_within_5pct
+    FROM per_source s, g
+    """,
+    tags=("sketch", "A4"),
+)
+def sketch_hll_partitioned_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistable, mergeable distinct-count sketches (Apache
+    DataSketches HLL, Spark 3.5+ `hll_sketch_agg`/`hll_union_agg`):
+    build ONE sketch per source partition, then answer the GLOBAL
+    distinct-text question by merging the per-source sketch BYTES — no
+    re-scan, no distinct shuffle. The pattern a 100 TB catalog uses:
+    persist a few-KB sketch per partition at write time; any
+    cross-partition distinct query becomes a merge of stored sketches.
+
+    The estimates are engine-specific, so (like the other approx
+    sketches) the oracle checks the exact counts plus the error-bound
+    flags — per-source AND for the merged union (lgk=14 ⇒ well under
+    5% at this cardinality)."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.expr("hll_sketch_agg(text, 14)").alias("sk"),
+        F.countDistinct("text").alias("nd_exact"),
+    )
+    merged = per.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("nd_union_est")
+    )
+    g = d.agg(F.countDistinct("text").alias("nd_global_exact"))
+    return (
+        per.select(
+            "source",
+            "nd_exact",
+            (
+                F.abs(
+                    F.expr("hll_sketch_estimate(sk)") - F.col("nd_exact")
+                )
+                <= 0.05 * F.col("nd_exact")
+            ).alias("source_within_5pct"),
+        )
+        .crossJoin(F.broadcast(g))
+        .crossJoin(F.broadcast(merged))
+        .select(
+            "source",
+            "nd_exact",
+            "source_within_5pct",
+            "nd_global_exact",
+            (
+                F.abs(F.col("nd_union_est") - F.col("nd_global_exact"))
+                <= 0.05 * F.col("nd_global_exact")
+            ).alias("union_within_5pct"),
+        )
+    )
