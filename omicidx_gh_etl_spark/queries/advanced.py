@@ -1152,3 +1152,49 @@ def sketch_hll_partitioned_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("union_within_5pct"),
         )
     )
+
+
+@register(
+    "sketch_hll_intersection",
+    """
+    WITH a AS (SELECT DISTINCT text FROM documents WHERE lang = 'en'),
+    b AS (SELECT DISTINCT text FROM documents WHERE n_chars >= 200),
+    i AS (SELECT count(*) AS nd_exact FROM a WHERE text IN (SELECT text FROM b))
+    SELECT nd_exact, TRUE AS est_within_10pct FROM i
+    """,
+    tags=("sketch", "A4", "U3"),
+)
+def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-intersection cardinality from mergeable sketches via
+    inclusion-exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B), with the
+    union estimated by MERGING the two stored HLL sketches — the
+    overlap question ("how many docs are in both slices?") answered
+    from persisted few-KB summaries without a join or re-scan.
+
+    Inclusion-exclusion compounds the three estimates' errors, so the
+    checked band is 10% (lgk=14 keeps each term ≲1%); the exact
+    intersection is oracle-checked outright."""
+    d = load_table(spark, sf_dir, "documents")
+    a = d.filter(F.col("lang") == "en")
+    b = d.filter(F.col("n_chars") >= 200)
+    ska = a.agg(F.expr("hll_sketch_agg(text, 14)").alias("sk"))
+    skb = b.agg(F.expr("hll_sketch_agg(text, 14)").alias("sk"))
+    est = (
+        ska.unionByName(skb)
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("u"),
+        )
+        .crossJoin(ska.select(F.expr("hll_sketch_estimate(sk)").alias("ea")))
+        .crossJoin(skb.select(F.expr("hll_sketch_estimate(sk)").alias("eb")))
+        .select((F.col("ea") + F.col("eb") - F.col("u")).alias("est"))
+    )
+    exact = a.select("text").intersect(b.select("text")).agg(
+        F.count("*").alias("nd_exact")
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "nd_exact",
+        (
+            F.abs(F.col("est") - F.col("nd_exact"))
+            <= 0.10 * F.greatest(F.col("nd_exact"), F.lit(1))
+        ).alias("est_within_10pct"),
+    )
