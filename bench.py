@@ -19,7 +19,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from omicidx_gh_etl_spark.queries import REGISTRY
-from omicidx_gh_etl_spark.session import get_spark
+from omicidx_gh_etl_spark.queries.base import ORACLE_TABLES
+from omicidx_gh_etl_spark.session import DEFAULT_CPUS, get_spark
 
 # Headline set: the reference-shaped heavy hitters + the scale-path
 # training-data operators. (similarity_pairs_threshold is the n² exact
@@ -155,14 +156,10 @@ def oracle_section(sf_dir: str) -> dict:
         import duckdb
     except Exception:
         return {}
-    tables = (
-        "region nation customer supplier part orders lineitem "
-        "events documents embeddings"
-    ).split()
     try:
         con = duckdb.connect()
-        con.execute(f"SET threads={os.environ.get('SPARK_GRAFT_CPUS', '32')}")
-        for t in tables:
+        con.execute(f"SET threads={DEFAULT_CPUS}")
+        for t in ORACLE_TABLES:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM "
                 f"read_parquet('{sf_dir}/{t}.parquet')"

@@ -169,8 +169,11 @@ def cmd_extract(args: argparse.Namespace) -> int:
 
         try:
             spark.dataSource.register(RestPagesDataSource)
-        except Exception:
-            pass  # name already registered on this (shared) session
+        except Exception as exc:
+            # tolerate ONLY a prior registration of the same name on a
+            # shared session; anything else is a real failure
+            if "EXISTS" not in str(exc).upper():
+                raise
         df = (
             spark.read.format("rest_pages")
             .option("total", str(args.total))

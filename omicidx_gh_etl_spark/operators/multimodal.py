@@ -213,9 +213,11 @@ def perceptual_hash(
         for pdf in batches:
             ids, hashes = [], []
             for did, payload in zip(pdf[id_col], pdf["payload"]):
-                n = len(payload)
-                if n < blocks:
+                # NULL payloads carry no signature — skip, matching the
+                # oracle's octet_length(NULL) filter
+                if payload is None or len(payload) < blocks:
                     continue
+                n = len(payload)
                 blk = n // blocks
                 arr = np.frombuffer(
                     payload[: blocks * blk], dtype=np.uint8

@@ -1177,16 +1177,22 @@ def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     a = d.filter(F.col("lang") == "en")
     b = d.filter(F.col("n_chars") >= 200)
-    ska = a.agg(F.expr("hll_sketch_agg(text, 14)").alias("sk"))
-    skb = b.agg(F.expr("hll_sketch_agg(text, 14)").alias("sk"))
-    est = (
-        ska.unionByName(skb)
-        .agg(
-            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("u"),
-        )
-        .crossJoin(ska.select(F.expr("hll_sketch_estimate(sk)").alias("ea")))
-        .crossJoin(skb.select(F.expr("hll_sketch_estimate(sk)").alias("eb")))
-        .select((F.col("ea") + F.col("eb") - F.col("u")).alias("est"))
+    # ONE plan over a tagged union: per-side sketches in one grouped
+    # agg, then est(A)+est(B) as a SUM over the two side rows and the
+    # union estimate from merging them — each side is scanned once
+    # (referencing separate per-side sketch frames twice would
+    # re-execute their whole lineage: no cross-branch CSE in Spark).
+    tagged = a.select("text").withColumn("side", F.lit("a")).unionByName(
+        b.select("text").withColumn("side", F.lit("b"))
+    )
+    sides = tagged.groupBy("side").agg(
+        F.expr("hll_sketch_agg(text, 14)").alias("sk")
+    )
+    est = sides.agg(
+        (
+            F.sum(F.expr("hll_sketch_estimate(sk)"))
+            - F.expr("hll_sketch_estimate(hll_union_agg(sk))")
+        ).alias("est")
     )
     exact = a.select("text").intersect(b.select("text")).agg(
         F.count("*").alias("nd_exact")

@@ -38,6 +38,14 @@ from pyspark.sql.types import DecimalType
 
 Builder = Callable[[SparkSession, str], DataFrame]
 
+# The synthetic tables every oracle runs against (DuckDB views over
+# {sf_dir}/{name}.parquet) — ONE definition shared by bench.py and
+# tools/parity*.py so a new table can't silently desync them.
+ORACLE_TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
 
 def hash_safe_output(df: DataFrame) -> DataFrame:
     """Cast top-level DECIMAL output columns to double.

@@ -548,6 +548,10 @@ def temporal_join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .tables import load_events
 
     ev = load_events(spark, sf_dir)
+    # rename the history's key/ts columns: both sides derive from the
+    # same `ev` lineage, and an ambiguous self-join would lean on the
+    # analyzer's dataset-id disambiguation (trivially-true-predicate
+    # warning) — distinct names make the equi-join unambiguous.
     hist = scd2_apply(
         None,
         ev.select("user_id", "ts_us", "event_type"),
@@ -555,7 +559,7 @@ def temporal_join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts_us",
         ["event_type"],
     ).select(
-        "user_id",
+        F.col("user_id").alias("h_user_id"),
         "valid_from",
         "valid_to",
         F.col("event_type").alias("state_at_purchase"),
@@ -565,7 +569,7 @@ def temporal_join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return p.join(
         hist,
-        (p["user_id"] == hist["user_id"])
+        (p["user_id"] == hist["h_user_id"])
         & (hist["valid_from"] <= p["ts_us"])
         & (hist["valid_to"].isNull() | (p["ts_us"] < hist["valid_to"])),
-    ).select(p["user_id"], "event_id", "ts_us", "state_at_purchase")
+    ).select("user_id", "event_id", "ts_us", "state_at_purchase")

@@ -41,9 +41,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _scan_units(path: str, cap: int) -> int:
-    """How many partitions Spark's scan will actually KEEP BUSY for a
-    parquet path. Two ways the planned partition count lies:
+def _scan_info(path: str, cap: int) -> tuple[int, int | None]:
+    """(effective scan units, total rows) for a parquet path — how many
+    partitions Spark's scan will actually KEEP BUSY, from the footers.
+    ``rows`` is None when the probe bailed early (enough units proven
+    without reading every footer).
+
+    Two ways the PLANNED partition count lies:
 
     - a single file is byte-range-split into ``maxPartitionBytes``
       slices, but parquet is only readable at row-group boundaries —
@@ -59,19 +63,6 @@ def _scan_units(path: str, cap: int) -> int:
     as ``cap`` units are proven (at a real many-file layout the file
     count alone clears the bar — no footers touched).
     """
-    import glob as _glob
-    import math
-    import os
-
-    import pyarrow.parquet as _pq
-
-    units, _rows = _scan_info(path, cap)
-    return units
-
-
-def _scan_info(path: str, cap: int) -> tuple[int, int | None]:
-    """(effective scan units, total rows) — rows is None when the probe
-    bailed early (enough units proven without reading every footer)."""
     import glob as _glob
     import math
     import os
@@ -139,7 +130,9 @@ def load_spread(
         # already parallel enough (the real many-files layout): the
         # spread would be a pure-cost extra shuffle — skip it.
         return df
-    width = want if rows is None else max(1, min(want, rows // 256))
+    # rows is never None here: the probe only bails early when it has
+    # already proven units >= cap, which returned above.
+    width = max(1, min(want, (rows or 0) // 256))
     if width <= units:
         # the scan already yields that much effective parallelism
         return df

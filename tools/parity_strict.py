@@ -34,9 +34,7 @@ sys.path.insert(0, ".")
 from omicidx_gh_etl_spark.queries import REGISTRY  # noqa: E402
 from omicidx_gh_etl_spark.session import get_spark  # noqa: E402
 
-TABLES = (
-    "region nation customer supplier part orders lineitem events documents embeddings"
-).split()
+from omicidx_gh_etl_spark.queries.base import ORACLE_TABLES as TABLES  # noqa: E402
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
