@@ -24,6 +24,7 @@ Exit 0 iff every oracle-backed query strictly matches.
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 
 import duckdb
@@ -116,7 +117,15 @@ def compare_strict(name: str, sdf, con) -> list[str]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark(cpus=8)
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        # simulate the round driver EXACTLY: a bare session with no
+        # engine confs and the host's (possibly non-UTC) timezone —
+        # catches any conf-dependence the builders fail to re-pin
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        spark = get_spark(cpus=8)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
