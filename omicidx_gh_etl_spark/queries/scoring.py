@@ -573,3 +573,58 @@ def temporal_join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (hist["valid_from"] <= p["ts_us"])
         & (hist["valid_to"].isNull() | (p["ts_us"] < hist["valid_to"])),
     ).select("user_id", "event_id", "ts_us", "state_at_purchase")
+
+
+@register(
+    "audit_violations_summary",
+    """
+    SELECT 'null_custkey' AS audit, count(*) AS n_violations
+    FROM orders WHERE o_custkey IS NULL
+    UNION ALL
+    SELECT 'nonpositive_price', count(*)
+    FROM orders WHERE o_totalprice <= 0
+    UNION ALL
+    SELECT 'duplicate_orderkey', count(*) FROM (
+      SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
+    UNION ALL
+    SELECT 'orphan_custkey', count(*) FROM orders o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    """,
+    tags=("audit", "A7", "U3"),
+)
+def audit_violations_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit suite as one result set: null-guard, value
+    sanity, grain uniqueness, referential integrity — the audit shapes
+    `engine/audits.py` runs post-materialization (reference:
+    sqlmesh audits, WAREHOUSE.md null/uniqueness guards), expressed
+    over the synthetic star schema so the driver value-checks the
+    violation counts themselves (all zero on sound data — which is the
+    assertion).
+
+    Scale: each audit is one aggregate over the audited table (the
+    uniqueness audit's groupBy carries one row per key; the FK audit
+    is a broadcast anti-join) — audits ride the same pruned scans as
+    queries, no full-row collection anywhere."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").alias("n_violations")).select(
+            F.lit(name).alias("audit"), "n_violations"
+        )
+
+    dup = (
+        o.groupBy("o_orderkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    orphan = o.join(
+        F.broadcast(c), o["o_custkey"] == c["c_custkey"], "left_anti"
+    )
+    return (
+        one("null_custkey", o.filter(F.col("o_custkey").isNull()))
+        .unionByName(one("nonpositive_price", o.filter(F.col("o_totalprice") <= 0)))
+        .unionByName(one("duplicate_orderkey", dup))
+        .unionByName(one("orphan_custkey", orphan))
+    )
