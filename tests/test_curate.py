@@ -108,3 +108,28 @@ def test_curate_corpus_token_budget(spark, tmp_path):
     assert part["budget_tokens"] == 28
     back = spark.read.parquet(str(tmp_path / "part"))
     assert [r["doc_id"] for r in back.collect()] == [1]
+
+
+def test_curate_full_corpus_with_all_stages(spark, sf_dir, tmp_path):
+    """The whole pipeline on the synthetic corpus (planted near-dups,
+    varied quality) with every round-3 stage on: classifier gate,
+    leakage-free split, token budget. Checks the budget arithmetic and
+    that the written corpus matches the reported stats."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "full_corpus")
+    stats = curate_corpus(
+        docs,
+        out,
+        leakage_free_split=True,
+        token_budget_frac=0.5,
+    )
+    assert stats["n_docs"] == docs.count()
+    assert 0 < stats["n_curated"] <= stats["n_docs"]
+    assert 0 < stats["budget_docs"] <= stats["n_curated"]
+    # budget is a fraction of SURVIVOR tokens (prefix greedy, <= cap)
+    assert stats["budget_tokens"] <= 0.5 * stats["curated_tokens"]
+    back = spark.read.parquet(out)
+    assert back.count() == stats["budget_docs"]
+    assert set(back.select("split").distinct().toPandas()["split"]) <= {
+        "train", "val", "test"
+    }
