@@ -171,8 +171,15 @@ def cmd_extract(args: argparse.Namespace) -> int:
             spark.dataSource.register(RestPagesDataSource)
         except Exception as exc:
             # tolerate ONLY a prior registration of the same name on a
-            # shared session; anything else is a real failure
-            if "EXISTS" not in str(exc).upper():
+            # shared session; anything else is a real failure. Match the
+            # specific error condition, not a substring of the message
+            # (a message mentioning a path that "exists" must not be
+            # swallowed).
+            get_cond = getattr(exc, "getCondition", None) or getattr(
+                exc, "getErrorClass", None
+            )
+            cond = get_cond() if callable(get_cond) else None
+            if cond != "DATA_SOURCE_ALREADY_EXISTS":
                 raise
         df = (
             spark.read.format("rest_pages")

@@ -453,6 +453,15 @@ def hashed_linear_score(
     only the final sigmoid touches floats, so the output is
     cross-engine hash-stable.
     """
+    import re as _re
+
+    if not _re.fullmatch(r"[A-Za-z0-9_]+", weight_seed):
+        # the seed is interpolated into an F.expr string below; an
+        # unconstrained seed (quotes, backslashes) would surface as a
+        # confusing SQL parse error instead of a clear ValueError
+        raise ValueError(
+            f"weight_seed must match [A-Za-z0-9_]+, got {weight_seed!r}"
+        )
     toks = tokens_expr(text_col)
     d = df.withColumn("__t", toks).filter(F.size("__t") > 0)
     # token -> bucket: first 4 md5 hex chars -> [0, n_buckets)

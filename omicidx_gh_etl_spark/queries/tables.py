@@ -45,7 +45,8 @@ def _scan_info(path: str, cap: int) -> tuple[int, int | None]:
     """(effective scan units, total rows) for a parquet path — how many
     partitions Spark's scan will actually KEEP BUSY, from the footers.
     ``rows`` is None when the probe bailed early (enough units proven
-    without reading every footer).
+    without reading every footer) or when any footer was unreadable
+    (row count unknowable — callers must not treat it as small).
 
     Two ways the PLANNED partition count lies:
 
@@ -80,7 +81,12 @@ def _scan_info(path: str, cap: int) -> tuple[int, int | None]:
         files = [path]
     if len(files) >= cap:
         return len(files), None
+    import warnings
+
+    import pyarrow as _pa
+
     units, rows = 0, 0
+    failed = False
     for f in files:
         try:
             meta = _pq.ParquetFile(f).metadata
@@ -88,11 +94,19 @@ def _scan_info(path: str, cap: int) -> tuple[int, int | None]:
             by_size = max(1, math.ceil(os.path.getsize(f) / open_cost))
             units += min(rg, by_size)
             rows += meta.num_rows
-        except Exception:
-            units += 1
+        except (OSError, _pa.ArrowException) as exc:
+            # An unreadable footer must not silently deflate the probe:
+            # count the file by size (what Spark's split planner would
+            # do) and mark rows unknown so callers don't under-spread.
+            warnings.warn(f"parquet footer probe failed for {f}: {exc}")
+            try:
+                units += max(1, math.ceil(os.path.getsize(f) / open_cost))
+            except OSError:
+                units += 1
+            failed = True
         if units >= cap:
             return units, None
-    return units, rows
+    return units, None if failed else rows
 
 
 def load_spread(
@@ -130,9 +144,10 @@ def load_spread(
         # already parallel enough (the real many-files layout): the
         # spread would be a pure-cost extra shuffle — skip it.
         return df
-    # rows is never None here: the probe only bails early when it has
-    # already proven units >= cap, which returned above.
-    width = max(1, min(want, (rows or 0) // 256))
+    # rows is None either on early bail (handled above: units >= want)
+    # or when a footer probe failed — then rows are UNKNOWN, and the
+    # safe choice is full width rather than under-parallelizing.
+    width = want if rows is None else max(1, min(want, rows // 256))
     if width <= units:
         # the scan already yields that much effective parallelism
         return df

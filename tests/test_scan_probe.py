@@ -53,6 +53,24 @@ def test_partitioned_dir_globs_recursively(tmp_path):
     assert rows == 200
 
 
+def test_corrupt_footer_warns_and_marks_rows_unknown(tmp_path):
+    """An unreadable footer must be loud (warning) and must not deflate
+    the probe: units counted by size, rows reported unknown (None) so
+    load_spread falls back to full width instead of width 1."""
+    import warnings
+
+    d = tmp_path / "mix"
+    d.mkdir()
+    _write(str(d / "good.parquet"), 1000)
+    (d / "bad.parquet").write_bytes(b"not a parquet file")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        units, rows = _scan_info(str(d), 32)
+    assert units == 2          # good: 1 row group; bad: 1 by size
+    assert rows is None        # rows unknowable -> not understated
+    assert any("footer probe failed" in str(w.message) for w in caught)
+
+
 def test_load_spread_width_is_row_aware(spark, tmp_path, monkeypatch):
     """5k-row single-row-group table spreads to rows//256 partitions,
     not all cores; a tiny table is not spread at all."""

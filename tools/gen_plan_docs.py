@@ -36,6 +36,27 @@ shapes; this file is the human-readable audit trail.
 """
 
 
+def _top_level_names(schema: str) -> list[str]:
+    """Column names from a ReadSchema struct body, splitting only at
+    depth 0 so nested types (``props:map<string,string>``) keep their
+    name instead of being garbled by a naive split on ','/':'."""
+    names, depth, field = [], 0, ""
+    for ch in schema:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            if field:
+                names.append(field.split(":", 1)[0])
+            field = ""
+            continue
+        field += ch
+    if field:
+        names.append(field.split(":", 1)[0])
+    return names
+
+
 def summarize(plan: str) -> dict:
     shuffles = len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning|RoundRobinPartitioning|SinglePartition)", plan))
     joins = sorted(
@@ -47,7 +68,8 @@ def summarize(plan: str) -> dict:
             )
         )
     )
-    scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    # greedy to the LAST '>' on the line: nested types contain '>'
+    scans = re.findall(r"ReadSchema: struct<(.*)>", plan)
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     python = sorted(
         set(re.findall(r"(BatchEvalPython|ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas|PythonMapInArrow)", plan))
@@ -55,9 +77,7 @@ def summarize(plan: str) -> dict:
     return {
         "shuffles": shuffles,
         "joins": joins or ["—"],
-        "scans": [
-            ", ".join(c.split(":")[0] for c in s.split(",") if c) for s in scans
-        ],
+        "scans": [", ".join(_top_level_names(s)) for s in scans],
         "pushed": [p for p in pushed if p.strip()],
         "python": python or ["—"],
     }
