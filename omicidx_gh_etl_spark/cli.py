@@ -130,16 +130,45 @@ def cmd_deploy(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_upload(args: argparse.Namespace) -> int:
+    """``deploy upload`` planner (reference warehouse_cli.py:452-548):
+    walk the export root and emit the file/byte manifest that an
+    object-store transfer would execute. Offline only ``--dry-run`` is
+    supported — the manifest is the contract; the put loop is
+    credential/transport-specific."""
+    from .engine.catalog import build_upload_manifest
+
+    manifest = build_upload_manifest(
+        args.export_root,
+        data_prefix=args.data_prefix,
+        data=not args.no_data,
+        catalog=not args.no_catalog,
+        database=not args.no_database,
+    )
+    for w in manifest["warnings"]:
+        print(f"warning: {w}", file=sys.stderr)
+    if not args.dry_run:
+        print(
+            json.dumps(manifest)
+        )
+        raise SystemExit(
+            "object-store upload requires network credentials; "
+            "re-run with --dry-run to plan (manifest printed above)"
+        )
+    print(json.dumps(manifest))
+    return 0
+
+
 def cmd_extract(args: argparse.Namespace) -> int:
-    """Per-source XML/archive→parquet extraction — the reference's
-    per-source CLI verbs (``oidx sra|biosample|geo|pubmed|icite
+    """Per-source XML/archive/CSV→parquet extraction — the reference's
+    per-source CLI verbs (``oidx sra|biosample|geo|pubmed|icite|scimago
     extract``, omicidx_etl/cli.py:19-35) behind ``--source``: discover
     files → parse distributed → chunked zstd parquet."""
     from .sources.writers import write_parquet
 
     spark = _spark(args)
     if args.source in ("sra", "biosample", "bioproject", "pubmed",
-                       "geo-soft", "icite") and not args.input:
+                       "geo-soft", "icite", "scimago") and not args.input:
         raise SystemExit(f"--input is required for --source {args.source}")
     if args.source == "sra":
         from .sources.xml_extract import extract_experiments
@@ -153,6 +182,15 @@ def cmd_extract(args: argparse.Namespace) -> int:
         from .sources.soft_extract import extract_soft
 
         df = extract_soft(spark, args.input)
+    elif args.source == "scimago":
+        # Scimago journal rankings: `;`-delimited CSV → snake_case
+        # columns (reference etl/scimago.py:21-28 does exactly this
+        # with pandas on the driver; here the read is a distributed
+        # CSV scan and the rename is plan-only)
+        from .functions.compat import snake_case_columns
+        from .sources.readers import read_csv
+
+        df = snake_case_columns(read_csv(spark, args.input, sep=";"))
     elif args.source == "icite":  # tar.gz/zip jsonl members (S12)
         from .sources.archive_extract import read_archive_jsonl
 
@@ -505,11 +543,24 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--out", default=None)
     sp.set_defaults(fn=cmd_deploy)
 
+    sp = sub.add_parser(
+        "upload", help="deploy-upload planner: file/byte manifest for an export root"
+    )
+    sp.add_argument("--export-root", required=True)
+    sp.add_argument("--data-prefix", default="data",
+                    help="remote key prefix for data files")
+    sp.add_argument("--no-data", action="store_true")
+    sp.add_argument("--no-catalog", action="store_true")
+    sp.add_argument("--no-database", action="store_true")
+    sp.add_argument("--dry-run", action="store_true",
+                    help="plan only (required offline)")
+    sp.set_defaults(fn=cmd_upload)
+
     sp = sub.add_parser("extract", help="per-source XML/archive→parquet extraction")
     sp.add_argument("--source", default="sra",
                     choices=["sra", "biosample", "bioproject", "pubmed",
-                             "geo-soft", "icite", "ebi-biosample",
-                             "europepmc", "nih-reporter"],
+                             "geo-soft", "icite", "scimago",
+                             "ebi-biosample", "europepmc", "nih-reporter"],
                     help="which record stream to parse (oidx <source> extract)")
     sp.add_argument("--input", default=None,
                     help="dir of *.xml / *.xml.gz / *.soft / archives "

@@ -274,6 +274,70 @@ def write_catalog_json(catalog: dict, path: str) -> None:
     Path(path).write_text(json.dumps(catalog, indent=2))
 
 
+def build_upload_manifest(
+    export_root: str,
+    data_prefix: str = "data",
+    catalog_path: str = "catalog.json",
+    database_path: str = "remote_views.duckdb",
+    data: bool = True,
+    catalog: bool = True,
+    database: bool = True,
+) -> dict:
+    """Deploy-upload planner — the file/byte manifest the reference's
+    ``deploy upload`` prints before (or instead of, with ``--dry-run``)
+    uploading to R2/S3 (warehouse_cli.py:452-548): every ``**/*.parquet``
+    under the export root mapped to ``<data_prefix>/<relative path>``,
+    plus the catalog.json and remote-views DB artifacts when present.
+
+    The actual object-store transfer is transport-specific and
+    untestable offline; the manifest IS the upload contract — a caller
+    with credentials iterates ``files`` and puts each ``local`` at
+    ``remote``. Missing catalog/database artifacts are reported in
+    ``warnings`` (the reference warns too) rather than failing the plan.
+    """
+    root = Path(export_root)
+    files: list[dict] = []
+    warnings: list[str] = []
+    if data:
+        for p in sorted(root.glob("**/*.parquet")):
+            if not p.is_file():
+                continue
+            rel = p.relative_to(root)
+            files.append(
+                {
+                    "local": str(p),
+                    "remote": f"{data_prefix}/{rel}" if data_prefix else str(rel),
+                    "type": "data",
+                    "bytes": p.stat().st_size,
+                }
+            )
+    for flag, rel_path, kind in (
+        (catalog, catalog_path, "catalog"),
+        (database, database_path, "database"),
+    ):
+        if not flag:
+            continue
+        p = root / rel_path
+        if p.exists():
+            files.append(
+                {
+                    "local": str(p),
+                    "remote": rel_path,
+                    "type": kind,
+                    "bytes": p.stat().st_size,
+                }
+            )
+        else:
+            warnings.append(f"{kind} not found: {p}")
+    return {
+        "export_root": str(root),
+        "files": files,
+        "n_files": len(files),
+        "total_bytes": sum(f["bytes"] for f in files),
+        "warnings": warnings,
+    }
+
+
 def build_remote_views_db(catalog: dict, out_db: str) -> list[str]:
     """The reference's "remote views" artifact: a ~1 MB DuckDB file
     whose views SELECT from the published parquet URLs, so end users

@@ -36,6 +36,32 @@ def test_cli_extract_biosample(spark, tmp_path, capsys):
     assert row["accession"] == "SAMN7" and row["taxon_id"] == 10090
 
 
+def test_cli_extract_scimago(spark, tmp_path, capsys):
+    """extract --source scimago: `;`-delimited CSV with messy headers →
+    snake_case parquet (reference etl/scimago.py:21-28 incl. the
+    trailing-underscore strip on names like "Total Docs. (2021)")."""
+    src = tmp_path / "scimago.csv"
+    src.write_text(
+        "Rank;Title;SJR Best Quartile;Total Docs. (2021)\n"
+        "1;Nature;Q1;5000\n"
+        "2;Cell;Q1;400\n"
+    )
+    out = str(tmp_path / "scimago_out")
+    assert cli.cmd_extract(_ns(source="scimago", input=str(src), output=out)) == 0
+    payload = json.loads(capsys.readouterr().out)
+    assert payload == {"source": "scimago", "records": 2, "output": out}
+    df = spark.read.parquet(out)
+    assert df.columns == ["rank", "title", "sjr_best_quartile", "total_docs_2021"]
+    assert {r["title"] for r in df.collect()} == {"Nature", "Cell"}
+
+
+def test_cli_extract_scimago_requires_input(tmp_path):
+    import pytest
+
+    with pytest.raises(SystemExit):
+        cli.cmd_extract(_ns(source="scimago", input=None, output=str(tmp_path / "o")))
+
+
 def test_cli_extract_icite_requires_schema(tmp_path):
     import pytest
 

@@ -46,6 +46,60 @@ def test_catalog_json(spark, tmp_path):
     assert cat["tables"]["mart_table"]["schema"] == {"id": "bigint"}
 
 
+def test_upload_manifest_matches_catalog(spark, tmp_path, capsys):
+    """`upload --dry-run` (reference warehouse_cli.py:452-548): the
+    manifest must cover exactly the catalog.json tables' files plus the
+    two deploy artifacts, with byte totals equal to on-disk sizes."""
+    import argparse
+    import json
+    import os
+
+    from omicidx_gh_etl_spark import cli
+    from omicidx_gh_etl_spark.engine import build_catalog_json, write_catalog_json
+    from omicidx_gh_etl_spark.engine.catalog import build_remote_views_db
+
+    export = tmp_path / "export"
+    for name, n in [("mart_a", 11), ("mart_b", 4)]:
+        spark.range(n).write.parquet(str(export / name))
+    cat = build_catalog_json(spark, str(export))
+    write_catalog_json(cat, str(export / "catalog.json"))
+    build_remote_views_db(cat, str(export / "remote_views.duckdb"))
+
+    ns = argparse.Namespace(
+        export_root=str(export), data_prefix="data", no_data=False,
+        no_catalog=False, no_database=False, dry_run=True,
+    )
+    assert cli.cmd_upload(ns) == 0
+    m = json.loads(capsys.readouterr().out)
+    assert m["warnings"] == []
+    by_type = {}
+    for f in m["files"]:
+        by_type.setdefault(f["type"], []).append(f)
+        assert f["bytes"] == os.path.getsize(f["local"])
+    # one catalog + one database artifact, keyed at the root
+    assert [f["remote"] for f in by_type["catalog"]] == ["catalog.json"]
+    assert [f["remote"] for f in by_type["database"]] == ["remote_views.duckdb"]
+    # data files cover exactly the catalog.json tables, under the prefix
+    tables_in_manifest = {f["remote"].split("/")[1] for f in by_type["data"]}
+    assert tables_in_manifest == set(cat["tables"])
+    assert all(f["remote"].startswith("data/") for f in by_type["data"])
+    n_parquet = len(list(export.glob("**/*.parquet")))
+    assert len(by_type["data"]) == n_parquet
+    assert m["n_files"] == len(m["files"])
+    assert m["total_bytes"] == sum(f["bytes"] for f in m["files"])
+
+    # a missing artifact is a warning, not a failure (reference behavior)
+    (export / "catalog.json").unlink()
+    ns2 = argparse.Namespace(
+        export_root=str(export), data_prefix="data", no_data=True,
+        no_catalog=False, no_database=True, dry_run=True,
+    )
+    assert cli.cmd_upload(ns2) == 0
+    out2 = capsys.readouterr()
+    assert "catalog not found" in out2.err
+    assert json.loads(out2.out)["files"] == []
+
+
 def test_catalog_empty_root(spark, tmp_path):
     meta = scan_parquet_metadata(spark, str(tmp_path / "nothing"))
     assert meta.count() == 0
