@@ -39,10 +39,27 @@ def get_spark(
         .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Coalesce post-shuffle partitions by SIZE, not down-to-cores:
+        # at sf0.1 most shuffles carry kilobytes and the default
+        # parallelismFirst=true keeps 32 near-empty tasks per stage
+        # whose scheduling dominates sub-second queries (measured:
+        # headline 18-query total 10.0 -> 9.1-9.3 s). At cluster scale
+        # size-based coalescing is also the documented-correct choice —
+        # partitions tend toward advisoryPartitionSize (64 MB) instead
+        # of whatever the core count happens to be.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # Task-commit-direct output committer: skips the job-commit
+        # rename pass (measured: 0.97 -> 0.67 s on the sf0.1 mart
+        # export). Safe here because every engine write is
+        # overwrite-by-path (sources/writers.py mirror semantics) — a
+        # failed job is re-run from scratch, so partially-visible task
+        # output is never read. On S3-like stores use the store's
+        # dedicated committer instead.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
