@@ -114,9 +114,42 @@ def compare_strict(name: str, sdf, con) -> list[str]:
     return errors
 
 
+def slice_for_round(names: list[str], round_no: int, k: int = 20) -> list[str]:
+    """Deterministic rotating window over ``names`` for CI-style strict
+    checks: round N covers ``names[(N-1)*k % len :][:k]`` (wrapping), so
+    every query gets a recorded strict run within ``ceil(len/k)`` rounds
+    without any round paying for the full registry."""
+    names = sorted(names)
+    if not names:
+        return []
+    start = ((round_no - 1) * k) % len(names)
+    doubled = names + names
+    return doubled[start:start + min(k, len(names))]
+
+
+def current_round(repo_root: str = ".") -> int:
+    """The in-progress round number = 1 + highest CORRECTNESS_r{N}.json
+    the driver has recorded (the file for the current round appears only
+    after it ends)."""
+    import glob
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for f in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", f))
+    ]
+    return max(rounds, default=0) + 1
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    if "--slice" in only:
+        # rotate: replace --slice with this round's 20-query window
+        only.discard("--slice")
+        oracle_backed = [n for n, q in REGISTRY.items() if q.oracle is not None]
+        only |= set(slice_for_round(oracle_backed, current_round()))
     if os.environ.get("SPARK_GRAFT_VANILLA"):
         # simulate the round driver EXACTLY: a bare session with no
         # engine confs and the host's (possibly non-UTC) timezone —
