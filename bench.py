@@ -424,6 +424,64 @@ def scale_section(spark, sf_dir: str, rep: int = 100) -> dict:
     out["similarity_ivf_search"] = {
         "rows": n_vec, "sec": round(sec, 3), "rows_per_sec": round(n_vec / sec)
     }
+
+    # 4. sf1 weak-scaling point: the same two ops against a REAL
+    # file-backed corpus at 10× sf0.1 (materialized once to temp
+    # parquet with disjoint id/token spaces per replica, multi-file so
+    # the scan has genuine parallelism). The in-plan rep=100 figures
+    # above skip the scan; this row includes it — the claim is that
+    # rows/s holds within ~30% when the input actually comes off disk.
+    sf1_dir = tempfile.mkdtemp(prefix="bench_sf1_")
+    try:
+        sf1_rep = 10
+        repx10 = F.explode(F.sequence(F.lit(1), F.lit(sf1_rep))).alias("__rep")
+        d.select("doc_id", "text", repx10).select(
+            (F.col("doc_id") * sf1_rep + F.col("__rep")).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(filter(split(text, ' '), x -> x != ''),"
+                    " x -> concat(x, '_', __rep))"
+                ),
+            ).alias("text"),
+        ).repartition(16).write.mode("overwrite").parquet(f"{sf1_dir}/documents")
+        e.select("vec_id", "embedding", repx10).select(
+            (F.col("vec_id") * sf1_rep + F.col("__rep")).alias("vec_id"),
+            "embedding",
+        ).repartition(16).write.mode("overwrite").parquet(f"{sf1_dir}/embeddings")
+
+        d1 = spark.read.parquet(f"{sf1_dir}/documents")
+        n1 = d1.count()
+        cand1 = dedup.minhash_lsh_candidates(
+            dedup.shingles(d1, "text", "doc_id", n=3, distinct=False),
+            "doc_id", num_hashes=12, bands=4, hash_family="xxhash64",
+        )
+        sec = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            cand1.count()
+            sec = min(sec, time.perf_counter() - t0)
+        sf1 = {
+            "dedup_minhash_lsh": {
+                "rows": n1, "sec": round(sec, 3),
+                "rows_per_sec": round(n1 / sec),
+            }
+        }
+
+        e1 = spark.read.parquet(f"{sf1_dir}/embeddings")
+        nv1 = e1.count()
+        srch1 = similarity.ivf_search(e1, centroids, queries, k=5, nprobe=2)
+        sec = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            srch1.count()
+            sec = min(sec, time.perf_counter() - t0)
+        sf1["similarity_ivf_search"] = {
+            "rows": nv1, "sec": round(sec, 3), "rows_per_sec": round(nv1 / sec)
+        }
+        out["sf1_file_backed"] = sf1
+    finally:
+        shutil.rmtree(sf1_dir, ignore_errors=True)
     return out
 
 
