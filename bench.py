@@ -95,7 +95,10 @@ def main() -> None:
     # FRESH child JVM paired with a same-moment DuckDB COPY control
     # (see export_section); the headline number is the Spark seconds.
     export = _run_child(sf_dir, "--export-only")
-    timings["mart_export_parquet"] = export.get("sec", float("nan"))
+    if "sec" in export:
+        timings["mart_export_parquet"] = export["sec"]
+    # on child failure the export dict carries an "error" key and the
+    # headline total stays a valid number over the 18 compute queries
 
     # Scale section in a FRESH subprocess JVM: all sections need a
     # quiet JVM (after a few hundred stages the same plans run 1.3-5×

@@ -147,15 +147,12 @@ def cmd_upload(args: argparse.Namespace) -> int:
     )
     for w in manifest["warnings"]:
         print(f"warning: {w}", file=sys.stderr)
+    print(json.dumps(manifest))
     if not args.dry_run:
-        print(
-            json.dumps(manifest)
-        )
         raise SystemExit(
             "object-store upload requires network credentials; "
             "re-run with --dry-run to plan (manifest printed above)"
         )
-    print(json.dumps(manifest))
     return 0
 
 

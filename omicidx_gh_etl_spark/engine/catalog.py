@@ -298,6 +298,9 @@ def build_upload_manifest(
     root = Path(export_root)
     files: list[dict] = []
     warnings: list[str] = []
+    if not root.is_dir():
+        # a typo'd root must not read as a clean "nothing to upload"
+        warnings.append(f"export root not found: {root}")
     if data:
         for p in sorted(root.glob("**/*.parquet")):
             if not p.is_file():

@@ -58,8 +58,9 @@ _SNAKE_RE = re.compile(r"[^\w\d_]+")
 
 def snake_case(name: str) -> str:
     """Reference column-name normalization (etl/scimago.py:24-28):
-    lower, collapse non-word runs to ``_``, strip edge underscores."""
-    return _SNAKE_RE.sub("_", name.lower()).strip("_")
+    lower, collapse non-word runs to ``_``, strip edge underscores.
+    An all-symbol name must stay a usable identifier, not become ''."""
+    return _SNAKE_RE.sub("_", name.lower()).strip("_") or "_"
 
 
 def snake_case_columns(df: DataFrame) -> DataFrame:

@@ -38,13 +38,14 @@ shapes; this file is the human-readable audit trail.
 
 def _top_level_names(schema: str) -> list[str]:
     """Column names from a ReadSchema struct body, splitting only at
-    depth 0 so nested types (``props:map<string,string>``) keep their
-    name instead of being garbled by a naive split on ','/':'."""
+    depth 0 so nested/parameterized types (``props:map<string,string>``,
+    ``price:decimal(12,2)``) keep their name instead of being garbled
+    by a naive split on ','/':'."""
     names, depth, field = [], 0, ""
     for ch in schema:
-        if ch == "<":
+        if ch in "<(":
             depth += 1
-        elif ch == ">":
+        elif ch in ">)":
             depth -= 1
         elif ch == "," and depth == 0:
             if field:
