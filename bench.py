@@ -428,6 +428,34 @@ def scale_section(spark, sf_dir: str, rep: int = 100) -> dict:
         "rows": n_vec, "sec": round(sec, 3), "rows_per_sec": round(n_vec / sec)
     }
 
+    # 3b. Persisted-index ANN search: the serving shape (index once,
+    # search many — FAISS-style lifecycle, operators/ann_index.py).
+    # The build (assign + range-clustered postings commit) is UNTIMED
+    # setup, exactly like the LSH band index in 2b; the timed number
+    # is one query batch against the pinned index version, whose IO is
+    # the probed cells only (manifest + footer pruning, not a corpus
+    # scan). This is the ANN analog of dedup_incremental_lsh's
+    # O(delta): per-batch cost stays ~|corpus|×nprobe/n_cells however
+    # many batches run.
+    from omicidx_gh_etl_spark.operators.ann_index import AnnIndex
+
+    idx_dir = tempfile.mkdtemp(prefix="bench_annidx_")
+    try:
+        idx = AnnIndex(idx_dir)
+        idx.build(e_rep, n_centroids=10, centroids=centroids)
+        srch_idx = idx.search(spark, queries, k=5, nprobe=2)
+        sec = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            srch_idx.count()
+            sec = min(sec, time.perf_counter() - t0)
+        out["similarity_index_search"] = {
+            "rows": n_vec, "sec": round(sec, 3),
+            "rows_per_sec": round(n_vec / sec),
+        }
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
     # 4. sf1 weak-scaling point: the same two ops against a REAL
     # file-backed corpus at 10× sf0.1 (materialized once to temp
     # parquet with disjoint id/token spaces per replica, multi-file so
