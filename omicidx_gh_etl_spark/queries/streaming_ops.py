@@ -226,3 +226,59 @@ def streaming_count_min_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         depth=CMS_DEPTH, width=CMS_WIDTH,
     )
     return cms_probe_compare(spark, sf_dir, counters)
+
+
+@register(
+    "streaming_ann_ingest",
+    # the oracle is the one-shot cell assignment over the FULL corpus:
+    # ingestion split must never change where a vector lands (same
+    # argmax SQL as similarity_ivf_assign, projected to assignments)
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 10)
+    SELECT e.vec_id, c.centroid_id
+    FROM e CROSS JOIN c
+    QUALIFY row_number() OVER (
+      PARTITION BY e.vec_id
+      ORDER BY round(list_sum(list_transform(list_zip(v, cv),
+                    x -> x[1] * x[2]))
+        / (sqrt(list_sum(list_transform(v, x -> x * x)))
+           * sqrt(list_sum(list_transform(cv, x -> x * x)))), 4) DESC,
+        centroid_id) = 1
+    """,
+    tags=("streaming", "similarity"),
+)
+def streaming_ann_ingest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN index maintenance: even-id vectors are the initial
+    `AnnIndex.build`; odd-id vectors arrive as a micro-batch stream
+    (file source → foreachBatch cell assignment → partition-scoped
+    exactly-once merge into the postings snapshot). The final index
+    holds every vector in the same cell a one-shot build would put it
+    — which IS the oracle (streaming/ann_ingest.py)."""
+    import tempfile
+
+    from ..operators.ann_index import AnnIndex
+    from ..streaming.ann_ingest import stream_ann_ingest
+    from .tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+    )
+    tmp = tempfile.mkdtemp(prefix="ann_ingest_q_")
+    idx = AnnIndex(f"{tmp}/index")
+    idx.build(e.filter(F.col("vec_id") % 2 == 0), n_centroids=10,
+              centroids=centroids)
+    delta_dir = f"{tmp}/delta"
+    e.filter(F.col("vec_id") % 2 == 1).write.mode("overwrite").parquet(delta_dir)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(delta_dir)
+    )
+    q = stream_ann_ingest(stream, idx, txn_id="ann-ingest-query")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return idx.postings.read(spark).select("vec_id", "centroid_id")

@@ -1,3 +1,4 @@
+from .ann_ingest import make_ann_ingest_batch_fn, stream_ann_ingest
 from .dedup import dedup_stream, run_dedup_stream
 from .join import attribution_join_stream, run_attribution_join_stream
 from .stateful import run_sessionize_stream, sessionize_stream
@@ -17,6 +18,8 @@ from .windows import (
 )
 
 __all__ = [
+    "make_ann_ingest_batch_fn",
+    "stream_ann_ingest",
     "streaming_window_counts",
     "run_streaming_window_counts",
     "streaming_session_counts",
