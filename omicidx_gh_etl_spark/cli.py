@@ -224,6 +224,17 @@ def cmd_extract(args: argparse.Namespace) -> int:
         )
     else:  # pragma: no cover - argparse choices guard this
         raise SystemExit(f"unknown source {args.source}")
+    if getattr(args, "format", "parquet") == "ndjson":
+        # the reference's raw layer for several sources is NDJSON.gz
+        # (e.g. scimago.ndjson.gz, etl/scimago.py:36-37) — S5 sink
+        from .sources.writers import write_ndjson
+
+        n = df.count()
+        write_ndjson(df, args.output)
+        print(json.dumps(
+            {"source": args.source, "records": n, "output": args.output}
+        ))
+        return 0
     write_parquet(
         df, args.output, max_records_per_file=args.block_size, compression="zstd"
     )
@@ -573,6 +584,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="DDL schema for jsonl archive members (icite)")
     sp.add_argument("--block-size", type=int, default=1_000_000,
                     help="max records per parquet file (SRA_BLOCK_SIZE)")
+    sp.add_argument("--format", default="parquet",
+                    choices=["parquet", "ndjson"],
+                    help="output format (ndjson = gzip NDJSON, the "
+                         "reference's raw layer for e.g. scimago)")
     sp.set_defaults(fn=cmd_extract)
 
     sp = sub.add_parser("curate", help="materialize a curated training corpus")

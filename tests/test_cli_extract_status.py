@@ -55,6 +55,26 @@ def test_cli_extract_scimago(spark, tmp_path, capsys):
     assert {r["title"] for r in df.collect()} == {"Nature", "Cell"}
 
 
+def test_cli_extract_scimago_ndjson_format(spark, tmp_path, capsys):
+    """--format ndjson mirrors the reference's raw artifact shape
+    (scimago.ndjson.gz, etl/scimago.py:36-37): gzip NDJSON out."""
+    import gzip
+    import pathlib
+
+    src = tmp_path / "scimago.csv"
+    src.write_text("Rank;Title\n1;Nature\n")
+    out = str(tmp_path / "scimago_nd")
+    assert cli.cmd_extract(
+        _ns(source="scimago", input=str(src), output=out, format="ndjson")
+    ) == 0
+    payload = json.loads(capsys.readouterr().out)
+    assert payload["records"] == 1
+    parts = list(pathlib.Path(out).glob("*.json.gz"))
+    assert parts, "expected gzip ndjson part files"
+    rec = json.loads(gzip.open(parts[0], "rt").readline())
+    assert rec == {"rank": 1, "title": "Nature"}
+
+
 def test_cli_extract_scimago_requires_input(tmp_path):
     import pytest
 

@@ -99,6 +99,15 @@ def test_upload_manifest_matches_catalog(spark, tmp_path, capsys):
     assert "catalog not found" in out2.err
     assert json.loads(out2.out)["files"] == []
 
+    # a typo'd export root is a warning, never a clean empty plan
+    ns3 = argparse.Namespace(
+        export_root=str(tmp_path / "no_such_dir"), data_prefix="data",
+        no_data=False, no_catalog=True, no_database=True, dry_run=True,
+    )
+    assert cli.cmd_upload(ns3) == 0
+    out3 = capsys.readouterr()
+    assert "export root not found" in out3.err
+
 
 def test_catalog_empty_root(spark, tmp_path):
     meta = scan_parquet_metadata(spark, str(tmp_path / "nothing"))
