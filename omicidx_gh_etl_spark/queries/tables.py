@@ -24,13 +24,64 @@ every semantic-affecting conf is (re)pinned here at load time:
 
 from __future__ import annotations
 
+import os
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# Plan-ASSEMBLY cost is product cost too: profiled at sf0.1, ~50% of
+# the headline wall time was driver-side DataFrame construction, not
+# execution — repeated conf RPCs, schema-inference footer reads, and
+# parallelism-probe footer reads on every builder call. The three
+# caches below remove the repeats; every entry is keyed on the file's
+# (size, mtime) state so a rewritten input invalidates naturally.
+
+_PINNED_SESSIONS: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+
 
 def _pin_session(spark: SparkSession) -> None:
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # one conf round trip per *session object*, not per table load —
+    # the first load pins a borrowed session; later loads see the same
+    # Python object and skip the RPCs. nanosAsLong is pinned here too
+    # (it is a reader capability, not a semantic toggle: it only
+    # affects TIMESTAMP(NANOS) files, which Spark refuses to read at
+    # all without it; load_events still branches on the arrived type).
+    if spark not in _PINNED_SESSIONS:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        _PINNED_SESSIONS.add(spark)
+
+
+def _file_state(path: str) -> tuple | None:
+    """(path, size, mtime) for a regular file; None when ``path`` is a
+    directory/glob (those layouts are not cached — their member files
+    can change without touching the path's own stat)."""
+    try:
+        if os.path.isfile(path):
+            st = os.stat(path)
+            return (path, st.st_size, st.st_mtime_ns)
+    except OSError:
+        pass
+    return None
+
+
+_SCHEMA_CACHE: dict[tuple, T.StructType] = {}
+_PROBE_CACHE: dict[tuple, tuple[int, int | None]] = {}
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` with the inferred schema memoized per
+    file state: passing an explicit schema skips the JVM-side footer
+    inference that otherwise runs on EVERY DataFrame construction."""
+    key = _file_state(path)
+    if key is not None and key in _SCHEMA_CACHE:
+        return spark.read.schema(_SCHEMA_CACHE[key]).parquet(path)
+    df = spark.read.parquet(path)
+    if key is not None:
+        _SCHEMA_CACHE[key] = df.schema
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -38,7 +89,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _pin_session(spark)
     if name == "events":
         return load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _read_parquet(spark, f"{sf_dir}/{name}.parquet")
 
 
 def _scan_info(path: str, cap: int) -> tuple[int, int | None]:
@@ -62,7 +113,10 @@ def _scan_info(path: str, cap: int) -> tuple[int, int | None]:
     Per file the effective unit count is therefore
     ``min(row_groups, ceil(bytes / 4MB))``. Footer reads stop as soon
     as ``cap`` units are proven (at a real many-file layout the file
-    count alone clears the bar — no footers touched).
+    count alone clears the bar — no footers touched). Single-file
+    results are memoized per (size, mtime) state — the probe runs on
+    every plan ASSEMBLY, and re-reading an unchanged footer each time
+    was a measurable share of builder latency.
     """
     import glob as _glob
     import math
@@ -70,43 +124,55 @@ def _scan_info(path: str, cap: int) -> tuple[int, int | None]:
 
     import pyarrow.parquet as _pq
 
-    open_cost = 4 * 1024 * 1024  # spark.sql.files.openCostInBytes default
-    if os.path.isdir(path):
-        files = _glob.glob(
-            os.path.join(path, "**", "*.parquet"), recursive=True
-        )
-    elif any(ch in path for ch in "*?["):
-        files = _glob.glob(path)
-    else:
-        files = [path]
-    if len(files) >= cap:
-        return len(files), None
-    import warnings
+    state = _file_state(path)
+    cache_key = (state, cap) if state is not None else None
+    if cache_key is not None and cache_key in _PROBE_CACHE:
+        return _PROBE_CACHE[cache_key]
 
-    import pyarrow as _pa
+    def _probe() -> tuple[int, int | None]:
+        open_cost = 4 * 1024 * 1024  # spark.sql.files.openCostInBytes default
+        if os.path.isdir(path):
+            files = _glob.glob(
+                os.path.join(path, "**", "*.parquet"), recursive=True
+            )
+        elif any(ch in path for ch in "*?["):
+            files = _glob.glob(path)
+        else:
+            files = [path]
+        if len(files) >= cap:
+            return len(files), None
+        import warnings
 
-    units, rows = 0, 0
-    failed = False
-    for f in files:
-        try:
-            meta = _pq.ParquetFile(f).metadata
-            rg = max(1, meta.num_row_groups)
-            by_size = max(1, math.ceil(os.path.getsize(f) / open_cost))
-            units += min(rg, by_size)
-            rows += meta.num_rows
-        except (OSError, _pa.ArrowException) as exc:
-            # An unreadable footer must not silently deflate the probe:
-            # count the file by size (what Spark's split planner would
-            # do) and mark rows unknown so callers don't under-spread.
-            warnings.warn(f"parquet footer probe failed for {f}: {exc}")
+        import pyarrow as _pa
+
+        units, rows = 0, 0
+        failed = False
+        for f in files:
             try:
-                units += max(1, math.ceil(os.path.getsize(f) / open_cost))
-            except OSError:
-                units += 1
-            failed = True
-        if units >= cap:
-            return units, None
-    return units, None if failed else rows
+                meta = _pq.ParquetFile(f).metadata
+                rg = max(1, meta.num_row_groups)
+                by_size = max(1, math.ceil(os.path.getsize(f) / open_cost))
+                units += min(rg, by_size)
+                rows += meta.num_rows
+            except (OSError, _pa.ArrowException) as exc:
+                # An unreadable footer must not silently deflate the
+                # probe: count the file by size (what Spark's split
+                # planner would do) and mark rows unknown so callers
+                # don't under-spread.
+                warnings.warn(f"parquet footer probe failed for {f}: {exc}")
+                try:
+                    units += max(1, math.ceil(os.path.getsize(f) / open_cost))
+                except OSError:
+                    units += 1
+                failed = True
+            if units >= cap:
+                return units, None
+        return units, None if failed else rows
+
+    result = _probe()
+    if cache_key is not None:
+        _PROBE_CACHE[cache_key] = result
+    return result
 
 
 def load_spread(
@@ -164,9 +230,8 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically; DuckDB reads either as microsecond TIMESTAMP, so
     ``ts_us == epoch_us(ts)`` in the oracle in both cases.
     """
-    _pin_session(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    _pin_session(spark)  # sets nanosAsLong too (see _pin_session)
+    raw = _read_parquet(spark, f"{sf_dir}/events.parquet")
     if isinstance(raw.schema["ts"].dataType, T.LongType):
         return (
             raw.withColumn("ts_us", F.expr("ts div 1000"))
