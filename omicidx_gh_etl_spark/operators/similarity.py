@@ -40,6 +40,24 @@ def cosine_sim_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (F.sqrt(dot_expr(a, a)) * F.sqrt(dot_expr(b, b)))
 
 
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        f"cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """cosine_sim_expr as ONE SQL string over named columns. Same
+    parsed expression; a string parse is one JVM call where the Column
+    composition is ~30 py4j round trips — used on the assembly-hot
+    paths (profiled: ivf_search spent 0.6 s/plan building Columns)."""
+    return (
+        f"({_dot_sql(a, b)} / "
+        f"(sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})))"
+    )
+
+
 def cosine_topk(
     emb: DataFrame,
     query: DataFrame,
@@ -336,7 +354,7 @@ def ivf_search(
     )
     q = queries.select(F.col(query_id_col), _as_double(query_vec_col).alias("qvd"))
 
-    asg_sim = F.round(cosine_sim_expr(F.col("v"), F.col("cvd")), 4).alias("s")
+    asg_sim = F.expr(f"round({_cos_sql('v', 'cvd')}, 4)").alias("s")
     assigned = (
         e.crossJoin(F.broadcast(c))
         .select(id_col, centroid_id_col, asg_sim, "v")
@@ -354,7 +372,7 @@ def ivf_search(
         .select(id_col, F.col(f"best.{centroid_id_col}").alias(centroid_id_col), "v")
     )
 
-    probe_sim = F.round(cosine_sim_expr(F.col("qvd"), F.col("cvd")), 4)
+    probe_sim = F.expr(f"round({_cos_sql('qvd', 'cvd')}, 4)")
     probe_w = W.partitionBy(query_id_col).orderBy(
         F.desc("ps"), F.asc(centroid_id_col)
     )
@@ -366,7 +384,7 @@ def ivf_search(
         .select(query_id_col, "qvd", centroid_id_col)
     )
 
-    cand_sim = F.round(cosine_sim_expr(F.col("qvd"), F.col("v")), 4).alias("cos_sim")
+    cand_sim = F.expr(f"round({_cos_sql('qvd', 'v')}, 4)").alias("cos_sim")
     cands = (
         assigned.join(F.broadcast(probes), centroid_id_col)
         .filter(F.col(id_col) != F.col(query_id_col))
@@ -414,7 +432,7 @@ def ivf_assign(
     c = centroids.select(
         F.col(centroid_id_col), _as_double(centroid_vec_col).alias("cvd")
     )
-    sim = F.round(cosine_sim_expr(F.col("v"), F.col("cvd")), 4).alias("cos_sim")
+    sim = F.expr(f"round({_cos_sql('v', 'cvd')}, 4)").alias("cos_sim")
     scored = e.crossJoin(F.broadcast(c)).select(id_col, centroid_id_col, sim)
     best = scored.groupBy(id_col).agg(
         F.max(
