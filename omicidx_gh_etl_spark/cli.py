@@ -226,11 +226,14 @@ def cmd_extract(args: argparse.Namespace) -> int:
         raise SystemExit(f"unknown source {args.source}")
     if getattr(args, "format", "parquet") == "ndjson":
         # the reference's raw layer for several sources is NDJSON.gz
-        # (e.g. scimago.ndjson.gz, etl/scimago.py:36-37) — S5 sink
+        # (e.g. scimago.ndjson.gz, etl/scimago.py:36-37) — S5 sink.
+        # Count from the WRITTEN output (like the parquet path's footer
+        # scan): counting the input df first would run the whole
+        # extraction DAG twice (and could disagree with what landed).
         from .sources.writers import write_ndjson
 
-        n = df.count()
         write_ndjson(df, args.output)
+        n = spark.read.schema(df.schema).json(args.output).count()
         print(json.dumps(
             {"source": args.source, "records": n, "output": args.output}
         ))

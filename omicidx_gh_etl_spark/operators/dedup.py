@@ -363,8 +363,9 @@ def minhash_band_signatures(
     # distinct shingle hashes in that residue class) borrows the first
     # non-empty bin clockwise — every signature row is defined for any
     # doc with ≥1 shingle.
+    qid = f"`{id_col}`"  # backtick-quote: id_col is a NAME, not SQL
     sig = sig.selectExpr(
-        id_col,
+        qid,
         *[
             "coalesce("
             + ", ".join(f"s.s{(j + k) % num_hashes}" for k in range(num_hashes))
@@ -386,8 +387,8 @@ def minhash_band_signatures(
         f"struct({b} AS band, {_bsig_sql(b)} AS bsig)" for b in range(bands)
     )
     return sig.selectExpr(
-        id_col, f"explode(array({bands_arr})) AS bs"
-    ).selectExpr(id_col, "bs.band AS band", "bs.bsig AS bsig")
+        qid, f"explode(array({bands_arr})) AS bs"
+    ).selectExpr(qid, "bs.band AS band", "bs.bsig AS bsig")
 
 
 def lsh_pairs_from_bands(

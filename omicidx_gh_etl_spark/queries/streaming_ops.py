@@ -18,7 +18,7 @@ from ..streaming import (
 )
 from .advanced import CMS_ORACLE_SQL
 from .base import register
-from .llmops import _MINHASH_BANDS_CTE, _SHINGLE_CTE
+from .llmops import _COS, _MINHASH_BANDS_CTE, _SHINGLE_CTE
 from .reshape import SESSION_WINDOW_ORACLE
 
 
@@ -232,7 +232,8 @@ def streaming_count_min_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_ann_ingest",
     # the oracle is the one-shot cell assignment over the FULL corpus:
     # ingestion split must never change where a vector lands (same
-    # argmax SQL as similarity_ivf_assign, projected to assignments)
+    # argmax SQL as similarity_ivf_assign via the shared _COS macro,
+    # projected to assignments)
     """
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 10)
@@ -240,12 +241,8 @@ def streaming_count_min_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM e CROSS JOIN c
     QUALIFY row_number() OVER (
       PARTITION BY e.vec_id
-      ORDER BY round(list_sum(list_transform(list_zip(v, cv),
-                    x -> x[1] * x[2]))
-        / (sqrt(list_sum(list_transform(v, x -> x * x)))
-           * sqrt(list_sum(list_transform(cv, x -> x * x)))), 4) DESC,
-        centroid_id) = 1
-    """,
+      ORDER BY round(<COS>, 4) DESC, centroid_id) = 1
+    """.replace("<COS>", _COS.format(a="v", b="cv")),
     tags=("streaming", "similarity"),
 )
 def streaming_ann_ingest_query(spark: SparkSession, sf_dir: str) -> DataFrame:

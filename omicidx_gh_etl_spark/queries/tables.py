@@ -1,7 +1,11 @@
 """Test-table loading with cross-engine semantic normalization.
 
 The driver hands ``queries()`` builders an arbitrary SparkSession, so
-every semantic-affecting conf is (re)pinned here at load time:
+every semantic-affecting conf is pinned here on the FIRST load against
+each session object (one conf round trip per session, not per table —
+a session whose timezone is externally changed BETWEEN loads is out of
+contract; the pin guards the driver's fresh-session case, which is the
+one that occurs):
 
 - ``spark.sql.session.timeZone=UTC`` — DuckDB timestamps are UTC-naive;
   any LTZ↔NTZ cast must happen against UTC or values shift.

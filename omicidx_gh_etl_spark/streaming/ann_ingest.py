@@ -49,10 +49,9 @@ import uuid
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..engine.merge import merge_into_snapshot_partitions
 from ..operators.ann_index import AnnIndex
 from ..operators.similarity import _as_double, ivf_assign
-from .upsert_sink import _should_skip
+from .upsert_sink import make_snapshot_partition_batch_fn
 
 
 def make_ann_ingest_batch_fn(
@@ -67,19 +66,32 @@ def make_ann_ingest_batch_fn(
 
     ``centroid_version`` pins the centroid model for the stream's
     lifetime (None = latest at each batch — correct only while no
-    rebuild runs concurrently; pin it for a long-lived stream)."""
+    rebuild runs concurrently; pin it for a long-lived stream).
+
+    Durability delegates to the ONE partition-scoped exactly-once sink
+    (:func:`~.upsert_sink.make_snapshot_partition_batch_fn`) — this
+    module only contributes the cell-assignment transform. The merge
+    ranks on (epoch, deterministic vector hash): a vec_id delivered
+    twice IN the same micro-batch resolves to the same winner on every
+    re-run (merge.py's total-order requirement), and streamed epochs
+    beat the built rows' null epoch."""
     if index.centroids.latest_version() is None:
         raise ValueError(
             "AnnIndex has no centroids — run AnnIndex.build before "
             "attaching a streaming ingest"
         )
     txn_id = txn_id or f"txn_{uuid.uuid4().hex[:12]}"
+    sink = make_snapshot_partition_batch_fn(
+        index.postings,
+        keys=["vec_id"],
+        order_cols=["_ingest_epoch", "_ingest_tiebreak"],
+        partition_col="centroid_id",
+        txn_id=txn_id,
+    )
 
     def _apply(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
-        if _should_skip(index.postings, txn_id, epoch_id):
-            return  # replayed epoch — already durable in the index log
         spark = batch.sparkSession
         centroids = index.centroids.read(spark, centroid_version)
         e = batch.select(
@@ -93,17 +105,13 @@ def make_ann_ingest_batch_fn(
                 "centroid_id",
                 "v",
                 F.lit(epoch_id).cast("long").alias("_ingest_epoch"),
+                # content hash, not monotonically_increasing_id: the
+                # winner among same-batch duplicates must not depend on
+                # partition/evaluation order
+                F.xxhash64(F.col("v").cast("string")).alias("_ingest_tiebreak"),
             )
         )
-        merge_into_snapshot_partitions(
-            index.postings,
-            postings,
-            keys=["vec_id"],
-            order_cols=["_ingest_epoch"],
-            partition_col="centroid_id",
-            note=f"ann ingest epoch {epoch_id}",
-            meta={"epoch_id": epoch_id, "txn_id": txn_id},
-        )
+        sink(postings, epoch_id)
 
     return _apply
 
