@@ -84,6 +84,8 @@ def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
         return spark.read.schema(_SCHEMA_CACHE[key]).parquet(path)
     df = spark.read.parquet(path)
     if key is not None:
+        if len(_SCHEMA_CACHE) >= 1024:  # stale (path, old-mtime) entries
+            _SCHEMA_CACHE.clear()       # accumulate as files are rewritten
         _SCHEMA_CACHE[key] = df.schema
     return df
 
@@ -175,6 +177,8 @@ def _scan_info(path: str, cap: int) -> tuple[int, int | None]:
 
     result = _probe()
     if cache_key is not None:
+        if len(_PROBE_CACHE) >= 1024:  # bound stale-entry growth
+            _PROBE_CACHE.clear()
         _PROBE_CACHE[cache_key] = result
     return result
 
