@@ -391,6 +391,60 @@ def minhash_band_signatures(
     ).selectExpr(qid, "bs.band AS band", "bs.bsig AS bsig")
 
 
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 10,
+) -> DataFrame:
+    """C4-style paragraph-level dedup WITH document reassembly: split
+    each document into fixed ``chunk_tokens``-token paragraphs, keep
+    only the globally FIRST occurrence of every distinct paragraph
+    (ordered by (doc, position) — C4 \"discard all but one of any
+    span occurring more than once\", Raffel 2020 §2.2), then rebuild
+    each surviving document from its kept paragraphs in order.
+    Documents whose every paragraph was seen earlier disappear
+    entirely (a fully-boilerplate doc contributes nothing).
+
+    Differs from :func:`exact_substring_spans` (which *reports*
+    duplicated spans): this op rewrites the corpus — the shape that
+    actually feeds training.
+
+    Plan: one generator projection (posexplode of the chunk array),
+    one window over the paragraph VALUE (exact — no hash-collision
+    false drops; the key is high-cardinality and uniform so the
+    shuffle is skew-free), one per-doc re-aggregation. Chunk text
+    crosses the wire twice (selection + reassembly); at extreme scale
+    trade exactness for bytes by windowing on a 128-bit digest of the
+    paragraph instead.
+    """
+    qid = f"`{id_col}`"
+    toks = f"filter(split(`{text_col}`, ' '), x -> x != '')"
+    chunks = (
+        df.where(f"size({toks}) > 0")
+        .selectExpr(
+            qid,
+            f"posexplode(transform("
+            f"sequence(0, cast(ceil(size({toks}) / {chunk_tokens}.0) as int) - 1),"
+            f" i -> concat_ws(' ', slice({toks}, i * {chunk_tokens} + 1,"
+            f" {chunk_tokens}))))",
+        )
+        .withColumnRenamed("col", "para")
+    )
+    first_w = W.partitionBy("para").orderBy(F.col(id_col), F.col("pos"))
+    keep = (
+        chunks.withColumn("rn", F.row_number().over(first_w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return keep.groupBy(id_col).agg(
+        F.expr(
+            "concat_ws(' ', transform(array_sort(collect_list("
+            "struct(pos, para))), s -> s.para))"
+        ).alias(text_col)
+    )
+
+
 def lsh_pairs_from_bands(
     band_sig: DataFrame,
     id_col: str,

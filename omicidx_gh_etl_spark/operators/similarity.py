@@ -83,6 +83,79 @@ def cosine_topk(
     )
 
 
+def knn_label_vote(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    probe_id_col: str = "q_id",
+    probe_vec_col: str = "qv",
+    probe_label_col: str = "true_label",
+) -> DataFrame:
+    """kNN label probe — the standard embedding-quality evaluation for
+    a training-data pipeline: predict each held-out probe's label by
+    majority vote of its ``k`` nearest labeled corpus neighbors
+    (cosine), then report per-class accuracy. A representation whose
+    neighborhoods respect labels scores high; a collapsed or noisy
+    embedding space scores at chance.
+
+    Determinism: rounded similarity with id tiebreak picks the k
+    neighbors; majority vote ties resolve to the SMALLEST label
+    (max_by over (votes, -label)).
+
+    Scale: the probe set is broadcast by contract (an eval set is
+    thousands of rows, not the corpus), so the scan side is the corpus
+    exactly once — map-side cosine, one window per probe id over k×|P|
+    candidate rows, two tiny aggregations after. Swap the brute-force
+    candidate step for :func:`ivf_search` when the corpus no longer
+    fits a full scan per evaluation.
+    """
+    c = corpus.select(
+        F.col(id_col), _as_double(vec_col).alias("v"), F.col(label_col)
+    )
+    p = probes.select(
+        F.col(probe_id_col),
+        _as_double(probe_vec_col).alias("qvd"),
+        F.col(probe_label_col),
+    )
+    sim = F.expr(f"round({_cos_sql('v', 'qvd')}, 4)").alias("cos_sim")
+    topk_w = W.partitionBy(probe_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    neighbors = (
+        c.crossJoin(F.broadcast(p))
+        .select(probe_id_col, probe_label_col, F.col(label_col), sim, id_col)
+        .withColumn("rn", F.row_number().over(topk_w))
+        .filter(F.col("rn") <= k)
+    )
+    votes = neighbors.groupBy(probe_id_col, probe_label_col, label_col).agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    pred = votes.groupBy(probe_id_col, probe_label_col).agg(
+        F.max_by(
+            F.col(label_col),
+            F.struct(F.col("votes"), (-F.col(label_col)).alias("neg")),
+        ).alias("pred_label")
+    )
+    return (
+        pred.groupBy(probe_label_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.sum(
+                F.when(F.col("pred_label") == F.col(probe_label_col), 1)
+                .otherwise(0)
+            ).alias("n_correct"),
+        )
+        .select(
+            probe_label_col,
+            "n_probes",
+            "n_correct",
+            F.round(F.col("n_correct") / F.col("n_probes"), 4).alias("accuracy"),
+        )
+        .orderBy(probe_label_col)
+    )
+
+
 def cosine_pairs(
     emb: DataFrame,
     threshold: float,

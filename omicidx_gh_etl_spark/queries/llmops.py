@@ -472,6 +472,38 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_paragraphs_rewrite",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+      FROM documents),
+    chunks AS (
+      SELECT doc_id, CAST(u.pos AS BIGINT) AS pos,
+             array_to_string(list_slice(t, u.pos*10 + 1, u.pos*10 + 10), ' ')
+               AS para
+      FROM toks,
+           UNNEST(generate_series(0,
+             CAST(ceil(len(t)/10.0) AS BIGINT) - 1)) AS u(pos)),
+    keep AS (
+      SELECT doc_id, pos, para FROM chunks
+      QUALIFY row_number() OVER (
+        PARTITION BY para ORDER BY doc_id, pos) = 1)
+    SELECT doc_id, string_agg(para, ' ' ORDER BY pos) AS text
+    FROM keep GROUP BY doc_id
+    """,
+    tags=("dedup", "text"),
+)
+def dedup_paragraphs_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style paragraph dedup with document REASSEMBLY (Raffel 2020
+    §2.2): fixed 10-token paragraphs, global first-occurrence
+    retention, surviving docs rebuilt in order — the corpus-rewrite
+    half that span *detection* (dedup_exact_substring_spans) leaves to
+    the caller. operators/dedup.py::dedup_paragraphs."""
+    d = load_spread(spark, sf_dir, "documents", "doc_id")
+    return dedup.dedup_paragraphs(d, "text", "doc_id", chunk_tokens=10)
+
+
+@register(
     "dedup_embedding_cosine",
     f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -787,6 +819,57 @@ def similarity_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id") < 5
     ).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
     return similarity.ivf_search(e, centroids, queries, k=5, nprobe=2)
+
+
+@register(
+    "similarity_knn_label_probe",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+               FROM embeddings),
+    p AS (SELECT vec_id AS q_id, v AS qv, label AS true_label
+          FROM e WHERE vec_id < 40),
+    c AS (SELECT * FROM e WHERE vec_id >= 40),
+    nb AS (
+      SELECT p.q_id, p.true_label, c.label, c.vec_id,
+             round({_COS.format(a='c.v', b='p.qv')}, 4) AS cos_sim
+      FROM c CROSS JOIN p
+      QUALIFY row_number() OVER (
+        PARTITION BY p.q_id ORDER BY cos_sim DESC, c.vec_id) <= 5),
+    votes AS (
+      SELECT q_id, true_label, label, count(*) AS votes
+      FROM nb GROUP BY 1, 2, 3),
+    pred AS (
+      SELECT q_id, true_label, label AS pred_label
+      FROM votes
+      QUALIFY row_number() OVER (
+        PARTITION BY q_id ORDER BY votes DESC, label ASC) = 1)
+    SELECT true_label,
+           count(*) AS n_probes,
+           CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           round(CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 4) AS accuracy
+    FROM pred GROUP BY true_label ORDER BY true_label
+    """,
+    tags=("similarity", "eval"),
+)
+def similarity_knn_label_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label probe: embedding-quality eval — each held-out probe
+    vector's label is predicted by majority vote of its 5 nearest
+    labeled neighbors; per-class accuracy out. The standard cheap
+    check that a representation's neighborhoods respect labels
+    (operators/similarity.py::knn_label_vote)."""
+    e = load_spread(spark, sf_dir, "embeddings", "vec_id")
+    probes = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 40
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("true_label"),
+    )
+    return similarity.knn_label_vote(
+        e.filter(F.col("vec_id") >= 40), probes, k=5
+    )
 
 
 # --------------------------------------------------------------------------

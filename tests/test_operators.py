@@ -901,3 +901,64 @@ def test_semantic_dedup_drops_planted_near_dups(spark):
     # the clusters themselves are far apart -> no cross-cluster drops
     dropped = {v for v, (_, k) in got.items() if not k}
     assert dropped == {50, 51, 150}
+
+
+def test_dedup_paragraphs_rewrites_and_drops(spark):
+    """C4 paragraph dedup semantics: first global occurrence kept (by
+    doc_id, pos), later copies excised, fully-duplicate docs vanish,
+    unique text untouched."""
+    from omicidx_gh_etl_spark.operators import dedup
+
+    base = " ".join(f"w{i}" for i in range(10))          # one full chunk
+    uniq = "only here at all"
+    rows = [
+        (1, base + " tail one two"),     # first occurrence of `base`
+        (2, base + " " + uniq),          # base chunk excised, unique kept
+        (3, base),                       # fully duplicate -> dropped
+        (4, "completely different words entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in
+           dedup.dedup_paragraphs(df, "text", "doc_id").collect()}
+    assert out[1] == base + " tail one two"
+    assert out[2] == uniq
+    assert 3 not in out
+    assert out[4] == "completely different words entirely"
+
+
+def test_knn_label_vote_majority_and_ties(spark):
+    """Majority vote wins; a vote tie resolves to the SMALLEST label;
+    per-class accuracy aggregates correctly."""
+    from omicidx_gh_etl_spark.operators import similarity
+
+    # 1-d embeddings on a line; cosine of 1-d positive vectors is 1,
+    # so neighbor order is decided by the id tiebreak — make vectors
+    # 2-d to give real geometry.
+    corpus = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0], 0), (11, [0.95, 0.05], 0),
+            (12, [0.0, 1.0], 1), (13, [0.05, 0.95], 1),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    probes = spark.createDataFrame(
+        [
+            (1, [0.9, 0.1], 0),   # 2 nearest are label 0 -> correct
+            (2, [0.1, 0.9], 1),   # 2 nearest are label 1 -> correct
+            (3, [0.7, 0.7], 0),   # k=4: 2 votes each -> tie -> label 0
+        ],
+        "q_id long, qv array<double>, true_label int",
+    )
+    res = {
+        r["true_label"]: (r["n_probes"], r["n_correct"], r["accuracy"])
+        for r in similarity.knn_label_vote(corpus, probes, k=2).collect()
+    }
+    assert res[0] == (2, 2, 1.0)   # probes 1 and 3... k=2 for probe 3
+    assert res[1] == (1, 1, 1.0)
+
+    # explicit tie at k=4: two 0-votes, two 1-votes -> smallest label
+    res4 = {
+        r["true_label"]: (r["n_probes"], r["n_correct"])
+        for r in similarity.knn_label_vote(corpus, probes, k=4).collect()
+    }
+    assert res4[0][1] >= 1          # the tie probe resolved to label 0
