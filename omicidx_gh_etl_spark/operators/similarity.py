@@ -156,6 +156,65 @@ def knn_label_vote(
     )
 
 
+def ivf_recall(
+    emb: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """Recall@k of :func:`ivf_search` against the brute-force cosine
+    ground truth — THE standard ANN quality metric: per query, the
+    fraction of the true top-``k`` the probed search returned. A
+    recall of 1 means the nprobe cells contained every true neighbor;
+    the nprobe/n_cells knob trades this against scan cost.
+
+    Scale: the ground-truth side is one full corpus scan per
+    evaluation (queries broadcast, map-side cosine + per-query top-k
+    window) — an EVAL cost paid on a sample of queries, not a serving
+    path. Output is one row per query: (q_id, n_true, n_found,
+    recall)."""
+    ivf = ivf_search(
+        emb, centroids, queries, k=k, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+    ).select(query_id_col, id_col)
+
+    e = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    q = queries.select(
+        F.col(query_id_col), _as_double(query_vec_col).alias("qvd")
+    )
+    sim = F.expr(f"round({_cos_sql('v', 'qvd')}, 4)").alias("cos_sim")
+    truth_w = W.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    truth = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, id_col, sim)
+        .withColumn("rn", F.row_number().over(truth_w))
+        .filter(F.col("rn") <= k)
+        .select(query_id_col, id_col)
+    )
+    hits = truth.join(ivf, [query_id_col, id_col], "left_semi")
+    n_true = truth.groupBy(query_id_col).agg(F.count(F.lit(1)).alias("n_true"))
+    n_found = hits.groupBy(query_id_col).agg(F.count(F.lit(1)).alias("n_found"))
+    return (
+        n_true.join(n_found, query_id_col, "left")
+        .select(
+            query_id_col,
+            "n_true",
+            F.coalesce(F.col("n_found"), F.lit(0)).alias("n_found"),
+            F.round(
+                F.coalesce(F.col("n_found"), F.lit(0)) / F.col("n_true"), 4
+            ).alias("recall"),
+        )
+        .orderBy(query_id_col)
+    )
+
+
 def cosine_pairs(
     emb: DataFrame,
     threshold: float,

@@ -872,6 +872,65 @@ def similarity_knn_label_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "similarity_ivf_recall",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 10),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+    assigned AS (
+      SELECT e.vec_id, c.centroid_id, e.v
+      FROM e CROSS JOIN c
+      QUALIFY row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY round({_COS.format(a='v', b='cv')}, 4) DESC, centroid_id) = 1),
+    probes AS (
+      SELECT q.q_id, q.qv, c.centroid_id
+      FROM q CROSS JOIN c
+      QUALIFY row_number() OVER (
+        PARTITION BY q.q_id
+        ORDER BY round({_COS.format(a='qv', b='cv')}, 4) DESC, centroid_id) <= 2),
+    ivf AS (
+      SELECT p.q_id, a.vec_id,
+             round({_COS.format(a='p.qv', b='a.v')}, 4) AS cos_sim
+      FROM probes p JOIN assigned a ON a.centroid_id = p.centroid_id
+      WHERE a.vec_id <> p.q_id
+      QUALIFY row_number() OVER (
+        PARTITION BY p.q_id ORDER BY cos_sim DESC, a.vec_id) <= 5),
+    truth AS (
+      SELECT q.q_id, e.vec_id
+      FROM e CROSS JOIN q
+      WHERE e.vec_id <> q.q_id
+      QUALIFY row_number() OVER (
+        PARTITION BY q.q_id
+        ORDER BY round({_COS.format(a='e.v', b='q.qv')}, 4) DESC, e.vec_id) <= 5)
+    SELECT t.q_id,
+           CAST(count(*) AS BIGINT) AS n_true,
+           CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_found,
+           round(CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 4) AS recall
+    FROM truth t
+    LEFT JOIN ivf i ON i.q_id = t.q_id AND i.vec_id = t.vec_id
+    GROUP BY t.q_id ORDER BY t.q_id
+    """,
+    tags=("similarity", "eval"),
+)
+def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the nprobe=2 IVF search vs the brute-force cosine
+    ground truth, per query — the standard ANN quality metric that
+    quantifies the documented recall<1 tradeoff
+    (operators/similarity.py::ivf_recall)."""
+    e = load_spread(spark, sf_dir, "embeddings", "vec_id")
+    centroids = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 10
+    ).select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv"))
+    queries = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 5
+    ).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
+    return similarity.ivf_recall(e, centroids, queries, k=5, nprobe=2)
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------

@@ -962,3 +962,27 @@ def test_knn_label_vote_majority_and_ties(spark):
         for r in similarity.knn_label_vote(corpus, probes, k=4).collect()
     }
     assert res4[0][1] >= 1          # the tie probe resolved to label 0
+
+
+def test_ivf_recall_full_probe_is_one(spark, sf_dir):
+    """Probing every cell makes IVF exhaustive, so recall@k must be
+    exactly 1.0 for every query; recall is in [0,1] regardless."""
+    from pyspark.sql import functions as F
+
+    from omicidx_gh_etl_spark.operators import similarity
+    from omicidx_gh_etl_spark.queries.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+    )
+    qs = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    full = similarity.ivf_recall(e, cent, qs, k=5, nprobe=4)
+    rows = full.collect()
+    assert len(rows) == 3
+    assert all(r["recall"] == 1.0 for r in rows)
+
+    partial = similarity.ivf_recall(e, cent, qs, k=5, nprobe=1)
+    assert all(0.0 <= r["recall"] <= 1.0 for r in partial.collect())
