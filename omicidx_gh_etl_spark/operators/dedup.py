@@ -419,14 +419,18 @@ def dedup_paragraphs(
     paragraph instead.
     """
     qid = f"`{id_col}`"
-    toks = f"filter(split(`{text_col}`, ' '), x -> x != '')"
+    # project the token array ONCE: higher-order-function lambdas are
+    # not subexpression-hoisted, so splitting inline would re-tokenize
+    # the full text per chunk (O(tokens²) character work per doc)
+    toked = df.select(
+        F.col(id_col), tokens_expr(text_col).alias("__t")
+    ).where(F.size("__t") > 0)
     chunks = (
-        df.where(f"size({toks}) > 0")
-        .selectExpr(
+        toked.selectExpr(
             qid,
             f"posexplode(transform("
-            f"sequence(0, cast(ceil(size({toks}) / {chunk_tokens}.0) as int) - 1),"
-            f" i -> concat_ws(' ', slice({toks}, i * {chunk_tokens} + 1,"
+            f"sequence(0, cast(ceil(size(__t) / {chunk_tokens}.0) as int) - 1),"
+            f" i -> concat_ws(' ', slice(__t, i * {chunk_tokens} + 1,"
             f" {chunk_tokens}))))",
         )
         .withColumnRenamed("col", "para")

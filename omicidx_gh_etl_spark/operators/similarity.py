@@ -83,6 +83,33 @@ def cosine_topk(
     )
 
 
+def _brute_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int,
+    id_col: str,
+    probe_id_col: str,
+    exclude_self: bool = False,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """Multi-query brute-force cosine top-k: ``corpus`` must expose
+    (``id_col``, ``v``), ``probes`` (``probe_id_col``, ``qvd``) — both
+    double arrays. One place owns the determinism contract (rounded
+    similarity, id tiebreak) shared by every exact-ground-truth eval;
+    ``carry`` names extra columns to keep on the output rows."""
+    sim = F.expr(f"round({_cos_sql('v', 'qvd')}, 4)").alias("cos_sim")
+    w = W.partitionBy(probe_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    j = corpus.crossJoin(F.broadcast(probes))
+    if exclude_self:
+        j = j.filter(F.col(id_col) != F.col(probe_id_col))
+    return (
+        j.select(probe_id_col, *carry, id_col, sim)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def knn_label_vote(
     corpus: DataFrame,
     probes: DataFrame,
@@ -120,13 +147,8 @@ def knn_label_vote(
         _as_double(probe_vec_col).alias("qvd"),
         F.col(probe_label_col),
     )
-    sim = F.expr(f"round({_cos_sql('v', 'qvd')}, 4)").alias("cos_sim")
-    topk_w = W.partitionBy(probe_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
-    neighbors = (
-        c.crossJoin(F.broadcast(p))
-        .select(probe_id_col, probe_label_col, F.col(label_col), sim, id_col)
-        .withColumn("rn", F.row_number().over(topk_w))
-        .filter(F.col("rn") <= k)
+    neighbors = _brute_topk(
+        c, p, k, id_col, probe_id_col, carry=(probe_label_col, label_col)
     )
     votes = neighbors.groupBy(probe_id_col, probe_label_col, label_col).agg(
         F.count(F.lit(1)).alias("votes")
@@ -188,16 +210,9 @@ def ivf_recall(
     q = queries.select(
         F.col(query_id_col), _as_double(query_vec_col).alias("qvd")
     )
-    sim = F.expr(f"round({_cos_sql('v', 'qvd')}, 4)").alias("cos_sim")
-    truth_w = W.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
-    truth = (
-        e.crossJoin(F.broadcast(q))
-        .filter(F.col(id_col) != F.col(query_id_col))
-        .select(query_id_col, id_col, sim)
-        .withColumn("rn", F.row_number().over(truth_w))
-        .filter(F.col("rn") <= k)
-        .select(query_id_col, id_col)
-    )
+    truth = _brute_topk(
+        e, q, k, id_col, query_id_col, exclude_self=True
+    ).select(query_id_col, id_col)
     hits = truth.join(ivf, [query_id_col, id_col], "left_semi")
     n_true = truth.groupBy(query_id_col).agg(F.count(F.lit(1)).alias("n_true"))
     n_found = hits.groupBy(query_id_col).agg(F.count(F.lit(1)).alias("n_found"))
