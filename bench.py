@@ -370,6 +370,20 @@ def scale_section(spark, sf_dir: str, rep: int = 100) -> dict:
         "rows": n_docs, "sec": round(sec, 3), "rows_per_sec": round(n_docs / sec)
     }
 
+    # 2a. Paragraph-level dedup with document reassembly at rep× docs
+    # (the corpus-REWRITE hot path: chunk → global first-occurrence
+    # window → rebuild). Replicas' tokens are salted disjoint, so the
+    # workload is rep independent corpora, same as the LSH row.
+    para = dedup.dedup_paragraphs(d_rep, "text", "doc_id")
+    sec = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        para.count()
+        sec = min(sec, time.perf_counter() - t0)
+    out["dedup_paragraphs_rewrite"] = {
+        "rows": n_docs, "sec": round(sec, 3), "rows_per_sec": round(n_docs / sec)
+    }
+
     # 2b. Incremental LSH: the daily-batch-vs-corpus shape. The corpus
     # band index is PRECOMPUTED (the persisted-index contract —
     # minhash_band_signatures written once per corpus); timed work is
