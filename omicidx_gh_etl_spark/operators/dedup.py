@@ -167,6 +167,69 @@ def duplicate_span_runs(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    min_len: int = 12,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact-substring EXCISION (Lee et al. 2022 §4: "we remove all
+    but one copy of each duplicated span"): find maximal shared runs
+    via :func:`duplicate_span_runs`, then rewrite the corpus with the
+    LATER document's copy of every span cut out (d1 < d2 keeps the
+    first occurrence, matching :func:`dedup_paragraphs`). Documents
+    left with zero tokens disappear.
+
+    This composes the *detection* operator into the corpus-rewrite
+    shape that feeds training — span-granular where
+    :func:`dedup_paragraphs` is chunk-granular.
+
+    Plan: span detection as analyzed on :func:`duplicate_span_runs`;
+    per-doc removal intervals are collect_list'd (bounded by spans per
+    doc — corpus-hot spans are already capped via ``max_shingle_df``),
+    joined back one-row-per-doc, and tokens are dropped by an
+    ``exists`` probe over that small array (overlapping intervals need
+    no merge — containment in ANY interval drops the token). Token
+    text crosses the wire once for the final per-doc rebuild.
+    """
+    spans = duplicate_span_runs(
+        positional_shingles(df, text_col, id_col, n=n),
+        id_col,
+        n=n,
+        min_len=min_len,
+        max_shingle_df=max_shingle_df,
+    )
+    ivs = (
+        spans.select(
+            F.col("d2").alias(id_col),
+            F.struct(
+                F.col("start2").alias("s"),
+                (F.col("start2") + F.col("len_tokens")).alias("e"),
+            ).alias("iv"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_list("iv").alias("__rm"))
+    )
+    qid = f"`{id_col}`"
+    toks = (
+        df.select(F.col(id_col), tokens_expr(text_col).alias("__t"))
+        .where(F.size("__t") > 0)
+        .selectExpr(qid, "posexplode(__t)")
+        .withColumnRenamed("col", "tok")
+    )
+    kept = toks.join(ivs, id_col, "left").filter(
+        "__rm IS NULL OR NOT exists(__rm, iv -> pos >= iv.s AND pos < iv.e)"
+    )
+    return kept.groupBy(id_col).agg(
+        F.expr(
+            "concat_ws(' ', transform(array_sort(collect_list("
+            "struct(pos, tok))), x -> x.tok))"
+        ).alias(text_col)
+    )
+
+
 def jaccard_pairs(
     shingle_df: DataFrame,
     id_col: str,

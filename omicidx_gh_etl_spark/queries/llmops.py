@@ -472,6 +472,65 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_span_excision",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents),
+    psh0 AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) >= 8
+                         THEN generate_series(1, len(t) - 7) ELSE [] END) AS i,
+             t
+      FROM toks),
+    psh AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' '
+                 || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7])
+             AS sh
+      FROM psh0),
+    keep AS (SELECT sh FROM psh GROUP BY sh HAVING count(*) <= 50),
+    pshk AS (SELECT psh.* FROM psh JOIN keep USING (sh)),
+    m AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, a.pos AS p1, b.pos AS p2
+      FROM pshk a JOIN pshk b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+    runs AS (
+      SELECT d1, d2, p1, p2,
+             p1 - row_number() OVER (PARTITION BY d1, d2, p1 - p2 ORDER BY p1)
+             AS isl
+      FROM m),
+    spans AS (
+      SELECT d2, min(p2) AS start2, count(*) + 7 AS len_tokens
+      FROM runs GROUP BY d1, d2, p1 - p2, isl
+      HAVING count(*) + 7 >= 12),
+    rm AS (SELECT d2 AS doc_id, start2 AS s, start2 + len_tokens AS e
+           FROM spans),
+    toked AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) - 1 AS pos, t[u.i] AS tok
+      FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)),
+    kept AS (
+      SELECT k.* FROM toked k
+      WHERE NOT EXISTS (
+        SELECT 1 FROM rm
+        WHERE rm.doc_id = k.doc_id AND k.pos >= rm.s AND k.pos < rm.e))
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+    FROM kept GROUP BY doc_id
+    """,
+    tags=("dedup", "text"),
+)
+def dedup_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring excision (Lee 2022 §4): the corpus rewritten
+    with all-but-the-first copy of every ≥12-token duplicated span cut
+    out — the span-granular rewrite completing
+    dedup_exact_substring_spans' detection
+    (operators/dedup.py::remove_duplicate_spans)."""
+    d = load_spread(spark, sf_dir, "documents", "doc_id")
+    return dedup.remove_duplicate_spans(
+        d, "text", "doc_id", n=8, min_len=12, max_shingle_df=50
+    )
+
+
+@register(
     "dedup_paragraphs_rewrite",
     """
     WITH toks AS (

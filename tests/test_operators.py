@@ -1011,3 +1011,25 @@ def test_dedup_paragraphs_converges_on_corpus(spark, sf_dir):
     c = {(r["doc_id"], r["text"]) for r in thrice.collect()}
     assert {x[0] for x in b} <= {x[0] for x in a}  # docs never grow
     assert b == c                                  # converged
+
+
+def test_remove_duplicate_spans_excises_later_copy(spark):
+    """Span excision semantics: the earlier doc keeps its copy, the
+    later doc's copy of the shared >=min_len run is cut out, and a doc
+    that IS entirely a duplicated span disappears."""
+    from omicidx_gh_etl_spark.operators import dedup
+
+    run = " ".join(f"r{i}" for i in range(15))       # 15-token shared run
+    rows = [
+        (1, "alpha beta " + run + " gamma delta"),
+        (2, "uno dos " + run + " tres cuatro"),      # later copy -> excised
+        (3, run),                                    # pure duplicate -> gone
+        (4, "totally unrelated text here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in dedup.remove_duplicate_spans(
+        df, "text", "doc_id", n=8, min_len=12).collect()}
+    assert out[1] == "alpha beta " + run + " gamma delta"   # first copy kept
+    assert out[2] == "uno dos tres cuatro"
+    assert 3 not in out
+    assert out[4] == "totally unrelated text here now"
