@@ -88,7 +88,16 @@ def main() -> None:
     from bench import HEADLINE  # the graded set
 
     spark = get_spark(app_name="plan-docs", cpus=8)
-    names = list(dict.fromkeys(HEADLINE + ["mart_denormalized"]))
+    # the graded headline set plus the non-headline operators whose
+    # scale arguments deserve plan evidence (corpus-rewrite + evals)
+    extra = [
+        "mart_denormalized",
+        "dedup_paragraphs_rewrite",
+        "dedup_span_excision",
+        "similarity_knn_label_probe",
+        "similarity_ivf_recall",
+    ]
+    names = list(dict.fromkeys(HEADLINE + extra))
     rows = []
     details = []
     for name in names:
