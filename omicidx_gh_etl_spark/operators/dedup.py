@@ -107,6 +107,7 @@ def duplicate_span_runs(
     n: int,
     min_len: int,
     max_shingle_df: int | None = None,
+    include_within_doc: bool = False,
 ) -> DataFrame:
     """Maximal shared exact token runs between document pairs — the
     distributed form of exact-substring training-data dedup
@@ -147,11 +148,16 @@ def duplicate_span_runs(
         ).drop("df_")
     a = sh.select(F.col(id_col).alias("d1"), F.col("pos").alias("p1"), "sh")
     b = sh.select(F.col(id_col).alias("d2"), F.col("pos").alias("p2"), "sh")
-    m = (
-        a.join(b, ["sh"])
-        .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "d2", "p1", "p2")
-    )
+    pair_filter = F.col("d1") < F.col("d2")
+    if include_within_doc:
+        # self-alignments too: a shingle repeated inside ONE document
+        # matches itself at (p1 < p2); the same gaps-islands run logic
+        # then yields (doc, doc, start1, start2) runs where start2 is
+        # the LATER in-document copy
+        pair_filter = pair_filter | (
+            (F.col("d1") == F.col("d2")) & (F.col("p1") < F.col("p2"))
+        )
+    m = a.join(b, ["sh"]).filter(pair_filter).select("d1", "d2", "p1", "p2")
     off = F.col("p1") - F.col("p2")
     w = W.partitionBy("d1", "d2", off).orderBy("p1")
     runs = m.withColumn("isl", F.col("p1") - F.row_number().over(w))
@@ -167,32 +173,65 @@ def duplicate_span_runs(
     )
 
 
+def _tokenize_positions(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, pos, tok) rows — the shared rewrite-side tokenization for
+    both corpus-rewrite operators (empty-doc and ordering semantics
+    live HERE, in one place)."""
+    qid = f"`{id_col}`"
+    return (
+        df.select(F.col(id_col), tokens_expr(text_col).alias("__t"))
+        .where(F.size("__t") > 0)
+        .selectExpr(qid, "posexplode(__t)")
+        .withColumnRenamed("col", "tok")
+    )
+
+
+def _reassemble(kept: DataFrame, id_col: str, text_col: str,
+                piece_col: str = "tok") -> DataFrame:
+    """(id, pos, piece) → one row per doc with pieces rejoined in
+    position order — the shared rewrite-side rebuild."""
+    return kept.groupBy(id_col).agg(
+        F.expr(
+            f"concat_ws(' ', transform(array_sort(collect_list("
+            f"struct(pos, {piece_col}))), x -> x.{piece_col}))"
+        ).alias(text_col)
+    )
+
+
 def remove_duplicate_spans(
     df: DataFrame,
     text_col: str,
     id_col: str,
     n: int = 8,
     min_len: int = 12,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 50,
 ) -> DataFrame:
     """Exact-substring EXCISION (Lee et al. 2022 §4: "we remove all
     but one copy of each duplicated span"): find maximal shared runs
-    via :func:`duplicate_span_runs`, then rewrite the corpus with the
-    LATER document's copy of every span cut out (d1 < d2 keeps the
-    first occurrence, matching :func:`dedup_paragraphs`). Documents
-    left with zero tokens disappear.
+    via :func:`duplicate_span_runs` — across documents AND repeated
+    within one document — then rewrite the corpus with every LATER
+    copy cut out (cross-doc: d1 < d2 keeps the first document's copy;
+    within-doc: the earlier position survives). Documents left with
+    zero tokens disappear.
 
-    This composes the *detection* operator into the corpus-rewrite
-    shape that feeds training — span-granular where
-    :func:`dedup_paragraphs` is chunk-granular.
+    Retention caveat (inherent to single-pass pairwise excision, not a
+    bug to fix silently): the kept copy is "first per PAIR". Under a
+    CHAIN of partially-overlapping spans across ≥3 documents, a region
+    whose keeper copy was itself excised by an earlier-doc pair can end
+    up retained nowhere; and strongly periodic text collapses toward
+    one period. Where absolute span retention matters, iterate to a
+    fixpoint or verify with :func:`duplicate_span_runs` post-pass —
+    C4/Lee-style corpus prep accepts the single pass.
 
     Plan: span detection as analyzed on :func:`duplicate_span_runs`;
-    per-doc removal intervals are collect_list'd (bounded by spans per
-    doc — corpus-hot spans are already capped via ``max_shingle_df``),
-    joined back one-row-per-doc, and tokens are dropped by an
-    ``exists`` probe over that small array (overlapping intervals need
-    no merge — containment in ANY interval drops the token). Token
-    text crosses the wire once for the final per-doc rebuild.
+    per-doc removal intervals are collect_list'd — bounded only
+    because corpus-hot spans are capped (``max_shingle_df`` defaults
+    ON at 50; pass None consciously, accepting O(dup-count) interval
+    arrays on heavily-copied docs) — joined back one-row-per-doc, and
+    tokens are dropped by an ``exists`` probe over that small array
+    (overlapping intervals need no merge — containment in ANY interval
+    drops the token). Token text crosses the wire once for the final
+    per-doc rebuild.
     """
     spans = duplicate_span_runs(
         positional_shingles(df, text_col, id_col, n=n),
@@ -200,6 +239,7 @@ def remove_duplicate_spans(
         n=n,
         min_len=min_len,
         max_shingle_df=max_shingle_df,
+        include_within_doc=True,
     )
     ivs = (
         spans.select(
@@ -212,22 +252,11 @@ def remove_duplicate_spans(
         .groupBy(id_col)
         .agg(F.collect_list("iv").alias("__rm"))
     )
-    qid = f"`{id_col}`"
-    toks = (
-        df.select(F.col(id_col), tokens_expr(text_col).alias("__t"))
-        .where(F.size("__t") > 0)
-        .selectExpr(qid, "posexplode(__t)")
-        .withColumnRenamed("col", "tok")
-    )
+    toks = _tokenize_positions(df, text_col, id_col)
     kept = toks.join(ivs, id_col, "left").filter(
         "__rm IS NULL OR NOT exists(__rm, iv -> pos >= iv.s AND pos < iv.e)"
     )
-    return kept.groupBy(id_col).agg(
-        F.expr(
-            "concat_ws(' ', transform(array_sort(collect_list("
-            "struct(pos, tok))), x -> x.tok))"
-        ).alias(text_col)
-    )
+    return _reassemble(kept, id_col, text_col)
 
 
 def jaccard_pairs(
@@ -504,12 +533,7 @@ def dedup_paragraphs(
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
-    return keep.groupBy(id_col).agg(
-        F.expr(
-            "concat_ws(' ', transform(array_sort(collect_list("
-            "struct(pos, para))), s -> s.para))"
-        ).alias(text_col)
-    )
+    return _reassemble(keep, id_col, text_col, piece_col="para")
 
 
 def lsh_pairs_from_bands(

@@ -493,7 +493,10 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     pshk AS (SELECT psh.* FROM psh JOIN keep USING (sh)),
     m AS (
       SELECT a.doc_id AS d1, b.doc_id AS d2, a.pos AS p1, b.pos AS p2
-      FROM pshk a JOIN pshk b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+      FROM pshk a JOIN pshk b
+        ON a.sh = b.sh
+       AND (a.doc_id < b.doc_id
+            OR (a.doc_id = b.doc_id AND a.pos < b.pos))),
     runs AS (
       SELECT d1, d2, p1, p2,
              p1 - row_number() OVER (PARTITION BY d1, d2, p1 - p2 ORDER BY p1)
@@ -520,10 +523,11 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring excision (Lee 2022 §4): the corpus rewritten
-    with all-but-the-first copy of every ≥12-token duplicated span cut
-    out — the span-granular rewrite completing
-    dedup_exact_substring_spans' detection
-    (operators/dedup.py::remove_duplicate_spans)."""
+    with later copies of every ≥12-token duplicated span cut out —
+    cross-document AND within-document — the span-granular rewrite
+    completing dedup_exact_substring_spans' detection. Single-pass
+    retention caveats documented on
+    operators/dedup.py::remove_duplicate_spans."""
     d = load_spread(spark, sf_dir, "documents", "doc_id")
     return dedup.remove_duplicate_spans(
         d, "text", "doc_id", n=8, min_len=12, max_shingle_df=50

@@ -1033,3 +1033,21 @@ def test_remove_duplicate_spans_excises_later_copy(spark):
     assert out[2] == "uno dos tres cuatro"
     assert 3 not in out
     assert out[4] == "totally unrelated text here now"
+
+
+def test_remove_duplicate_spans_within_document(spark):
+    """A run repeated INSIDE one document is excised too (Lee 2022
+    dedups the corpus as one string, not just doc pairs): the earlier
+    in-document copy survives, the later copy is cut."""
+    from omicidx_gh_etl_spark.operators import dedup
+
+    run = " ".join(f"r{i}" for i in range(14))
+    rows = [
+        (1, run + " middle bit " + run),
+        (2, "unrelated other words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in dedup.remove_duplicate_spans(
+        df, "text", "doc_id", n=8, min_len=12).collect()}
+    assert out[1] == run + " middle bit"
+    assert out[2] == "unrelated other words here"

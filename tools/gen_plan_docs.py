@@ -1,8 +1,10 @@
-"""Generate PLANS.md — physical-plan evidence for the headline queries.
+"""Generate PLANS.md — physical-plan evidence for the headline queries
+plus the non-headline corpus-rewrite/eval operators.
 
 Run after plan-affecting changes:  python tools/gen_plan_docs.py
 
-For each bench.py headline query (plus the flagship mart), records the
+For each audited query (bench.py HEADLINE + the flagship mart + the
+rewrite/eval extras listed in main()), records the
 scale-relevant facts straight from the executed plan: shuffle count,
 join strategies, pushed filters, scan schemas (column pruning), window
 partitioning, and Python-boundary operators. The full formatted plan is
@@ -23,7 +25,7 @@ from omicidx_gh_etl_spark.session import get_spark  # noqa: E402
 SF_DIR = "/root/testdata/sf0.01"
 
 HEADER = """\
-# PLANS — physical-plan evidence for the headline queries
+# PLANS — physical-plan evidence: headline queries + rewrite/eval ops
 
 Auto-generated (`python tools/gen_plan_docs.py`) at sf0.01. The point:
 the scale properties claimed in docstrings are visible in the plans
