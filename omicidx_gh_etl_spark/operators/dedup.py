@@ -536,6 +536,44 @@ def dedup_paragraphs(
     return _reassemble(keep, id_col, text_col, piece_col="para")
 
 
+def remove_duplicate_spans_fixpoint(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    min_len: int = 12,
+    max_shingle_df: int | None = 50,
+    max_iters: int = 5,
+) -> DataFrame:
+    """Iterated :func:`remove_duplicate_spans` until no ≥``min_len``
+    duplicated span remains (or ``max_iters``) — the remedy for the
+    single-pass retention caveats: chained partial overlaps resolve
+    over iterations, and the terminal corpus provably contains no
+    duplicated span of the target length (the postcondition a
+    single pass cannot promise).
+
+    Iterative by nature (like k-means/connected components): each
+    round is one distributed rewrite; the driver holds only the
+    span COUNT. ``localCheckpoint`` truncates lineage between rounds.
+    Rounds needed equal the longest excision chain — 2 covers
+    real corpora; the cap bounds adversarial periodic input.
+    """
+    cur = df.select(F.col(id_col), F.col(text_col))
+    for _ in range(max_iters):
+        spans = duplicate_span_runs(
+            positional_shingles(cur, text_col, id_col, n=n),
+            id_col, n=n, min_len=min_len,
+            max_shingle_df=max_shingle_df, include_within_doc=True,
+        )
+        if spans.isEmpty():
+            return cur
+        cur = remove_duplicate_spans(
+            cur, text_col, id_col, n=n, min_len=min_len,
+            max_shingle_df=max_shingle_df,
+        ).localCheckpoint(eager=True)
+    return cur
+
+
 def lsh_pairs_from_bands(
     band_sig: DataFrame,
     id_col: str,

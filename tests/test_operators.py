@@ -1051,3 +1051,31 @@ def test_remove_duplicate_spans_within_document(spark):
         df, "text", "doc_id", n=8, min_len=12).collect()}
     assert out[1] == run + " middle bit"
     assert out[2] == "unrelated other words here"
+
+
+def test_remove_duplicate_spans_fixpoint_no_spans_remain(spark):
+    """The fixpoint variant's postcondition: after convergence NO
+    >=min_len duplicated span exists anywhere in the corpus — including
+    the chained-overlap shapes a single pass can leave behind."""
+    from omicidx_gh_etl_spark.operators import dedup
+
+    x = [f"x{i}" for i in range(20)]
+    y = [f"y{i}" for i in range(12)]
+    rows = [
+        (1, " ".join(x)),
+        (2, " ".join(x[8:] + y)),                    # overlaps doc 1 then new
+        (3, " ".join(x[16:] + y[:8] + ["f1", "f2", "f3", "f4"])),
+        (4, "independent filler words only here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.remove_duplicate_spans_fixpoint(
+        df, "text", "doc_id", n=8, min_len=12
+    )
+    remaining = dedup.duplicate_span_runs(
+        dedup.positional_shingles(out, "text", "doc_id", n=8),
+        "doc_id", n=8, min_len=12, include_within_doc=True,
+    )
+    assert remaining.isEmpty()
+    kept = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert kept[1] == " ".join(x)         # first doc always intact
+    assert kept[4] == "independent filler words only here"
