@@ -113,6 +113,10 @@ def cmd_catalog(args: argparse.Namespace) -> int:
 
 
 def cmd_deploy(args: argparse.Namespace) -> int:
+    """Full deploy pipeline (reference ``deploy all``,
+    warehouse_cli.py:539-...): catalog.json + remote-views DB, and with
+    ``--upload-plan`` also the upload manifest the transfer step would
+    execute (the offline half of the reference's upload stage)."""
     from .engine import build_catalog_json, build_remote_views_db, write_catalog_json
 
     spark = _spark(args)
@@ -121,12 +125,15 @@ def cmd_deploy(args: argparse.Namespace) -> int:
     write_catalog_json(cat, out)
     db = f"{args.export_root}/remote_views.duckdb"
     views = build_remote_views_db(cat, db)
-    print(
-        json.dumps(
-            {"catalog": out, "tables": len(cat["tables"]),
-             "remote_views_db": db, "views": views}
-        )
-    )
+    result = {
+        "catalog": out, "tables": len(cat["tables"]),
+        "remote_views_db": db, "views": views,
+    }
+    if getattr(args, "upload_plan", False):
+        from .engine.catalog import build_upload_manifest
+
+        result["upload_plan"] = build_upload_manifest(args.export_root)
+    print(json.dumps(result))
     return 0
 
 
@@ -552,6 +559,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--export-root", required=True)
     sp.add_argument("--base-url", default="")
     sp.add_argument("--out", default=None)
+    sp.add_argument("--upload-plan", action="store_true",
+                    help="also emit the upload manifest (deploy all)")
     sp.set_defaults(fn=cmd_deploy)
 
     sp = sub.add_parser(

@@ -559,3 +559,27 @@ def test_rest_pages_streaming_offsets(spark, tmp_path):
     rows = spark.table(name).collect()
     assert {r["record_id"] for r in rows} == set(range(350))
     assert all(r["page"] == r["record_id"] // 100 for r in rows)
+
+
+def test_deploy_with_upload_plan(spark, tmp_path, capsys):
+    """`deploy --upload-plan` = the reference's `deploy all` offline
+    half: catalog + remote views + the transfer manifest in one shot,
+    manifest totals consistent with what deploy just wrote."""
+    import argparse
+    import json
+
+    from omicidx_gh_etl_spark import cli
+
+    export = tmp_path / "export"
+    spark.range(9).write.parquet(str(export / "mart_x"))
+    ns = argparse.Namespace(
+        export_root=str(export), base_url="", out=None,
+        upload_plan=True, cpus=8, cmd="deploy",
+    )
+    assert cli.cmd_deploy(ns) == 0
+    res = json.loads(capsys.readouterr().out)
+    assert res["tables"] == 1 and res["views"] == ["mart_x"]
+    plan = res["upload_plan"]
+    assert plan["warnings"] == []
+    kinds = {f["type"] for f in plan["files"]}
+    assert kinds == {"data", "catalog", "database"}
