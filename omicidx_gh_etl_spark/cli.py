@@ -130,9 +130,24 @@ def cmd_deploy(args: argparse.Namespace) -> int:
         "remote_views_db": db, "views": views,
     }
     if getattr(args, "upload_plan", False):
+        from pathlib import Path
+
         from .engine.catalog import build_upload_manifest
 
-        result["upload_plan"] = build_upload_manifest(args.export_root)
+        # the manifest's catalog entry must point at the catalog THIS
+        # command just wrote: resolve --out relative to the export root
+        # when it lies inside it; a --out outside the root genuinely
+        # cannot be uploaded root-relative and keeps the default (the
+        # plan then warns, which is the correct signal).
+        try:
+            cat_rel = str(Path(out).resolve().relative_to(
+                Path(args.export_root).resolve()
+            ))
+        except ValueError:
+            cat_rel = "catalog.json"
+        result["upload_plan"] = build_upload_manifest(
+            args.export_root, catalog_path=cat_rel
+        )
     print(json.dumps(result))
     return 0
 

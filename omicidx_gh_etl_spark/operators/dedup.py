@@ -241,6 +241,15 @@ def remove_duplicate_spans(
         max_shingle_df=max_shingle_df,
         include_within_doc=True,
     )
+    return _excise_spans(df, spans, text_col, id_col)
+
+
+def _excise_spans(
+    df: DataFrame, spans: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Apply precomputed (d2, start2, len_tokens) removal spans to the
+    corpus — split out so the fixpoint variant can detect ONCE per
+    round instead of twice (probe + rewrite)."""
     ivs = (
         spans.select(
             F.col("d2").alias(id_col),
@@ -546,31 +555,45 @@ def remove_duplicate_spans_fixpoint(
     max_iters: int = 5,
 ) -> DataFrame:
     """Iterated :func:`remove_duplicate_spans` until no ≥``min_len``
-    duplicated span remains (or ``max_iters``) — the remedy for the
-    single-pass retention caveats: chained partial overlaps resolve
-    over iterations, and the terminal corpus provably contains no
-    duplicated span of the target length (the postcondition a
-    single pass cannot promise).
+    duplicated span remains (or ``max_iters``). What it DELIVERS is
+    the no-duplicates postcondition a single pass cannot promise —
+    chained overlaps that a single pass leaves behind are cleaned up
+    over rounds. What it CANNOT do is restore content: iteration only
+    excises more, so a region the first pass already dropped
+    everywhere (the chained-retention caveat on
+    :func:`remove_duplicate_spans`) stays gone. Choose it when the
+    corpus must end duplicate-free, not to improve retention.
 
-    Iterative by nature (like k-means/connected components): each
-    round is one distributed rewrite; the driver holds only the
-    span COUNT. ``localCheckpoint`` truncates lineage between rounds.
-    Rounds needed equal the longest excision chain — 2 covers
-    real corpora; the cap bounds adversarial periodic input.
+    Iterative by nature (like k-means/connected components): one span
+    detection per round (materialized small, probed with ``isEmpty``,
+    reused for the rewrite); ``localCheckpoint`` truncates lineage
+    between rounds. Rounds needed equal the longest excision chain —
+    2 covers real corpora; adversarial periodic input can exhaust the
+    cap, in which case a ``UserWarning`` reports that duplicated
+    spans remain rather than silently violating the postcondition.
     """
-    cur = df.select(F.col(id_col), F.col(text_col))
-    for _ in range(max_iters):
-        spans = duplicate_span_runs(
-            positional_shingles(cur, text_col, id_col, n=n),
+    def _detect(d: DataFrame) -> DataFrame:
+        return duplicate_span_runs(
+            positional_shingles(d, text_col, id_col, n=n),
             id_col, n=n, min_len=min_len,
             max_shingle_df=max_shingle_df, include_within_doc=True,
         )
+
+    cur = df.select(F.col(id_col), F.col(text_col))
+    for _ in range(max_iters):
+        spans = _detect(cur).localCheckpoint(eager=True)
         if spans.isEmpty():
             return cur
-        cur = remove_duplicate_spans(
-            cur, text_col, id_col, n=n, min_len=min_len,
-            max_shingle_df=max_shingle_df,
-        ).localCheckpoint(eager=True)
+        cur = _excise_spans(cur, spans, text_col, id_col).localCheckpoint(
+            eager=True
+        )
+    if not _detect(cur).isEmpty():
+        import warnings
+
+        warnings.warn(
+            f"span excision did not converge within {max_iters} rounds; "
+            f"duplicated spans of >= {min_len} tokens remain"
+        )
     return cur
 
 

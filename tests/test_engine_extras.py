@@ -583,3 +583,16 @@ def test_deploy_with_upload_plan(spark, tmp_path, capsys):
     assert plan["warnings"] == []
     kinds = {f["type"] for f in plan["files"]}
     assert kinds == {"data", "catalog", "database"}
+
+    # a custom --out INSIDE the root is planned under its real name
+    ns2 = argparse.Namespace(
+        export_root=str(export), base_url="",
+        out=str(export / "cat_v2.json"), upload_plan=True,
+        cpus=8, cmd="deploy",
+    )
+    assert cli.cmd_deploy(ns2) == 0
+    plan2 = json.loads(capsys.readouterr().out)["upload_plan"]
+    assert plan2["warnings"] == []
+    assert [f["remote"] for f in plan2["files"] if f["type"] == "catalog"] == [
+        "cat_v2.json"
+    ]
