@@ -106,10 +106,13 @@ def label_corpus(
         .join(near_drop, id_col, "left")
     )
     if leakage_free_split:
+        # No broadcast hint: the component map has one row per document
+        # appearing in ANY near-dup pair — corpus-proportional on a
+        # crawl, so it must shuffle-join on the (uniform) id key and
+        # let AQE broadcast only when the runtime size says it's safe.
         labeled = (
             labeled.join(
-                F.broadcast(comp.select(F.col("node").alias(id_col),
-                                        "component")),
+                comp.select(F.col("node").alias(id_col), "component"),
                 id_col,
                 "left",
             )

@@ -142,10 +142,13 @@ def duplicate_span_runs(
         F.col(id_col), F.col("pos"), F.md5("shingle").alias("sh")
     )
     if max_shingle_df is not None:
+        # Broadcast the HOT list (df_ > cap — tiny by construction: a
+        # handful of boilerplate shingles) and anti-join it away. The
+        # complement (shingles under the cap) is corpus-proportional —
+        # broadcasting THAT would OOM at 100 TB.
         freq = sh.groupBy("sh").agg(F.count("*").alias("df_"))
-        sh = sh.join(
-            F.broadcast(freq.filter(F.col("df_") <= max_shingle_df)), "sh"
-        ).drop("df_")
+        hot = freq.filter(F.col("df_") > max_shingle_df).select("sh")
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     a = sh.select(F.col(id_col).alias("d1"), F.col("pos").alias("p1"), "sh")
     b = sh.select(F.col(id_col).alias("d2"), F.col("pos").alias("p2"), "sh")
     pair_filter = F.col("d1") < F.col("d2")
@@ -286,11 +289,11 @@ def jaccard_pairs(
     """
     sh = shingle_df
     if max_shingle_df is not None:
+        # broadcast the tiny HOT set (df_ > cap) and anti-join — its
+        # complement is corpus-proportional and must never broadcast
         freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
-        sh = (
-            sh.join(F.broadcast(freq.filter(F.col("df_") <= max_shingle_df)), "shingle")
-            .drop("df_")
-        )
+        hot = freq.filter(F.col("df_") > max_shingle_df).select("shingle")
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("d1"), "shingle")
     b = sh.select(F.col(id_col).alias("d2"), "shingle")
@@ -331,11 +334,11 @@ def containment_pairs(
     """
     sh = shingle_df
     if max_shingle_df is not None:
+        # broadcast the tiny HOT set (df_ > cap) and anti-join — its
+        # complement is corpus-proportional and must never broadcast
         freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
-        sh = (
-            sh.join(F.broadcast(freq.filter(F.col("df_") <= max_shingle_df)), "shingle")
-            .drop("df_")
-        )
+        hot = freq.filter(F.col("df_") > max_shingle_df).select("shingle")
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("d1"), "shingle")
     b = sh.select(F.col(id_col).alias("d2"), "shingle")

@@ -156,7 +156,7 @@ def split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = F.coalesce(F.col("component"), F.col("doc_id"))
     return (
         d.select("doc_id")
-        .join(F.broadcast(comp), d["doc_id"] == comp["node"], "left")
+        .join(comp, d["doc_id"] == comp["node"], "left")
         .select(
             "doc_id",
             rep.alias("component"),

@@ -92,9 +92,11 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shipping priority: filtered 3-way join + revenue
-    aggregate + top-10. Scale: the segment-filtered customer side
-    broadcasts; lineitem (the only big table) shuffles once on
-    l_orderkey; TakeOrderedAndProject caps the sort at k."""
+    aggregate + top-10. Scale: no forced hint on customer — it is
+    data-proportional (150M rows at sf100), so the planner/AQE picks
+    broadcast only when size stats permit (it does at test sf);
+    lineitem shuffles once on l_orderkey; TakeOrderedAndProject caps
+    the sort at k."""
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -109,7 +111,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(rev).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -141,10 +143,11 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 local supplier volume: the 6-way join cycle
     (customer-orders-lineitem-supplier-nation-region) with the
-    same-nation constraint. Scale: region/nation/supplier/customer all
-    broadcast (each orders of magnitude under the fact tables), so
-    lineitem⋈orders is the only shuffled join — the plan a cost-based
-    optimizer should find, declared explicitly."""
+    same-nation constraint. Scale: region/nation/supplier carry
+    explicit broadcast hints (bounded-size dims); customer gets NO
+    hint — it scales with the data, so stats/AQE decide (still a
+    broadcast at test sf) — leaving lineitem⋈orders the only
+    guaranteed-shuffled join."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
@@ -159,7 +162,7 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(
             F.broadcast(s),
             (li["l_suppkey"] == s["s_suppkey"])
@@ -226,7 +229,7 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
@@ -304,7 +307,7 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
         .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(r), F.col("n1_region") == r["r_regionkey"])
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
@@ -367,7 +370,7 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(heavy), "l_orderkey", "left_semi")
         .join(o, F.col("l_orderkey") == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy(
             "c_name",
             "c_custkey",
@@ -452,7 +455,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy(
             "c_custkey",

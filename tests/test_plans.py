@@ -302,3 +302,38 @@ def test_parser_queries_single_scan_no_shuffle(spark):
         assert count_shuffles(tree) == 0, name
         assert count_op(tree, "MapInPandas") == 1, name
         assert count_op(tree, "BatchEvalPython") == 0, name
+
+
+def test_span_dedup_df_cap_broadcasts_hot_set_only(spark):
+    """The hot-shingle df-cap must broadcast the HOT list (df_ > cap —
+    tiny by construction) into a LeftAnti join. Broadcasting the
+    complement (every shingle AT OR UNDER the cap — corpus-proportional)
+    is the 100-TB OOM the round-4 verdict flagged; this pins its
+    absence: no '<= cap' comparison survives into the physical plan."""
+    for name in ("dedup_exact_substring_spans", "dedup_span_excision"):
+        plan = plan_of(spark, name)
+        tree = plan.split("\n\n")[0]
+        assert count_op(tree, "LeftAnti") >= 1, name
+        # the complement-side filter (df_ <= 50) must not exist anywhere
+        assert "<= 50)" not in plan, name
+        assert "> 50)" in plan, name
+
+
+def test_tpch_customer_joins_carry_no_forced_broadcast_hint(spark):
+    """Customer is data-proportional (150M rows at sf100) — the TPC-H
+    queries must not hard-wire a broadcast hint on it; only the
+    bounded-size dims (supplier/nation/region) keep explicit hints. At
+    test sf the planner still broadcasts customer from size stats
+    (physical shape unchanged — the SMJ pins above stay green); this
+    pins the exact ResolvedHint count so re-adding a customer hint
+    fails here. Q3 has no hinted dim at all; Q5 hints s/n/r; Q7 hints
+    s/n1/n2."""
+    expected = {
+        "tpch_q3_shipping_priority": 0,
+        "tpch_q5_local_supplier_volume": 3,
+        "tpch_q7_volume_shipping": 3,
+    }
+    for name, n_hints in expected.items():
+        df = REGISTRY[name].builder(spark, SF)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert analyzed.count("ResolvedHint") == n_hints, name
