@@ -130,7 +130,9 @@ def knn_label_vote(
 
     Determinism: rounded similarity with id tiebreak picks the k
     neighbors; majority vote ties resolve to the SMALLEST label
-    (max_by over (votes, -label)).
+    (min_by over (-votes, label) — struct ordering, so the tiebreak is
+    type-agnostic and works for string labels too, where a negated
+    label column would throw under ANSI mode).
 
     Scale: the probe set is broadcast by contract (an eval set is
     thousands of rows, not the corpus), so the scan side is the corpus
@@ -154,9 +156,9 @@ def knn_label_vote(
         F.count(F.lit(1)).alias("votes")
     )
     pred = votes.groupBy(probe_id_col, probe_label_col).agg(
-        F.max_by(
+        F.min_by(
             F.col(label_col),
-            F.struct(F.col("votes"), (-F.col(label_col)).alias("neg")),
+            F.struct((-F.col("votes")).alias("nv"), F.col(label_col)),
         ).alias("pred_label")
     )
     return (
@@ -188,12 +190,21 @@ def ivf_recall(
     vec_col: str = "embedding",
     query_id_col: str = "q_id",
     query_vec_col: str = "qv",
+    queries_in_corpus: bool = True,
 ) -> DataFrame:
     """Recall@k of :func:`ivf_search` against the brute-force cosine
     ground truth — THE standard ANN quality metric: per query, the
     fraction of the true top-``k`` the probed search returned. A
     recall of 1 means the nprobe cells contained every true neighbor;
     the nprobe/n_cells knob trades this against scan cost.
+
+    ``queries_in_corpus`` controls ground-truth self-exclusion: True
+    (default) assumes each query IS a corpus member under the same id
+    space and drops the corpus row whose ``id_col`` equals the query's
+    ``query_id_col`` (matching :func:`ivf_search`'s serving behavior).
+    Pass False when queries come from a SEPARATE id space — otherwise
+    an accidental id collision across the two spaces would silently
+    remove a true neighbor and deflate recall.
 
     Scale: the ground-truth side is one full corpus scan per
     evaluation (queries broadcast, map-side cosine + per-query top-k
@@ -211,7 +222,7 @@ def ivf_recall(
         F.col(query_id_col), _as_double(query_vec_col).alias("qvd")
     )
     truth = _brute_topk(
-        e, q, k, id_col, query_id_col, exclude_self=True
+        e, q, k, id_col, query_id_col, exclude_self=queries_in_corpus
     ).select(query_id_col, id_col)
     hits = truth.join(ivf, [query_id_col, id_col], "left_semi")
     n_true = truth.groupBy(query_id_col).agg(F.count(F.lit(1)).alias("n_true"))

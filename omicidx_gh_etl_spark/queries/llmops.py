@@ -991,7 +991,9 @@ def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") < 5
     ).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
-    return similarity.ivf_recall(e, centroids, queries, k=5, nprobe=2)
+    return similarity.ivf_recall(
+        e, centroids, queries, k=5, nprobe=2, queries_in_corpus=True
+    )
 
 
 # --------------------------------------------------------------------------

@@ -252,6 +252,7 @@ def streaming_ann_ingest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly-once merge into the postings snapshot). The final index
     holds every vector in the same cell a one-shot build would put it
     — which IS the oracle (streaming/ann_ingest.py)."""
+    import shutil
     import tempfile
 
     from ..operators.ann_index import AnnIndex
@@ -276,6 +277,15 @@ def streaming_ann_ingest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = stream_ann_ingest(stream, idx, txn_id="ann-ingest-query")
     try:
         q.processAllAvailable()
+        # materialize the result BEFORE returning: the postings read is
+        # lazy, and it is the only thing pinning the temp index/delta
+        # dirs — localCheckpoint(eager) cuts that lineage so the whole
+        # tree can be deleted here instead of leaking per invocation
+        return (
+            idx.postings.read(spark)
+            .select("vec_id", "centroid_id")
+            .localCheckpoint(eager=True)
+        )
     finally:
         q.stop()
-    return idx.postings.read(spark).select("vec_id", "centroid_id")
+        shutil.rmtree(tmp, ignore_errors=True)
