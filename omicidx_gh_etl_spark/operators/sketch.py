@@ -42,18 +42,33 @@ def heavy_hitters(df: DataFrame, key: str | Column, k: int) -> DataFrame:
     keyed = df.select(F.col(key).cast("string").alias("key"))
 
     def mg_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        counters: dict[str, int] = {}
-        # stream arrow batches through one MG state per partition
+        # Batch-merge MG instead of a per-ROW loop: each Arrow batch's
+        # exact value_counts() (C speed, nulls dropped) is a trivially
+        # exact frequency summary, folded into the running k-bounded
+        # summary with the MERGE rule — add counts over the batch's
+        # DISTINCT keys only, then once per batch subtract the (k+1)-th
+        # largest count and drop non-positives. Mergeable-summaries
+        # result (Agarwal et al., PODS 2012): the merge is again MG(k)
+        # with error ≤ n_p/(k+1), so every key with partition frequency
+        # > n_p/k still survives. Python-level work per batch is
+        # O(distinct-in-batch), not O(rows) — on skewed (real
+        # heavy-hitter) data that is a small fraction of rows; the
+        # all-distinct adversarial case degrades to O(rows) with
+        # dict-merge constants, same asymptotics as the row loop.
+        counters: dict = {}
+        import numpy as np
+
         for pdf in batches:
-            for v in pdf["key"]:
-                if v is None:
-                    continue
-                if v in counters:
-                    counters[v] += 1
-                elif len(counters) < k:
-                    counters[v] = 1
-                else:
-                    counters = {c: n - 1 for c, n in counters.items() if n > 1}
+            vc = pdf["key"].value_counts()
+            get = counters.get
+            for v, c in zip(vc.index.to_numpy(), vc.to_numpy()):
+                counters[v] = get(v, 0) + int(c)
+            if len(counters) > k:
+                vals = np.fromiter(counters.values(), dtype=np.int64,
+                                   count=len(counters))
+                dec = np.partition(vals, len(vals) - k - 1)[len(vals) - k - 1]
+                counters = {key: n - dec for key, n in counters.items()
+                            if n > dec}
         yield pd.DataFrame({"key": list(counters.keys())})
 
     candidates = keyed.mapInPandas(mg_partition, "key string").distinct()

@@ -1151,3 +1151,21 @@ def test_ivf_recall_disjoint_query_id_space(spark):
     # the miss instead of silently hiding it
     assert r_disjoint["recall"] < 1.0
     assert r_member["recall"] == 1.0
+
+
+def test_mg_batch_merge_retains_heavy_hitters_under_eviction(spark):
+    """The batch-merge MG rule (add value_counts, subtract the (k+1)-th
+    largest once per batch) must keep every key with partition
+    frequency > n_p/k even under constant eviction pressure — planted
+    heavy hitter diluted by a sea of near-distinct keys, spread so the
+    heavy rows land in EVERY partition's batches."""
+    from omicidx_gh_etl_spark.operators.sketch import heavy_hitters
+
+    k = 10
+    n = 20_000
+    rows = [((f"hh" if i % 9 == 0 else f"u{i}"),) for i in range(n)]
+    df = spark.createDataFrame(rows, "k string").repartition(8)
+    got = {r["key"]: r["n"] for r in heavy_hitters(df, "k", k).collect()}
+    # 'hh' has freq ~n/9 > n/10; everything else is unique (freq 1)
+    assert set(got) == {"hh"}
+    assert got["hh"] == len([1 for i in range(n) if i % 9 == 0])
