@@ -13,8 +13,9 @@ Commands:
   deploy       — write catalog.json over an export root
   extract      — per-source extraction → parquet
                  (--source sra|biosample|bioproject|pubmed|geo-soft|icite
-                 for XML/archives, ebi-biosample|europepmc|nih-reporter
-                 for paged-REST; the oidx per-source verb surface)
+                 for XML/archives, ebi-biosample|europepmc|nih-reporter|
+                 geo-esearch for paged-REST; the oidx per-source verb
+                 surface)
   status       — pipeline status dashboard over meta.model_runs
                  (success rate, durations, last failures)
   audit        — data-quality audits against materialized models
@@ -216,7 +217,8 @@ def cmd_extract(args: argparse.Namespace) -> int:
         if not args.schema:
             raise SystemExit("--schema DDL is required for --source icite")
         df = read_archive_jsonl(spark, args.input, args.schema)
-    elif args.source in ("ebi-biosample", "europepmc", "nih-reporter"):
+    elif args.source in ("ebi-biosample", "europepmc", "nih-reporter",
+                         "geo-esearch"):
         # paged-REST sources (reference cli.py:29,33,34) via the Spark 4
         # Python DataSource: partition-per-page planning, executor-side
         # fetch (S8/S9). Offline the transport is synthetic; online each
@@ -238,12 +240,22 @@ def cmd_extract(args: argparse.Namespace) -> int:
             cond = get_cond() if callable(get_cond) else None
             if cond != "DATA_SOURCE_ALREADY_EXISTS":
                 raise
-        df = (
+        reader = (
             spark.read.format("rest_pages")
             .option("total", str(args.total))
             .option("page_size", str(args.page_size))
-            .load()
         )
+        if args.source == "geo-esearch":
+            # GEO Entrez esearch preset: retstart/retmax offset pages
+            # over db=gds, entrez ids mapped to GSE/GPL/GSM accessions
+            # (reference geo/extract.py:198-221,239-277). --page-size
+            # maps onto retmax (reference RETMAX default 5000).
+            reader = (
+                reader.option("source", "geo-esearch")
+                .option("retmax", str(args.page_size))
+                .option("term", getattr(args, "term", None) or "")
+            )
+        df = reader.load()
     else:  # pragma: no cover - argparse choices guard this
         raise SystemExit(f"unknown source {args.source}")
     if getattr(args, "format", "parquet") == "ndjson":
@@ -595,7 +607,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--source", default="sra",
                     choices=["sra", "biosample", "bioproject", "pubmed",
                              "geo-soft", "icite", "scimago",
-                             "ebi-biosample", "europepmc", "nih-reporter"],
+                             "ebi-biosample", "europepmc", "nih-reporter",
+                             "geo-esearch"],
                     help="which record stream to parse (oidx <source> extract)")
     sp.add_argument("--input", default=None,
                     help="dir of *.xml / *.xml.gz / *.soft / archives "
@@ -605,7 +618,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "exposes (synthetic offline)")
     sp.add_argument("--page-size", type=int, default=200,
                     help="paged-REST sources: records per page "
-                         "(EBI default 200)")
+                         "(EBI default 200; geo-esearch maps this onto "
+                         "retmax, reference default 5000)")
+    sp.add_argument("--term", default=None,
+                    help="geo-esearch: Entrez search term (e.g. the "
+                         "GSM/GSE/GPL etyp + update-date window)")
     sp.add_argument("--output", required=True)
     sp.add_argument("--schema", default=None,
                     help="DDL schema for jsonl archive members (icite)")

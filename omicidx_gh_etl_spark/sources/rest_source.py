@@ -91,6 +91,62 @@ class SyntheticClient(PagedClient):
         ]
 
 
+def entrez_gds_to_accession(entrezid: str) -> str:
+    """GEO Entrez ``gds`` ids encode the accession series in the
+    leading digit — 1→GPL, 2→GSE, 3→GSM — followed by the accession
+    number zero-padded to fixed width; strip the series digit and the
+    padding zeros (reference geo/extract.py:171-179)."""
+    series = {"1": "GPL", "2": "GSE", "3": "GSM"}.get(entrezid[:1])
+    if series is None:
+        raise ValueError("Expected entrezid to start with 1, 2, or 3")
+    return series + entrezid[1:].lstrip("0")
+
+
+class GeoEsearchClient(PagedClient):
+    """GEO Entrez esearch preset: retstart/retmax offset pagination
+    over ``db=gds`` (reference geo/extract.py:198-221 pulls pages with
+    ``retstart += RETMAX`` until a short page; :meth:`fetch_page`'s
+    ``offset``/``limit`` ARE retstart/retmax). Offline the idlist is
+    synthesized deterministically (series digit cycles GSE/GPL/GSM); a
+    real deployment overrides :meth:`_idlist_page` with the esearch
+    HTTP call and keeps the accession mapping."""
+
+    def __init__(self, total: int, term: str = "") -> None:
+        self.total = total
+        self.term = term
+
+    def total_records(self) -> int:
+        return self.total
+
+    def _idlist_page(self, retstart: int, retmax: int) -> list[str]:
+        hi = min(retstart + retmax, self.total)
+        # series digit cycles 2/1/3 (GSE/GPL/GSM), 8-digit zero padding
+        # — the realistic gds id shape, e.g. 200001234 -> GSE1234
+        return [
+            f"{(2, 1, 3)[i % 3]}{i:08d}" for i in range(retstart, hi)
+        ]
+
+    def fetch_page(self, offset: int, limit: int) -> list[dict]:
+        return [
+            {
+                "record_id": int(eid),
+                "accession": entrez_gds_to_accession(eid),
+                "payload": f'{{"db": "gds", "term": "{self.term}"}}',
+            }
+            for eid in self._idlist_page(offset, limit)
+        ]
+
+
+def _make_client(options: dict) -> PagedClient:
+    """Transport factory shared by the batch and stream readers: the
+    ``source`` option picks the preset (offline: synthetic transports
+    with the preset's pagination + record mapping)."""
+    total = int(options.get("total", "0"))
+    if options.get("source") == "geo-esearch":
+        return GeoEsearchClient(total, term=options.get("term", ""))
+    return SyntheticClient(total)
+
+
 class PageRange(InputPartition):
     def __init__(self, offset: int, limit: int, page_no: int) -> None:
         self.offset = offset
@@ -100,11 +156,15 @@ class PageRange(InputPartition):
 
 class RestPagesReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
+        self.options = dict(options)
         self.total = int(options.get("total", "0"))
-        self.page_size = int(options.get("page_size", "200"))
+        # geo-esearch spells page size "retmax" (reference RETMAX=5000)
+        self.page_size = int(
+            options.get("retmax") or options.get("page_size", "200")
+        )
 
     def _client(self) -> PagedClient:
-        return SyntheticClient(self.total)
+        return _make_client(self.options)
 
     def partitions(self) -> list[PageRange]:
         """One InputPartition per page: Spark schedules pages across
@@ -166,12 +226,15 @@ class RestPagesStreamReader(SimpleDataSourceStreamReader):
     """
 
     def __init__(self, options: dict) -> None:
-        self.page_size = int(options.get("page_size", "200"))
+        self.options = dict(options)
+        self.page_size = int(
+            options.get("retmax") or options.get("page_size", "200")
+        )
         self.total = int(options.get("total", "0"))
         self.batch_pages = int(options.get("batch_pages", "2"))
 
     def _client(self) -> PagedClient:
-        return SyntheticClient(self.total)
+        return _make_client(self.options)
 
     def initialOffset(self) -> dict:
         return {"offset": 0}

@@ -116,3 +116,36 @@ def test_cli_extract_rest_source(spark, tmp_path, capsys):
     # partition-per-page planning: 450 records / 200-page => pages 0..2
     assert {r["page"] for r in back.select("page").distinct().collect()} \
         == {0, 1, 2}
+
+
+def test_cli_extract_geo_esearch(spark, tmp_path, capsys):
+    """extract --source geo-esearch: the GEO Entrez esearch preset —
+    retstart/retmax offset pagination (--page-size maps onto retmax)
+    with entrez gds ids mapped to GSE/GPL/GSM accessions, the shape of
+    reference geo/extract.py:198-221,239-277 (synthetic transport
+    offline)."""
+    import argparse
+    import json
+
+    from omicidx_gh_etl_spark import cli
+
+    out = str(tmp_path / "geo_out")
+    ns = argparse.Namespace(
+        cmd="extract", cpus=8, source="geo-esearch", input=None,
+        output=out, schema=None, block_size=1000, total=7500,
+        page_size=5000, term='"rnaseq counts"[filter]',
+    )
+    assert cli.cmd_extract(ns) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["records"] == 7500
+    back = spark.read.parquet(out)
+    assert back.count() == 7500
+    # retstart/retmax pagination: 7500 ids at retmax 5000 => 2 pages
+    assert {r["page"] for r in back.select("page").distinct().collect()} \
+        == {0, 1}
+    # entrez id -> accession mapping: series digit + stripped padding
+    accs = {r["accession"] for r in back.collect()}
+    assert "GSE3" in accs and "GPL1" in accs and "GSM2" in accs
+    assert all(a[:3] in ("GSE", "GPL", "GSM") for a in accs)
+    assert all(r["payload"].startswith('{"db": "gds"') for r in
+               back.limit(5).collect())

@@ -596,3 +596,42 @@ def test_deploy_with_upload_plan(spark, tmp_path, capsys):
     assert [f["remote"] for f in plan2["files"] if f["type"] == "catalog"] == [
         "cat_v2.json"
     ]
+
+
+def test_geo_esearch_accession_mapping_matches_reference_shape():
+    """entrez_gds_to_accession mirrors the reference's regex semantics
+    (re.sub('^20*', 'GSE', ...) etc., geo/extract.py:171-179): strip
+    the series digit AND its zero padding, keep interior zeros."""
+    import pytest as _pytest
+
+    from omicidx_gh_etl_spark.sources.rest_source import (
+        entrez_gds_to_accession,
+    )
+
+    assert entrez_gds_to_accession("200001234") == "GSE1234"
+    assert entrez_gds_to_accession("100000001") == "GPL1"
+    assert entrez_gds_to_accession("300570090") == "GSM570090"
+    assert entrez_gds_to_accession("310000000") == "GSM10000000"
+    with _pytest.raises(ValueError):
+        entrez_gds_to_accession("400000001")
+
+
+def test_rest_pages_geo_esearch_source_option(spark):
+    """The geo-esearch preset through the raw DataSource surface:
+    retmax aliases page_size and the idlist maps to GEO accessions."""
+    from omicidx_gh_etl_spark.sources import RestPagesDataSource
+
+    spark.dataSource.register(RestPagesDataSource)
+    df = (
+        spark.read.format("rest_pages")
+        .option("source", "geo-esearch")
+        .option("total", 450)
+        .option("retmax", 200)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3  # ceil(450/200) retstart steps
+    rows = df.collect()
+    assert len(rows) == 450
+    assert all(r["accession"][:3] in ("GSE", "GPL", "GSM") for r in rows)
+    # record_id carries the raw entrez id (series digit + 8-digit pad)
+    assert all(r["record_id"] >= 100000000 for r in rows)
