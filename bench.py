@@ -496,18 +496,62 @@ def scale_section(spark, sf_dir: str, rep: int = 100) -> dict:
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
 
-    # 4. sf1 weak-scaling point: the same two ops against a REAL
-    # file-backed corpus at 10× sf0.1 (materialized once to temp
-    # parquet with disjoint id/token spaces per replica, multi-file so
-    # the scan has genuine parallelism). The in-plan rep=100 figures
-    # above skip the scan; this row includes it — the claim is that
-    # rows/s holds within ~30% when the input actually comes off disk.
-    sf1_dir = tempfile.mkdtemp(prefix="bench_sf1_")
+    # 4. sf1 file-backed weak scaling: the TOP-3 headline queries
+    # against REAL 10×-sf0.1 parquet (materialized once, multi-file so
+    # the scan has genuine parallelism), each PAIRED with the DuckDB
+    # equivalent over the SAME files — the 2× bar evaluated where the
+    # per-query scheduling floor doesn't dominate. The in-plan rep=100
+    # figures above skip the scan; these rows include it.
+    out["sf1_file_backed"] = _sf1_file_backed(spark, sf_dir, rep=10)
+    return out
+
+
+def _duckdb_count(con, sql: str, runs: int = 2) -> float:
+    """min-of-runs seconds for SELECT count(*) FROM (sql) — the DuckDB
+    analogue of forcing a Spark plan with .count()."""
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        con.execute(f"SELECT count(*) FROM ({sql})").fetchall()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _sf1_file_backed(spark, sf_dir: str, rep: int = 10) -> dict:
+    """mart_denormalized, dedup_minhash_lsh and similarity_ivf_search
+    at 10× sf0.1 off disk, Spark vs DuckDB on identical files.
+
+    Replication keeps each query's join/dedup semantics: orders AND
+    customer replicate together with remapped keys (o_custkey·rep+r ↔
+    c_custkey·rep+r — every order still matches exactly one customer,
+    both sides grow 10× like a real SF step; nation/region are
+    fixed-size at every TPC-H SF and copy as-is); documents salt each
+    replica's tokens into a disjoint shingle space (rep independent
+    corpora, no artificial mega-cluster); embeddings re-id only (every
+    IVF cell grows uniformly)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from omicidx_gh_etl_spark.operators import dedup, similarity
+    from omicidx_gh_etl_spark.queries import REGISTRY
+    from omicidx_gh_etl_spark.queries.llmops import _COS
+    from omicidx_gh_etl_spark.queries.tables import load_table
+
     try:
-        sf1_rep = 10
-        repx10 = F.explode(F.sequence(F.lit(1), F.lit(sf1_rep))).alias("__rep")
+        import duckdb
+    except Exception:
+        duckdb = None
+
+    sf1_dir = tempfile.mkdtemp(prefix="bench_sf1_")
+    sf1: dict = {"replication": rep}
+    repx10 = F.explode(F.sequence(F.lit(1), F.lit(rep))).alias("__rep")
+    try:
+        d = load_table(spark, sf_dir, "documents")
+        e = load_table(spark, sf_dir, "embeddings")
         d.select("doc_id", "text", repx10).select(
-            (F.col("doc_id") * sf1_rep + F.col("__rep")).alias("doc_id"),
+            (F.col("doc_id") * rep + F.col("__rep")).alias("doc_id"),
             F.concat_ws(
                 " ",
                 F.expr(
@@ -515,45 +559,140 @@ def scale_section(spark, sf_dir: str, rep: int = 100) -> dict:
                     " x -> concat(x, '_', __rep))"
                 ),
             ).alias("text"),
-        ).repartition(16).write.mode("overwrite").parquet(f"{sf1_dir}/documents")
+        ).repartition(16).write.mode("overwrite").parquet(f"{sf1_dir}/documents.parquet")
         e.select("vec_id", "embedding", repx10).select(
-            (F.col("vec_id") * sf1_rep + F.col("__rep")).alias("vec_id"),
+            (F.col("vec_id") * rep + F.col("__rep")).alias("vec_id"),
             "embedding",
-        ).repartition(16).write.mode("overwrite").parquet(f"{sf1_dir}/embeddings")
+        ).repartition(16).write.mode("overwrite").parquet(f"{sf1_dir}/embeddings.parquet")
+        load_table(spark, sf_dir, "orders").select("*", repx10).withColumns({
+            "o_orderkey": F.col("o_orderkey") * rep + F.col("__rep"),
+            "o_custkey": F.col("o_custkey") * rep + F.col("__rep"),
+        }).drop("__rep").repartition(16).write.mode("overwrite").parquet(
+            f"{sf1_dir}/orders.parquet"
+        )
+        load_table(spark, sf_dir, "customer").select("*", repx10).withColumns({
+            "c_custkey": F.col("c_custkey") * rep + F.col("__rep"),
+        }).drop("__rep").repartition(16).write.mode("overwrite").parquet(
+            f"{sf1_dir}/customer.parquet"
+        )
+        for dim in ("nation", "region"):
+            load_table(spark, sf_dir, dim).write.mode("overwrite").parquet(
+                f"{sf1_dir}/{dim}.parquet"
+            )
 
-        d1 = spark.read.parquet(f"{sf1_dir}/documents")
+        con = None
+        if duckdb is not None:
+            con = duckdb.connect()
+            con.execute(f"SET threads={DEFAULT_CPUS}")
+            for t in ("documents", "orders", "customer", "nation", "region"):
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf1_dir}/{t}.parquet/*.parquet')"
+                )
+            con.execute(
+                f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf1_dir}/embeddings.parquet/*.parquet')"
+            )
+            con.execute(
+                f"CREATE VIEW emb0 AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/embeddings.parquet')"
+            )
+
+        def _paired(name: str, spark_df, n_rows: int, oracle_sql=None) -> dict:
+            sec = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                spark_df.count()
+                sec = min(sec, time.perf_counter() - t0)
+            row = {"rows": n_rows, "sec": round(sec, 3),
+                   "rows_per_sec": round(n_rows / sec)}
+            if con is not None and oracle_sql:
+                dsec = _duckdb_count(con, oracle_sql)
+                row["duckdb_sec"] = round(dsec, 3)
+                row["ratio_vs_duckdb"] = round(sec / dsec, 2)
+            return row
+
+        # mart: the reference's headline join shape at 10× facts+dims
+        n_orders = spark.read.parquet(f"{sf1_dir}/orders.parquet").count()
+        sf1["mart_denormalized"] = _paired(
+            "mart_denormalized",
+            REGISTRY["mart_denormalized"].builder(spark, sf1_dir),
+            n_orders,
+            REGISTRY["mart_denormalized"].oracle,
+        )
+
+        # minhash LSH: md5 family (oracle-identical hashing, fair pair)
+        # plus the production xxhash64 family row
+        d1 = spark.read.parquet(f"{sf1_dir}/documents.parquet")
         n1 = d1.count()
-        cand1 = dedup.minhash_lsh_candidates(
-            dedup.shingles(d1, "text", "doc_id", n=3, distinct=False),
-            "doc_id", num_hashes=12, bands=4, hash_family="xxhash64",
+        sh1 = dedup.shingles(d1, "text", "doc_id", n=3, distinct=False)
+        sf1["dedup_minhash_lsh"] = _paired(
+            "dedup_minhash_lsh",
+            dedup.minhash_lsh_candidates(sh1, "doc_id", num_hashes=12,
+                                         bands=4),
+            n1,
+            REGISTRY["dedup_minhash_lsh"].oracle,
+        )
+        cand_fast = dedup.minhash_lsh_candidates(
+            sh1, "doc_id", num_hashes=12, bands=4, hash_family="xxhash64"
         )
         sec = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            cand1.count()
+            cand_fast.count()
             sec = min(sec, time.perf_counter() - t0)
-        sf1 = {
-            "dedup_minhash_lsh": {
-                "rows": n1, "sec": round(sec, 3),
-                "rows_per_sec": round(n1 / sec),
-            }
+        sf1["dedup_minhash_lsh_xxhash64"] = {
+            "rows": n1, "sec": round(sec, 3), "rows_per_sec": round(n1 / sec)
         }
 
-        e1 = spark.read.parquet(f"{sf1_dir}/embeddings")
+        # IVF search: centroids/queries from the ORIGINAL corpus (emb0),
+        # replicated corpus as the scanned cells — the DuckDB pair is
+        # the same computation spelled over the two views
+        e1 = spark.read.parquet(f"{sf1_dir}/embeddings.parquet")
         nv1 = e1.count()
-        srch1 = similarity.ivf_search(e1, centroids, queries, k=5, nprobe=2)
-        sec = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            srch1.count()
-            sec = min(sec, time.perf_counter() - t0)
-        sf1["similarity_ivf_search"] = {
-            "rows": nv1, "sec": round(sec, 3), "rows_per_sec": round(nv1 / sec)
-        }
-        out["sf1_file_backed"] = sf1
+        centroids = e.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+        )
+        queries = e.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+        )
+        ivf_sql = f"""
+        WITH e1 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+        c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+              FROM emb0 WHERE vec_id < 10),
+        q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM emb0 WHERE vec_id < 5),
+        assigned AS (
+          SELECT e1.vec_id, c.centroid_id, e1.v
+          FROM e1 CROSS JOIN c
+          QUALIFY row_number() OVER (
+            PARTITION BY e1.vec_id
+            ORDER BY round({_COS.format(a='v', b='cv')}, 4) DESC,
+                     centroid_id) = 1),
+        probes AS (
+          SELECT q.q_id, q.qv, c.centroid_id
+          FROM q CROSS JOIN c
+          QUALIFY row_number() OVER (
+            PARTITION BY q.q_id
+            ORDER BY round({_COS.format(a='qv', b='cv')}, 4) DESC,
+                     centroid_id) <= 2)
+        SELECT p.q_id, a.vec_id,
+               round({_COS.format(a='p.qv', b='a.v')}, 4) AS cos_sim
+        FROM probes p JOIN assigned a ON a.centroid_id = p.centroid_id
+        WHERE a.vec_id <> p.q_id
+        QUALIFY row_number() OVER (
+          PARTITION BY p.q_id ORDER BY cos_sim DESC, a.vec_id) <= 5
+        """
+        sf1["similarity_ivf_search"] = _paired(
+            "similarity_ivf_search",
+            similarity.ivf_search(e1, centroids, queries, k=5, nprobe=2),
+            nv1,
+            ivf_sql,
+        )
+        return sf1
     finally:
         shutil.rmtree(sf1_dir, ignore_errors=True)
-    return out
 
 
 if __name__ == "__main__":
