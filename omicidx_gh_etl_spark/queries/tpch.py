@@ -143,10 +143,11 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 local supplier volume: the 6-way join cycle
     (customer-orders-lineitem-supplier-nation-region) with the
-    same-nation constraint. Scale: region/nation/supplier carry
-    explicit broadcast hints (bounded-size dims); customer gets NO
-    hint — it scales with the data, so stats/AQE decide (still a
-    broadcast at test sf) — leaving lineitem⋈orders the only
+    same-nation constraint. Scale: only the genuinely fixed-size dims
+    (region=5 rows, nation=25 at every SF) carry explicit broadcast
+    hints; customer AND supplier get NO hint — both scale linearly
+    with the data (150k·SF / 10k·SF rows), so stats/AQE decide (still
+    broadcasts at test sf) — leaving lineitem⋈orders the only
     guaranteed-shuffled join."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
@@ -164,7 +165,7 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
         .join(
-            F.broadcast(s),
+            s,
             (li["l_suppkey"] == s["s_suppkey"])
             & (c["c_nationkey"] == s["s_nationkey"]),
         )
@@ -203,8 +204,11 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-nation predicate, grouped by ship year. Scale: the nation
     filter reaches the fact scan only through the joins, so the big
     tables shuffle once each on their join keys while the two nation
-    lookups broadcast; the OR-pair predicate evaluates post-join
-    inside codegen. l_year is BIGINT to match EXTRACT's type."""
+    lookups broadcast (fixed 25 rows at every SF; supplier/customer
+    are data-proportional so they carry no forced hint — stats/AQE
+    still broadcast them at test sf); the OR-pair predicate evaluates
+    post-join inside codegen. l_year is BIGINT to match EXTRACT's
+    type."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate").between(
             F.lit("1996-01-01").cast("timestamp_ntz"),
@@ -230,7 +234,7 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
@@ -277,8 +281,12 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 national market share: 8-way join with nation joined
     twice (customer side filters the region, supplier side labels the
     share), then a conditional-aggregate ratio per order year. Scale:
-    every dimension broadcasts; lineitem⋈orders is the lone shuffled
-    join, and the CASE/ratio runs in the final single-stage aggregate.
+    only the fixed-size dims (nation/region) carry broadcast hints;
+    part (even type-filtered it is ~1/150 of 200k·SF rows), supplier
+    and customer are data-proportional so stats/AQE pick their join
+    side (all still broadcast at test sf); lineitem⋈orders is the
+    lone guaranteed-shuffled join, and the CASE/ratio runs in the
+    final single-stage aggregate.
     Parity: volume stays DECIMAL through both sums; the ratio is
     computed in double and rounded to 4 (per base.py rule 2) because
     decimal division precision rules differ across engines."""
@@ -305,8 +313,8 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nations = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(p, li["l_partkey"] == p["p_partkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(r), F.col("n1_region") == r["r_regionkey"])
@@ -525,8 +533,12 @@ def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 promotion effect: conditional-aggregate ratio over a
-    broadcast part join. Parity: both sums stay decimal (exact), the
-    ratio is double rounded to 4 (base.py rule 2)."""
+    part join. Scale: part is unfiltered and data-proportional
+    (200k·SF rows), so no forced broadcast — stats/AQE pick the side
+    (broadcast at test sf, shuffle at 100-TB SFs where the
+    month-filtered lineitem side may even be the smaller one).
+    Parity: both sums stay decimal (exact), the ratio is double
+    rounded to 4 (base.py rule 2)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp_ntz"))
@@ -538,7 +550,7 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit(0).cast("decimal(28,6)")
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .agg(
             F.round(
                 F.lit(100.0)
@@ -573,8 +585,11 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 top supplier: an aggregate view joined against its
     own scalar max — the high-watermark pattern (SURVEY.md §2.4 A8).
     Scale: revenue0 is one shuffled aggregate over the filtered scan;
-    its max is a one-row broadcast; matching suppliers resolve with a
-    broadcast join. Exact decimal equality makes the max-match
+    its max is a one-row broadcast. The supplier lookup carries NO
+    hint — supplier is data-proportional (10k·SF rows) while the
+    max-matched left side is ~1 row, so AQE broadcasts the tiny
+    post-aggregate side at runtime instead of a forced full-supplier
+    broadcast. Exact decimal equality makes the max-match
     deterministic across engines (never compare double aggregates for
     equality)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
@@ -594,7 +609,7 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(best),
             revenue0["total_revenue"] == best["best_revenue"],
         )
-        .join(F.broadcast(s), F.col("supplier_no") == s["s_suppkey"])
+        .join(s, F.col("supplier_no") == s["s_suppkey"])
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -619,16 +634,21 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 small-quantity-order revenue: a correlated scalar
     subquery (per-part average quantity) gating the outer scan —
     decorrelated the Spark way into a per-key aggregate joined back.
-    The brand filter is applied FIRST (broadcast semi through the tiny
-    part side), so the per-part averages aggregate only the brand's
-    lineitems — equivalent because the correlation key is p_partkey
-    and every lineitem of a qualifying part survives the brand join.
+    The brand filter is applied FIRST (semi-join through the filtered
+    part side — no forced hint: brand-filtered part is still ~1/25 of
+    200k·SF rows, so stats/AQE pick broadcast only while it fits), so
+    the per-part averages aggregate only the brand's lineitems —
+    equivalent because the correlation key is p_partkey and every
+    lineitem of a qualifying part survives the brand join. The
+    thresholds join-back likewise carries no hint (one row per
+    qualifying part — AQE broadcasts it while small, shuffles on the
+    uniform p_partkey key beyond that).
     Parity: the 0.2·avg threshold is double; both engines round it to
     6 decimals before the comparison so last-ulp noise in the average
     cannot flip a row at the boundary."""
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
     li = load_table(spark, sf_dir, "lineitem").join(
-        F.broadcast(p.select("p_partkey")),
+        p.select("p_partkey"),
         F.col("l_partkey") == F.col("p_partkey"),
         "left_semi",
     )
@@ -636,7 +656,7 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(0.2 * F.avg("l_quantity"), 6).alias("qty_threshold")
     )
     return (
-        li.join(F.broadcast(thresholds), "l_partkey")
+        li.join(thresholds, "l_partkey")
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
             F.round(
@@ -669,7 +689,10 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     post-join, but its single-side implications still prune: Catalyst
     infers p_brand IN (…) and p_size/l_quantity range envelopes and
     pushes them below the join (constraint propagation), so both scans
-    shrink before the broadcast join evaluates the full OR."""
+    shrink before the join evaluates the full OR. Scale: part carries
+    no forced hint (data-proportional); stats/AQE broadcast it at test
+    sf and fall back to a shuffled join on the uniform partkey when it
+    outgrows the threshold."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice").cast(_DEC) * (
@@ -693,7 +716,7 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .filter(disjunct)
         .agg(F.sum(rev).alias("revenue"))
     )

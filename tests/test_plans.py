@@ -320,18 +320,26 @@ def test_span_dedup_df_cap_broadcasts_hot_set_only(spark):
 
 
 def test_tpch_customer_joins_carry_no_forced_broadcast_hint(spark):
-    """Customer is data-proportional (150M rows at sf100) — the TPC-H
-    queries must not hard-wire a broadcast hint on it; only the
-    bounded-size dims (supplier/nation/region) keep explicit hints. At
-    test sf the planner still broadcasts customer from size stats
-    (physical shape unchanged — the SMJ pins above stay green); this
-    pins the exact ResolvedHint count so re-adding a customer hint
-    fails here. Q3 has no hinted dim at all; Q5 hints s/n/r; Q7 hints
-    s/n1/n2."""
+    """Customer, supplier and part are all data-proportional
+    (150M / 10M / 20M rows at sf100) — the TPC-H queries must not
+    hard-wire a broadcast hint on any of them; only the genuinely
+    fixed-size dims (nation=25, region=5 rows at every SF) and
+    aggregate-derived tiny tables (q15 best, q18 heavy, q22 thr) keep
+    explicit hints. At test sf the planner still broadcasts the
+    unhinted sides from size stats (physical shape unchanged — the
+    SMJ pins above stay green); this pins the exact ResolvedHint
+    count so re-adding a hint fails here. Q3/Q14/Q19 have no hinted
+    side at all; Q5 hints n/r; Q7 hints n1/n2; Q8 hints n1/r/n2;
+    Q15 hints best only; Q17 hints nothing."""
     expected = {
         "tpch_q3_shipping_priority": 0,
-        "tpch_q5_local_supplier_volume": 3,
-        "tpch_q7_volume_shipping": 3,
+        "tpch_q5_local_supplier_volume": 2,
+        "tpch_q7_volume_shipping": 2,
+        "tpch_q8_market_share": 3,
+        "tpch_q14_promo_effect": 0,
+        "tpch_q15_top_supplier": 1,
+        "tpch_q17_small_quantity_revenue": 0,
+        "tpch_q19_discounted_revenue": 0,
     }
     for name, n_hints in expected.items():
         df = REGISTRY[name].builder(spark, SF)
