@@ -133,8 +133,13 @@ def main() -> None:
     # detail from line 1 instead — both parse. The detail also lands in
     # BENCH_DETAIL.json for readers of the repo.
     print(json.dumps(detail))
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_DETAIL.json"), "w") as fh:
+    # $SPARK_GRAFT_DETAIL_PATH redirects the detail file so test runs
+    # don't clobber the repo's committed sf0.1 record with smoke-SF
+    # numbers (test_bench_contract points it at a tmp file).
+    detail_path = os.environ.get("SPARK_GRAFT_DETAIL_PATH") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1)
     compact = {
         "metric": "headline_queries_total",

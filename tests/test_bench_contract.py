@@ -23,11 +23,13 @@ TAIL_WINDOW = 2000  # the driver's stdout capture, measured from BENCH_r04
 
 
 @pytest.mark.skipif(not os.path.isdir(SF_SMOKE), reason="testdata absent")
-def test_bench_emits_parseable_json_contract():
+def test_bench_emits_parseable_json_contract(tmp_path):
+    detail_path = str(tmp_path / "BENCH_DETAIL.json")
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True, text=True, timeout=900,
-        env={**os.environ, "SPARK_GRAFT_SF_DIR": SF_SMOKE},
+        env={**os.environ, "SPARK_GRAFT_SF_DIR": SF_SMOKE,
+             "SPARK_GRAFT_DETAIL_PATH": detail_path},
         cwd=REPO,
     )
     assert proc.returncode == 0, proc.stderr[-500:]
@@ -41,7 +43,7 @@ def test_bench_emits_parseable_json_contract():
     assert {"rows", "sec", "bytes", "rows_per_sec", "duckdb_copy"} <= set(exp)
     assert "error" not in detail["scale"], detail["scale"]
     assert "mart_export_parquet" in detail["scale"]
-    with open(os.path.join(REPO, "BENCH_DETAIL.json")) as fh:
+    with open(detail_path) as fh:
         assert json.load(fh) == detail
 
     # last line: the compact contract line the tail-window driver parses
