@@ -70,9 +70,17 @@ def refresh_aggregate(
         combined = state.unionByName(partial)
     else:
         combined = partial
+    # The state schema must be STABLE across refreshes: Spark widens
+    # sum(decimal(p,s)) to decimal(p+10,s), so without the cast back to
+    # the partial's type every refresh would grow the persisted
+    # precision (18,2 → 28,2 → 38,2 → …) until the next read's expected
+    # schema no longer matches the file's physical encoding and the
+    # refresh crashes. The partial type IS the state contract — a
+    # decimal input therefore carries 10 digits of merge headroom
+    # (cast inputs to e.g. decimal(18,2) and the state holds 28,2).
     merged = combined.groupBy(*keys).agg(
         *[
-            _AGG_FNS[fn][1](out).alias(out)
+            _AGG_FNS[fn][1](out).cast(partial.schema[out].dataType).alias(out)
             for out, (_, fn) in aggs.items()
         ]
     )

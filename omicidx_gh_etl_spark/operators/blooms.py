@@ -1,0 +1,172 @@
+"""Bloom-filter join pruning — explicit runtime row-level filtering.
+
+Spark's own runtime bloom filtering (``bloom_filter_agg`` /
+``might_contain``) exists only as internal Catalyst expressions that
+the optimizer may or may not inject; this module makes the pattern a
+first-class, caller-controlled operator built from public expressions:
+
+- ``bloom_bitmap``     — aggregate one side's join keys into a ONE-ROW
+                         DataFrame holding an ``array<long>`` bitmap
+- ``bloom_prune``      — filter the other side map-side against that
+                         bitmap (broadcast cross join of the 1 row)
+- ``bloom_semi_join``  — prune, then exact semi join: identical result
+                         to a plain semi join (false positives removed
+                         by the exact join; false negatives impossible)
+
+Scale design (the reason this exists): a plain big⋈small semi join
+shuffles the BIG side on the join key. With a bloom pass the big side
+is first cut map-side at scan speed — only probable matches reach the
+shuffle. At 100 TB with a 0.1%-selective small side that is a ~1000×
+reduction in shuffled bytes for the cost of broadcasting a bitmap
+whose size the CALLER chooses (``num_bits``) — it is bounded by the
+filter configuration, never by the data (contrast the hot-shingle
+cap lesson in dedup.py: never broadcast anything data-proportional).
+The bitmap build itself is one map-side-combined groupBy on the word
+index (≤ num_bits/64 groups) — fixed-size partials, no skew.
+
+Hashing uses ``xxhash64(key, seed)`` (JVM, codegen'd). The bitmap is
+NOT meant to be oracle-reproducible — correctness is asserted on the
+FINAL joined result, which equals a plain semi join bit-for-bit in
+any engine.
+
+Null keys: ``xxhash64`` skips null inputs, so a null key hashes to
+``hash(seed)`` and may pass the bloom; the exact join then drops it
+(null never equi-matches) — same result as a plain semi join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "bloom_bitmap",
+    "bloom_might_contain",
+    "bloom_prune",
+    "bloom_semi_join",
+]
+
+_BF = "__bf"
+
+
+def _position_sql(key_sql: str, seed: int, num_bits: int) -> str:
+    """One bit position as a SQL string: pmod(xxhash64(key, seed), m).
+
+    BOTH the bitmap build and the probe go through this generator so
+    the seed literal has the same type on both sides — xxhash64
+    hashes an INT and a BIGINT seed differently, so a type mismatch
+    here would silently break every lookup. SQL strings (not Column
+    objects) per the py4j-assembly lesson: one parse beats k round
+    trips, and the generated plan is identical."""
+    return f"pmod(xxhash64({key_sql}, {seed}), {num_bits}L)"
+
+
+def bloom_bitmap(
+    df: DataFrame,
+    key_col: str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """ONE-ROW DataFrame with column ``__bf: array<long>`` (length
+    num_bits/64) — the bloom bitmap of ``df[key_col]``.
+
+    Build plan: explode each key into its ``num_hashes`` bit
+    positions, groupBy the WORD index (position div 64) with a
+    ``bit_or`` of the in-word bits — partial aggregation caps every
+    map task's state at num_bits/64 longs — then assemble the dense
+    array in a final 1-row aggregate via ``map_from_entries`` +
+    ``transform(sequence(...))`` (missing words → 0). No collect():
+    the bitmap never visits the driver.
+    """
+    if num_bits % 64:
+        raise ValueError("num_bits must be a multiple of 64")
+    n_words = num_bits // 64
+    key_sql = f"`{key_col}`"
+    pos_arr = ", ".join(
+        _position_sql(key_sql, seed, num_bits)
+        for seed in range(1, num_hashes + 1)
+    )
+    pos = F.expr(f"explode(array({pos_arr}))").alias("pos")
+    words = (
+        df.select(pos)
+        .select(
+            (F.col("pos") / 64).cast("long").alias("idx"),
+            F.expr("shiftleft(1L, int(pos % 64))").alias("bit"),
+        )
+        .groupBy("idx")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+    )
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("idx", "word"))).alias("wm")
+    ).select(
+        F.expr(
+            f"transform(sequence(0L, {n_words - 1}L),"
+            " i -> coalesce(element_at(wm, i), 0L))"
+        ).alias(_BF)
+    )
+
+
+def bloom_might_contain(
+    key_col: str, num_bits: int, num_hashes: int, bf_col: str = _BF
+) -> Column:
+    """Boolean: every one of the key's k bits is set in ``bf_col``.
+
+    1-based element_at; all bit arithmetic stays in codegen. One
+    parsed SQL expression (k repeated position subtrees fold into the
+    same codegen block) instead of k py4j-assembled Column trees.
+    """
+    tests = []
+    for seed in range(1, num_hashes + 1):
+        p = _position_sql(f"`{key_col}`", seed, num_bits)
+        tests.append(
+            f"(shiftright(element_at(`{bf_col}`, int(({p}) div 64) + 1),"
+            f" int(({p}) % 64)) & 1L) = 1L"
+        )
+    return F.expr(" AND ".join(tests))
+
+
+def bloom_prune(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """``big`` filtered to rows whose key probably appears in
+    ``small`` (false positives possible, false negatives not).
+
+    The 1-row bitmap broadcasts (BroadcastNestedLoopJoin of a single
+    row = a glorified literal that stays out of the plan text), so
+    the filter is map-only on ``big`` — no shuffle of the big side.
+    """
+    bf = bloom_bitmap(small, small_key, num_bits, num_hashes)
+    return (
+        big.crossJoin(F.broadcast(bf))
+        .filter(bloom_might_contain(big_key, num_bits, num_hashes))
+        .drop(_BF)
+    )
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """Exact ``big`` LEFT SEMI ``small`` with a bloom pre-prune.
+
+    Result is identical to ``big.join(small, key, "left_semi")`` —
+    the bloom only cuts what reaches the shuffle. Use when the small
+    side is too big to broadcast outright but its KEY SET fits a
+    bitmap of caller-chosen size, i.e. exactly where AQE can't help
+    (it would pick a shuffled SMJ/SHJ and move all of ``big``).
+    """
+    pruned = bloom_prune(big, small, big_key, small_key, num_bits, num_hashes)
+    return pruned.join(
+        small.select(F.col(small_key).alias(big_key)).distinct(),
+        on=big_key,
+        how="left_semi",
+    )

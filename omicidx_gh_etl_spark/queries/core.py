@@ -239,6 +239,51 @@ def semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "join_bloom_pruned_semi",
+    """
+    SELECT l.l_returnflag, count(*) AS n_items,
+           sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS revenue
+    FROM lineitem l
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_orderkey = l.l_orderkey
+                    AND o.o_orderpriority = '1-URGENT')
+    GROUP BY l.l_returnflag
+    """,
+    tags=("U3", "J1", "bloom"),
+)
+def join_bloom_pruned_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join with explicit bloom-filter pre-pruning — runtime
+    row-level filtering as a caller-controlled operator
+    (operators/blooms.py). The urgent-order key set is aggregated
+    into a fixed-size bitmap (2^20 bits here — chosen by the CALLER,
+    never data-proportional), broadcast as one array<long> row, and
+    the lineitem scan is cut map-side BEFORE anything shuffles; the
+    exact semi join then removes bloom false positives, so the result
+    is bit-identical to a plain EXISTS. Scale: at 100 TB a
+    1%-selective order filter means ~99% of lineitem never reaches
+    the semi-join shuffle — the pattern AQE's automatic runtime
+    filters apply opportunistically, made deterministic and tunable.
+    """
+    from ..operators.blooms import bloom_semi_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        bloom_semi_join(
+            li, urgent, "l_orderkey", "o_orderkey",
+            num_bits=1 << 20, num_hashes=3,
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("revenue"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Aggregations (A1-A8, A10) / sorts / top-k (O1-O4)
 # --------------------------------------------------------------------------
@@ -851,6 +896,66 @@ def incremental_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
         )
     )
+
+
+@register(
+    "incremental_agg_refresh",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           sum(CAST(value AS DECIMAL(18,2))) AS total_value,
+           min(epoch_us(ts)) AS first_us,
+           max(epoch_us(ts)) AS last_us
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("I1", "A2", "incremental"),
+)
+def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view delta maintenance (engine/incr_agg.py): the
+    events table arrives as three disjoint day-range batches, each
+    merged into a persisted partial-aggregate state — history is
+    never rescanned — and the final state must equal a one-shot
+    GROUP BY over everything (the oracle). Scale: each refresh costs
+    O(|delta|) + one bounded shuffle on the state's keys regardless
+    of history size; only algebraic aggregates (sum/count/min/max)
+    qualify, which is why the state carries those and avg-style
+    ratios derive downstream. The temp state dir is deleted before
+    returning (result localCheckpointed so nothing pins it)."""
+    import shutil
+    import tempfile
+
+    from ..engine.incr_agg import refresh_aggregate
+
+    ev = load_events(spark, sf_dir).select("event_type", "value", "ts", "ts_us")
+    cuts = ("2024-01-03", "2024-01-06")
+    batches = [
+        ev.filter(F.col("ts") < F.lit(cuts[0]).cast("timestamp_ntz")),
+        ev.filter(
+            (F.col("ts") >= F.lit(cuts[0]).cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit(cuts[1]).cast("timestamp_ntz"))
+        ),
+        ev.filter(F.col("ts") >= F.lit(cuts[1]).cast("timestamp_ntz")),
+    ]
+    aggs = {
+        "n_events": ("event_type", "count"),
+        "total_value": ("val_dec", "sum"),
+        "first_us": ("ts_us", "min"),
+        "last_us": ("ts_us", "max"),
+    }
+    tmp = tempfile.mkdtemp(prefix="incr_agg_q_")
+    try:
+        out = None
+        for b in batches:
+            delta = b.withColumn("val_dec", F.col("value").cast("decimal(18,2)"))
+            out = refresh_aggregate(
+                spark, f"{tmp}/state", delta, ["event_type"], aggs
+            )
+        return out.select(
+            "event_type", "n_events", "total_value", "first_us", "last_us"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @register(

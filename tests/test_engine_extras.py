@@ -635,3 +635,28 @@ def test_rest_pages_geo_esearch_source_option(spark):
     assert all(r["accession"][:3] in ("GSE", "GPL", "GSM") for r in rows)
     # record_id carries the raw entrez id (series digit + 8-digit pad)
     assert all(r["record_id"] >= 100000000 for r in rows)
+
+
+def test_incremental_refresh_state_schema_stable_for_decimals(spark, tmp_path):
+    """sum(decimal) widens precision by 10 per aggregation; without the
+    cast-back in refresh_aggregate the persisted state's decimal type
+    grew every refresh (18,2 → 28,2 → 38,2) until the schema no longer
+    matched the parquet encoding and refresh #3 crashed. Three decimal
+    refreshes must keep one stable state type and exact totals."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from omicidx_gh_etl_spark.engine.incr_agg import refresh_aggregate
+
+    state = str(tmp_path / "dec_state")
+    aggs = {"total": ("d", "sum")}
+    types = []
+    for i in range(3):
+        delta = spark.createDataFrame(
+            [("k", float(10 ** i))], "k string, x double"
+        ).withColumn("d", F.col("x").cast("decimal(18,2)"))
+        out = refresh_aggregate(spark, state, delta, ["k"], aggs)
+        types.append(out.schema["total"].dataType.simpleString())
+    assert types == ["decimal(28,2)"] * 3, types
+    assert out.collect()[0]["total"] == Decimal("111.00")

@@ -1169,3 +1169,76 @@ def test_mg_batch_merge_retains_heavy_hitters_under_eviction(spark):
     # 'hh' has freq ~n/9 > n/10; everything else is unique (freq 1)
     assert set(got) == {"hh"}
     assert got["hh"] == len([1 for i in range(n) if i % 9 == 0])
+
+
+# ---------------------------------------------------------------- blooms
+
+
+def test_bloom_semi_join_matches_exact_semi(spark):
+    """The bloom is a pruner, not the answer: whatever the false-
+    positive rate, bloom_semi_join must equal a plain left_semi."""
+    from omicidx_gh_etl_spark.operators import blooms
+
+    big = spark.range(0, 20000).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("v")
+    )
+    small = spark.range(0, 20000, 61).select(F.col("id").alias("sk"))
+    got = blooms.bloom_semi_join(big, small, "k", "sk", num_bits=1 << 14)
+    exact = big.join(small.select(F.col("sk").alias("k")), "k", "left_semi")
+    assert got.exceptAll(exact).count() == 0
+    assert exact.exceptAll(got).count() == 0
+
+
+def test_bloom_prune_no_false_negatives_and_actually_prunes(spark):
+    from omicidx_gh_etl_spark.operators import blooms
+
+    big = spark.range(0, 50000).select(F.col("id").alias("k"))
+    small = spark.range(0, 50000, 97).select(F.col("id").alias("sk"))
+    pruned = blooms.bloom_prune(big, small, "k", "sk",
+                                num_bits=1 << 16, num_hashes=3)
+    exact = big.join(small.select(F.col("sk").alias("k")), "k", "left_semi")
+    # every true match survives the bloom
+    assert exact.join(pruned, "k", "left_anti").count() == 0
+    # and the bloom genuinely cut the big side (~516 keys + few FPs)
+    n = pruned.count()
+    assert n < 2000, f"bloom pruned nothing: {n} of 50000 rows kept"
+
+
+def test_bloom_null_keys_dropped_like_plain_semi(spark):
+    from omicidx_gh_etl_spark.operators import blooms
+
+    big = spark.createDataFrame(
+        [(None,), (1,), (2,), (99,)], "k long"
+    )
+    small = spark.createDataFrame([(1,), (None,)], "sk long")
+    got = sorted(
+        r["k"]
+        for r in blooms.bloom_semi_join(big, small, "k", "sk",
+                                        num_bits=1 << 10).collect()
+    )
+    assert got == [1]  # null never equi-matches, on either side
+
+
+def test_bloom_bitmap_is_one_bounded_row(spark):
+    from omicidx_gh_etl_spark.operators import blooms
+
+    bf = blooms.bloom_bitmap(
+        spark.range(1000).select(F.col("id").alias("k")), "k",
+        num_bits=1 << 12,
+    )
+    rows = bf.collect()
+    assert len(rows) == 1
+    words = rows[0][0]
+    assert len(words) == (1 << 12) // 64
+    assert any(w != 0 for w in words)
+
+
+def test_bloom_num_bits_must_be_word_aligned(spark):
+    import pytest as _pytest
+
+    from omicidx_gh_etl_spark.operators import blooms
+
+    with _pytest.raises(ValueError):
+        blooms.bloom_bitmap(
+            spark.range(10).select(F.col("id").alias("k")), "k", num_bits=100
+        )
