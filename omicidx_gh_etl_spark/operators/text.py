@@ -12,6 +12,9 @@ All JVM-side expressions (no Python in the hot path):
 - ``remove_boilerplate_segments`` — CCNet/RefinedWeb-style removal of
   segments duplicated across many documents (headers, footers, nav
   bars), by corpus-wide segment document-frequency
+- ``bm25_topk``          — Okapi BM25 retrieval for a fixed small
+  query; map-only tf/length expressions + 1-row stats broadcast
+  (no per-term shuffle)
 
 Scale: the per-document operators are map-only projections — no
 shuffle, fully pipelined into whatever scan/write surrounds them.
@@ -490,4 +493,86 @@ def hashed_linear_score(
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-mean)), 4).alias("prob_keep"),
         F.when(F.col("__s") >= 0, "keep").otherwise("drop").alias("label"),
         *extra,
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 retrieval for one query over a document corpus:
+    ``(id, score, rk)`` rows for the top-k matches.
+
+    Built for the fixed-small-query case (ad-hoc corpus search,
+    contamination probes against a benchmark's question set), which
+    admits a plan with NO per-term shuffle at all:
+
+    - per-term tf and the doc length are ``size(filter(tokens, …))``
+      expressions — map-only, codegen'd, pipelined into the scan;
+    - corpus stats (N, avgdl, per-term df) reduce through ONE global
+      aggregate of fixed width (k+2 sums) → a 1-row broadcast;
+    - scoring is arithmetic on those columns; only the final top-k
+      (TakeOrderedAndProject — no global sort) touches the driver.
+
+    At 100 TB that is a single scan plus two O(1)-row exchanges —
+    contrast an explode→groupBy(term,doc) inverted-index build, which
+    shuffles every token occurrence (the right trade only when the
+    query set is itself large; see ``text_tfidf_top_terms``).
+
+    Scores use the Lucene idf ``ln(1 + (N-df+0.5)/(df+0.5))`` (always
+    positive) and are rounded to 4 before ranking so cross-engine
+    last-ulp ``ln``/division noise cannot flip ranks (id tiebreak).
+    The whole score is assembled as ONE SQL string (py4j-assembly
+    lesson: k Column trees cost k round trips; one parse does not).
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if any("'" in t for t in query_terms):
+        raise ValueError("query terms must not contain single quotes")
+    toks = f"filter(split(coalesce(`{text_col}`, '') , ' '), x -> x != '')"
+    tf_cols = {
+        f"__tf{i}": f"size(filter({toks}, x -> x = '{t}'))"
+        for i, t in enumerate(query_terms)
+    }
+    sized = df.selectExpr(
+        f"`{id_col}`",
+        f"size({toks}) AS __dl",
+        *[f"{e} AS {name}" for name, e in tf_cols.items()],
+    )
+    stats = sized.selectExpr(
+        "count(*) AS __n",
+        "avg(__dl) AS __avgdl",
+        *[
+            f"sum(CASE WHEN {name} > 0 THEN 1 ELSE 0 END) AS __df{i}"
+            for i, name in enumerate(tf_cols)
+        ],
+    )
+    parts = [
+        f"ln(1.0 + (__n - __df{i} + 0.5) / (__df{i} + 0.5))"
+        f" * ({name} * ({k1} + 1.0))"
+        f" / ({name} + {k1} * (1.0 - {b} + {b} * __dl / __avgdl))"
+        for i, name in enumerate(tf_cols)
+    ]
+    score = f"round({' + '.join(parts)}, 4)"
+    scored = (
+        sized.crossJoin(F.broadcast(stats))
+        .selectExpr(f"`{id_col}`", f"{score} AS score")
+        .filter(F.col("score") > 0)
+    )
+    from pyspark.sql import Window as W
+
+    return (
+        scored.orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy().orderBy(F.desc("score"), F.asc(id_col))
+            ).cast("int"),
+        )
     )

@@ -2165,3 +2165,54 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_dropped"),
         )
     )
+
+
+_BM25_TERMS = ("vector", "stream", "merge")
+_BM25_TOKS = "list_filter(string_split(coalesce(text, '') , ' '), x -> x <> '')"
+_BM25_ORACLE = f"""
+    WITH sized AS (
+      SELECT doc_id,
+             len({_BM25_TOKS}) AS dl,
+             {', '.join(
+                 f"len(list_filter({_BM25_TOKS}, x -> x = '{t}')) AS tf{i}"
+                 for i, t in enumerate(_BM25_TERMS))}
+      FROM documents),
+    stats AS (
+      SELECT count(*) AS n, avg(dl) AS avgdl,
+             {', '.join(
+                 f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+                 for i in range(len(_BM25_TERMS)))}
+      FROM sized),
+    scored AS (
+      SELECT doc_id,
+             round({' + '.join(
+                 f"ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5))"
+                 f" * (tf{i} * (1.2 + 1.0))"
+                 f" / (tf{i} + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))"
+                 for i in range(len(_BM25_TERMS)))}, 4) AS score
+      FROM sized CROSS JOIN stats)
+    SELECT doc_id, score, CAST(rk AS INT) AS rk FROM (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+      FROM scored WHERE score > 0)
+    WHERE rk <= 15
+    """
+
+
+@register(
+    "text_bm25_topk",
+    _BM25_ORACLE,
+    tags=("text", "llm", "retrieval"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-15 for a fixed 3-term query — ad-hoc corpus
+    retrieval and the scoring half of benchmark-contamination probes
+    (operators/text.py::bm25_topk has the plan-shape discussion: one
+    map-only scan, two 1-row broadcast aggregates, TakeOrdered — no
+    per-term shuffle, unlike the tfidf inverted-index sibling).
+    Ranking orders by the ROUNDED score with doc_id tiebreak so
+    cross-engine ln()/division last-ulp noise cannot flip ranks."""
+    d = load_spread(spark, sf_dir, "documents", "doc_id")
+    return text.bm25_topk(
+        d, "text", "doc_id", list(_BM25_TERMS), k=15, k1=1.2, b=0.75
+    )

@@ -1242,3 +1242,52 @@ def test_bloom_num_bits_must_be_word_aligned(spark):
         blooms.bloom_bitmap(
             spark.range(10).select(F.col("id").alias("k")), "k", num_bits=100
         )
+
+
+# ---------------------------------------------------------------- bm25
+
+
+def test_bm25_ranks_tf_and_length_sanely(spark):
+    from omicidx_gh_etl_spark.operators import text as T
+
+    df = _docs(
+        spark,
+        [
+            (1, "apple apple pear"),          # tf=2, short
+            (2, "apple " + "x " * 40 + "y"),  # tf=1, long
+            (3, "pear plum"),                 # no match
+            (4, "apple pear plum"),           # tf=1, short
+        ],
+    )
+    rows = T.bm25_topk(df, "text", "doc_id", ["apple"], k=10).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert 3 not in ids                  # non-matching doc excluded
+    assert ids[0] == 1                   # highest tf wins
+    assert ids.index(4) < ids.index(2)   # same tf: shorter doc wins
+    assert [r["rk"] for r in rows] == [1, 2, 3]
+    assert all(r["score"] > 0 for r in rows)
+
+
+def test_bm25_rejects_bad_query_terms(spark):
+    import pytest as _pytest
+
+    from omicidx_gh_etl_spark.operators import text as T
+
+    df = _docs(spark, [(1, "a")])
+    with _pytest.raises(ValueError):
+        T.bm25_topk(df, "text", "doc_id", [])
+    with _pytest.raises(ValueError):
+        T.bm25_topk(df, "text", "doc_id", ["a'b"])
+
+
+def test_bm25_null_text_is_no_match(spark):
+    from omicidx_gh_etl_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "apple")], "doc_id long, text string"
+    )
+    ids = [
+        r["doc_id"]
+        for r in T.bm25_topk(df, "text", "doc_id", ["apple"], k=5).collect()
+    ]
+    assert ids == [2]

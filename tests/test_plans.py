@@ -345,3 +345,35 @@ def test_tpch_customer_joins_carry_no_forced_broadcast_hint(spark):
         df = REGISTRY[name].builder(spark, SF)
         analyzed = df._jdf.queryExecution().analyzed().toString()
         assert analyzed.count("ResolvedHint") == n_hints, name
+
+
+def test_bm25_is_scan_plus_scalar_stats_no_per_term_shuffle(spark):
+    """bm25_topk's contract: tf/dl are map-only expressions, corpus
+    stats one scalar aggregate broadcast back, ranking via
+    TakeOrderedAndProject — an explode→groupBy(term,doc) rewrite
+    (which shuffles every token occurrence) fails here."""
+    plan = plan_of(spark, "text_bm25_topk")
+    assert count_op(plan, "TakeOrderedAndProject") == 1
+    assert count_op(plan, "SortMergeJoin") == 0
+    assert count_op(plan, "Generate") == 0  # no explode anywhere
+    # the only plain exchanges allowed are the scalar stats aggregate's
+    # (SinglePartition) — never a hash repartition of the corpus
+    body = plan.split("\n\n")[0]
+    assert "hashpartitioning" not in body.lower().replace(
+        "broadcast", ""
+    ), "corpus rows are being hash-shuffled"
+
+
+def test_bloom_semi_join_prunes_before_the_shuffle(spark):
+    """The bloom bit-test filter must sit on the lineitem side BELOW
+    the semi join's exchange (map-side pruning), and the bitmap must
+    arrive as a broadcast of ONE row (BroadcastNestedLoopJoin), never
+    a shuffled join."""
+    plan = plan_of(spark, "join_bloom_pruned_semi")
+    body = plan.split("\n\n")[0]
+    assert count_op(plan, "BroadcastNestedLoopJoin") == 1
+    # the probe filter (shiftright bit tests) exists and the semi join
+    # is on the pruned stream
+    detail = plan  # formatted mode puts expressions in the details
+    assert "shiftright" in detail
+    assert "LeftSemi" in detail
