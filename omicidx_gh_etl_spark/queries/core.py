@@ -959,6 +959,39 @@ def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ids_contiguous_assign",
+    """
+    SELECT doc_id,
+           row_number() OVER (ORDER BY doc_id) AS global_id
+    FROM documents
+    """,
+    tags=("ids", "O5"),
+)
+def ids_contiguous_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 1..N global row numbering WITHOUT the single-partition
+    window (operators/ids.py): range-repartition + within-partition
+    sort, per-partition counts prefix-summed driver-side, dense id =
+    partition offset + local index from monotonically_increasing_id's
+    bit layout. The oracle is the thing this replaces — a bare
+    row_number() OVER (ORDER BY …), which Spark would execute through
+    ONE task. Scale: one range shuffle (the minimum any total
+    ordering costs), everything else O(num_partitions). The cached
+    intermediate is released after a localCheckpoint so repeated
+    invocations don't accumulate executor blocks."""
+    from ..operators import ids as ids_op
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = ids_op.assign_contiguous_ids(d, ["doc_id"], id_name="global_id")
+    try:
+        return (
+            out.select("doc_id", F.col("global_id").cast("bigint"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        ids_op.release(out)
+
+
+@register(
     "variant_json_shredding",
     """
     SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10

@@ -1291,3 +1291,55 @@ def test_bm25_null_text_is_no_match(spark):
         for r in T.bm25_topk(df, "text", "doc_id", ["apple"], k=5).collect()
     ]
     assert ids == [2]
+
+
+# ---------------------------------------------------------------- ids
+
+
+def test_contiguous_ids_match_global_row_number(spark):
+    from pyspark.sql import Window as W
+
+    from omicidx_gh_etl_spark.operators import ids as ids_op
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") * 37 % 5000).alias("k")  # permuted unique keys
+    )
+    out = ids_op.assign_contiguous_ids(df, ["k"], num_partitions=7)
+    try:
+        got = {r["k"]: r["global_id"] for r in out.collect()}
+    finally:
+        ids_op.release(out)
+    want = {
+        r["k"]: r["rn"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(W.partitionBy().orderBy("k"))
+        ).collect()
+    }
+    assert got == want
+    assert sorted(got.values()) == list(range(1, 5001))  # dense, 1-based
+
+
+def test_contiguous_ids_empty_partitions_and_start(spark):
+    from omicidx_gh_etl_spark.operators import ids as ids_op
+
+    df = spark.range(0, 3).select(F.col("id").alias("k"))
+    out = ids_op.assign_contiguous_ids(
+        df, ["k"], num_partitions=8, start=100
+    )  # 8 ranges over 3 rows → most partitions empty
+    try:
+        got = sorted((r["k"], r["global_id"]) for r in out.collect())
+    finally:
+        ids_op.release(out)
+    assert got == [(0, 100), (1, 101), (2, 102)]
+
+
+def test_contiguous_ids_rejects_bad_args(spark):
+    import pytest as _pytest
+
+    from omicidx_gh_etl_spark.operators import ids as ids_op
+
+    df = spark.range(3).select(F.col("id").alias("k"))
+    with _pytest.raises(ValueError):
+        ids_op.assign_contiguous_ids(df, [])
+    with _pytest.raises(ValueError):
+        ids_op.assign_contiguous_ids(df, ["k"], id_name="k")
