@@ -61,6 +61,38 @@ def _position_sql(key_sql: str, seed: int, num_bits: int) -> str:
     return f"pmod(xxhash64({key_sql}, {seed}), {num_bits}L)"
 
 
+_INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _key_sql(df: DataFrame, key_col: str) -> str:
+    """Key reference canonicalized for hashing.
+
+    The same VALUE must produce the same xxhash64 on both sides of
+    the bloom, but xxhash64 hashes the physical representation — an
+    INT 7 and a BIGINT 7 hash differently, so a bloom built from a
+    bigint side and probed with an int side would drop every true
+    match (an equi-join would have coerced them). Integral keys are
+    therefore widened to bigint before hashing; other types pass
+    through and :func:`bloom_prune` enforces exact type equality.
+    """
+    dt = df.schema[key_col].dataType.simpleString()
+    ref = f"`{key_col}`"
+    return f"cast({ref} as bigint)" if dt in _INTEGRAL else ref
+
+
+def _check_key_types(
+    big: DataFrame, small: DataFrame, big_key: str, small_key: str
+) -> None:
+    bt = big.schema[big_key].dataType.simpleString()
+    st = small.schema[small_key].dataType.simpleString()
+    if bt == st or (bt in _INTEGRAL and st in _INTEGRAL):
+        return
+    raise ValueError(
+        f"bloom keys must have matching (or both-integral) types: "
+        f"{big_key} is {bt}, {small_key} is {st} — cast one side first"
+    )
+
+
 def bloom_bitmap(
     df: DataFrame,
     key_col: str,
@@ -81,7 +113,7 @@ def bloom_bitmap(
     if num_bits % 64:
         raise ValueError("num_bits must be a multiple of 64")
     n_words = num_bits // 64
-    key_sql = f"`{key_col}`"
+    key_sql = _key_sql(df, key_col)
     pos_arr = ", ".join(
         _position_sql(key_sql, seed, num_bits)
         for seed in range(1, num_hashes + 1)
@@ -107,17 +139,20 @@ def bloom_bitmap(
 
 
 def bloom_might_contain(
-    key_col: str, num_bits: int, num_hashes: int, bf_col: str = _BF
+    key_sql: str, num_bits: int, num_hashes: int, bf_col: str = _BF
 ) -> Column:
     """Boolean: every one of the key's k bits is set in ``bf_col``.
 
-    1-based element_at; all bit arithmetic stays in codegen. One
-    parsed SQL expression (k repeated position subtrees fold into the
-    same codegen block) instead of k py4j-assembled Column trees.
+    ``key_sql`` is a SQL expression string for the probe key,
+    CANONICALIZED the same way the bitmap was built (use
+    :func:`_key_sql`; integral keys widen to bigint). 1-based
+    element_at; all bit arithmetic stays in codegen. One parsed SQL
+    expression (k repeated position subtrees fold into the same
+    codegen block) instead of k py4j-assembled Column trees.
     """
     tests = []
     for seed in range(1, num_hashes + 1):
-        p = _position_sql(f"`{key_col}`", seed, num_bits)
+        p = _position_sql(key_sql, seed, num_bits)
         tests.append(
             f"(shiftright(element_at(`{bf_col}`, int(({p}) div 64) + 1),"
             f" int(({p}) % 64)) & 1L) = 1L"
@@ -140,10 +175,11 @@ def bloom_prune(
     row = a glorified literal that stays out of the plan text), so
     the filter is map-only on ``big`` — no shuffle of the big side.
     """
+    _check_key_types(big, small, big_key, small_key)
     bf = bloom_bitmap(small, small_key, num_bits, num_hashes)
     return (
         big.crossJoin(F.broadcast(bf))
-        .filter(bloom_might_contain(big_key, num_bits, num_hashes))
+        .filter(bloom_might_contain(_key_sql(big, big_key), num_bits, num_hashes))
         .drop(_BF)
     )
 
@@ -165,8 +201,11 @@ def bloom_semi_join(
     (it would pick a shuffled SMJ/SHJ and move all of ``big``).
     """
     pruned = bloom_prune(big, small, big_key, small_key, num_bits, num_hashes)
+    # no .distinct() on the keys: left_semi is duplicate-insensitive
+    # by definition, and a distinct would add a full extra shuffle +
+    # aggregate of the small side per query
     return pruned.join(
-        small.select(F.col(small_key).alias(big_key)).distinct(),
+        small.select(F.col(small_key).alias(big_key)),
         on=big_key,
         how="left_semi",
     )

@@ -76,6 +76,11 @@ def assign_contiguous_ids(
     for pid in range(max(counts, default=-1) + 1):
         offsets[pid] = acc
         acc += counts.get(pid, 0)
+    if not offsets:
+        # empty input: create_map() with zero entries is map<void,void>
+        # and cannot be indexed — a typed placeholder keeps the (empty)
+        # result schema identical to the non-empty case
+        offsets = {0: 0}
     # offsets as a literal map: num_partitions entries, not data
     off_map = F.create_map(
         *[F.lit(x) for pid, off in sorted(offsets.items()) for x in (pid, off)]

@@ -532,8 +532,14 @@ def bm25_topk(
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    if any("'" in t for t in query_terms):
-        raise ValueError("query terms must not contain single quotes")
+    # terms are interpolated into SQL string literals on BOTH engines;
+    # quotes would break the literal and backslashes are escapes in
+    # Spark ('\\b' silently becomes backspace → term never matches)
+    # but literal bytes in DuckDB — reject rather than diverge
+    if any("'" in t or "\\" in t for t in query_terms):
+        raise ValueError(
+            "query terms must not contain single quotes or backslashes"
+        )
     toks = f"filter(split(coalesce(`{text_col}`, '') , ' '), x -> x != '')"
     tf_cols = {
         f"__tf{i}": f"size(filter({toks}, x -> x = '{t}'))"

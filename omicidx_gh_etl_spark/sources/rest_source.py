@@ -34,6 +34,7 @@ Usage:
 
 from __future__ import annotations
 
+import json
 from collections.abc import Iterator
 
 from pyspark.sql.datasource import (
@@ -121,17 +122,23 @@ class GeoEsearchClient(PagedClient):
     def _idlist_page(self, retstart: int, retmax: int) -> list[str]:
         hi = min(retstart + retmax, self.total)
         # series digit cycles 2/1/3 (GSE/GPL/GSM), 8-digit zero padding
-        # — the realistic gds id shape, e.g. 200001234 -> GSE1234
+        # — the realistic gds id shape, e.g. 200001234 -> GSE1234.
+        # 1-based numbering: index 0 would mint id 200000000 whose
+        # accession strips to the impossible empty-numbered "GSE"
         return [
-            f"{(2, 1, 3)[i % 3]}{i:08d}" for i in range(retstart, hi)
+            f"{(2, 1, 3)[i % 3]}{i + 1:08d}" for i in range(retstart, hi)
         ]
 
     def fetch_page(self, offset: int, limit: int) -> list[dict]:
+        # json.dumps, not an f-string: real Entrez terms carry double
+        # quotes ('"rnaseq counts"[filter]') which must be escaped for
+        # the payload column to stay parseable JSON
+        payload = json.dumps({"db": "gds", "term": self.term})
         return [
             {
                 "record_id": int(eid),
                 "accession": entrez_gds_to_accession(eid),
-                "payload": f'{{"db": "gds", "term": "{self.term}"}}',
+                "payload": payload,
             }
             for eid in self._idlist_page(offset, limit)
         ]

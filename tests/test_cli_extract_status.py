@@ -144,8 +144,13 @@ def test_cli_extract_geo_esearch(spark, tmp_path, capsys):
     assert {r["page"] for r in back.select("page").distinct().collect()} \
         == {0, 1}
     # entrez id -> accession mapping: series digit + stripped padding
+    # (1-based ids: index 0 would otherwise mint the impossible
+    # empty-numbered "GSE")
     accs = {r["accession"] for r in back.collect()}
-    assert "GSE3" in accs and "GPL1" in accs and "GSM2" in accs
+    assert "GSE1" in accs and "GPL2" in accs and "GSM3" in accs
     assert all(a[:3] in ("GSE", "GPL", "GSM") for a in accs)
-    assert all(r["payload"].startswith('{"db": "gds"') for r in
-               back.limit(5).collect())
+    assert all(len(a) > 3 for a in accs), "empty-numbered accession"
+    # the payload column is valid JSON even though the term carries
+    # double quotes (json.dumps, not f-string interpolation)
+    for r in back.limit(5).collect():
+        assert json.loads(r["payload"])["term"] == '"rnaseq counts"[filter]'

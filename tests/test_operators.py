@@ -1343,3 +1343,36 @@ def test_contiguous_ids_rejects_bad_args(spark):
         ids_op.assign_contiguous_ids(df, [])
     with _pytest.raises(ValueError):
         ids_op.assign_contiguous_ids(df, ["k"], id_name="k")
+
+
+def test_bloom_mixed_integral_key_types_still_exact(spark):
+    """xxhash64 hashes INT and BIGINT representations differently —
+    integral keys must widen to bigint on BOTH sides of the bloom or
+    every true match silently fails the probe (reproduced before the
+    fix: 0 of 10 matches survived)."""
+    from omicidx_gh_etl_spark.operators import blooms
+
+    big = spark.range(0, 100).select(F.col("id").cast("int").alias("k"))
+    small = spark.range(0, 100, 10).select(F.col("id").alias("sk"))  # bigint
+    got = blooms.bloom_semi_join(big, small, "k", "sk", num_bits=1 << 12)
+    assert got.count() == 10
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="matching"):
+        blooms.bloom_semi_join(
+            big.select(F.col("k").cast("string").alias("k")), small,
+            "k", "sk", num_bits=1 << 12,
+        )
+
+
+def test_contiguous_ids_empty_input(spark):
+    from omicidx_gh_etl_spark.operators import ids as ids_op
+
+    df = spark.range(0).select(F.col("id").alias("k"))
+    out = ids_op.assign_contiguous_ids(df, ["k"], num_partitions=4)
+    try:
+        assert out.count() == 0
+        assert out.schema["global_id"].dataType.simpleString() == "bigint"
+    finally:
+        ids_op.release(out)
