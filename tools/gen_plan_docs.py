@@ -98,6 +98,11 @@ def main() -> None:
         "dedup_span_excision",
         "similarity_knn_label_probe",
         "similarity_ivf_recall",
+        "join_bloom_pruned_semi",
+        "text_bm25_topk",
+        # ids_contiguous_assign deliberately absent: its builder
+        # materializes (eager localCheckpoint), so the visible plan is
+        # just the checkpoint scan — plan story lives in operators/ids.py
     ]
     names = list(dict.fromkeys(HEADLINE + extra))
     rows = []
