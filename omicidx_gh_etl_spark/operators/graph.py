@@ -1,0 +1,96 @@
+"""Graph analytics beyond connected components.
+
+``pagerank`` — fixed-iteration power method over an edge list, the
+crawl-prioritization / source-reputation primitive of web-scale
+training-data pipelines (a page's rank feeds quality weighting the
+same way fasttext scores do; OpenWebText-style corpora filter on
+exactly this kind of link signal). Connected components (the other
+graph op this repo ships) lives in ``operators/dedup.py`` next to its
+consumers.
+
+Scale design: one iteration = one equi-join of the rank table with
+the out-degree-annotated edge list plus one aggregate — both shuffle
+on uniformly-hashed node ids, and the rank table entering each round
+is ALREADY hash-partitioned on the node id by the previous round's
+aggregate, so Spark reuses the exchange instead of re-shuffling it.
+Per-round lineage is truncated with ``localCheckpoint`` every
+``checkpoint_interval`` rounds (the standard iterative-DataFrame
+practice, same as ``connected_components``). Nothing is collected;
+the node count enters the expressions as a broadcast 1-row aggregate.
+
+Determinism contract: ranks are ROUNDED to ``round_scale`` decimals
+at the end of every iteration. Contribution sums are floating-point
+and Spark's partial-aggregation order is nondeterministic, so
+un-rounded ranks differ in the last ulp across runs AND across
+engines; rounding each round (noise ~1e-15 relative, scale 9 → five
+orders of margin) snaps both to identical values, which then
+propagate exactly. The same unrolled computation is therefore
+bit-reproducible in any engine — see the ``graph_pagerank`` oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank"]
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+    round_scale: int = 9,
+    checkpoint_interval: int = 5,
+) -> DataFrame:
+    """(node, rank) after ``iterations`` rounds of the power method.
+
+    Edges are treated as DIRECTED; pass both directions for an
+    undirected graph. Nodes are whatever appears in ``src_col`` /
+    ``dst_col``; nodes with no outgoing edges (dangling) keep
+    contributing nothing — their mass leaks, matching the plain
+    power-method formulation (symmetrize the edge list to avoid
+    dangling nodes entirely, as the registered query does).
+    Ranks start uniform at 1/N and every round computes
+    ``(1-d)/N + d·Σ incoming rank/outdegree``, rounded to
+    ``round_scale`` (see module docstring for why rounding is the
+    determinism contract, not a shortcut).
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    src, dst = F.col(src_col), F.col(dst_col)
+    e = edges.select(src.alias("src"), dst.alias("dst")).distinct()
+    outdeg = e.groupBy("src").agg(F.count("*").alias("odeg"))
+    ed = e.join(outdeg, "src")  # both sides hash-partitioned on src
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_row = nodes.agg(F.count("*").alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(n_row)).select(
+        "node", F.round(F.lit(1.0) / F.col("n"), round_scale).alias("rank")
+    )
+    for i in range(iterations):
+        contribs = (
+            ed.join(ranks, ed["src"] == ranks["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("odeg")).alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(n_row))
+            .select(
+                "node",
+                F.round(
+                    (1.0 - damping) / F.col("n")
+                    + damping * F.coalesce(F.col("contrib"), F.lit(0.0)),
+                    round_scale,
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_interval == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

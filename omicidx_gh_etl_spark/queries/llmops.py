@@ -2216,3 +2216,77 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bm25_topk(
         d, "text", "doc_id", list(_BM25_TERMS), k=15, k1=1.2, b=0.75
     )
+
+
+_PR_PAIRS = """
+      SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS a,
+             'k:' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)
+                          % 100 AS VARCHAR) AS b
+      FROM events
+      WHERE json_extract_string(props, '$.k') IS NOT NULL
+"""
+
+
+def _pr_iter_sql(i: int) -> str:
+    return f"""
+    c{i} AS (
+      SELECT e.dst AS node, sum(r.pr / o.odeg) AS contrib
+      FROM edges e
+      JOIN r{i - 1} r ON e.src = r.node
+      JOIN odeg o ON e.src = o.src
+      GROUP BY 1),
+    r{i} AS (
+      SELECT nodes.node,
+             round((1.0 - 0.85) / nn.n
+                   + 0.85 * coalesce(c{i}.contrib, 0.0), 9) AS pr
+      FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.node CROSS JOIN nn)"""
+
+
+_PR_ORACLE = f"""
+    WITH pairs AS ({_PR_PAIRS}),
+    edges AS (SELECT a AS src, b AS dst FROM pairs
+              UNION SELECT b, a FROM pairs),
+    odeg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY 1),
+    nodes AS (SELECT src AS node FROM edges
+              UNION SELECT dst FROM edges),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT node, round(1.0 / nn.n, 9) AS pr
+           FROM nodes CROSS JOIN nn),
+    {','.join(_pr_iter_sql(i) for i in (1, 2, 3))}
+    SELECT node, pr FROM r3
+    """
+
+
+@register(
+    "graph_pagerank",
+    _PR_ORACLE,
+    tags=("graph", "llm", "iterative"),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 power-method rounds, d=0.85) over the symmetrized
+    user↔property bipartite graph derived from events — the
+    crawl-prioritization / source-reputation primitive
+    (operators/graph.py has the per-round exchange-reuse and
+    per-iteration-rounding determinism story; the oracle is the same
+    computation unrolled as three CTE steps). Symmetrizing removes
+    dangling nodes so no leaked-mass term is needed in either
+    engine."""
+    from ..operators import graph
+    from .tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "bigint") % 100
+    pairs = (
+        ev.select(
+            F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("a"),
+            F.concat(F.lit("k:"), k.cast("string")).alias("b"),
+        )
+        .filter(F.col("b").isNotNull())
+        .distinct()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    return graph.pagerank(edges, "a", "b", iterations=3).select(
+        "node", F.col("rank").alias("pr")
+    )

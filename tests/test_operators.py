@@ -1376,3 +1376,45 @@ def test_contiguous_ids_empty_input(spark):
         assert out.schema["global_id"].dataType.simpleString() == "bigint"
     finally:
         ids_op.release(out)
+
+
+# ---------------------------------------------------------------- graph
+
+
+def test_pagerank_hub_wins_and_mass_conserved(spark):
+    from omicidx_gh_etl_spark.operators import graph
+
+    # star: hub H connected to leaves A..D (symmetrized = undirected)
+    und = [("H", x) for x in "ABCD"]
+    rows = und + [(b, a) for a, b in und]
+    e = spark.createDataFrame(rows, "src string, dst string")
+    got = {r["node"]: r["rank"] for r in graph.pagerank(e, iterations=10).collect()}
+    assert set(got) == {"H", "A", "B", "C", "D"}
+    # no dangling nodes -> total mass stays 1 (up to rounding)
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    # the hub dominates, leaves are symmetric
+    assert got["H"] > got["A"]
+    assert len({got[x] for x in "ABCD"}) == 1
+
+
+def test_pagerank_is_run_deterministic(spark):
+    """The per-iteration rounding contract: two runs (different
+    partial-agg orders) must produce IDENTICAL doubles."""
+    from omicidx_gh_etl_spark.operators import graph
+
+    rows = [(f"n{i}", f"n{(i * 7 + 1) % 50}") for i in range(200)]
+    e = spark.createDataFrame(rows, "src string, dst string")
+    a = {r["node"]: r["rank"] for r in graph.pagerank(e, iterations=4).collect()}
+    b = {r["node"]: r["rank"] for r in
+         graph.pagerank(e.repartition(13), iterations=4).collect()}
+    assert a == b
+
+
+def test_pagerank_rejects_zero_iterations(spark):
+    import pytest as _pytest
+
+    from omicidx_gh_etl_spark.operators import graph
+
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with _pytest.raises(ValueError):
+        graph.pagerank(e, iterations=0)
