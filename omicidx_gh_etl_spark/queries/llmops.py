@@ -2290,3 +2290,36 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank(edges, "a", "b", iterations=3).select(
         "node", F.col("rank").alias("pr")
     )
+
+
+@register(
+    "sample_weighted_priority",
+    """
+    WITH scored AS (
+      SELECT doc_id, n_chars,
+             round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                          ::BIGINT + 0.5) / 1152921504606846976.0)
+                   / CAST(n_chars AS DOUBLE), 8) AS priority
+      FROM documents WHERE n_chars > 0)
+    SELECT doc_id, n_chars, priority, CAST(rk AS INT) AS rk FROM (
+      SELECT doc_id, n_chars, priority,
+             row_number() OVER (ORDER BY priority DESC, doc_id) AS rk
+      FROM scored)
+    WHERE rk <= 25
+    """,
+    tags=("sampling", "llm"),
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling WITHOUT replacement
+    (probability ∝ n_chars): the deterministic one-pass replacement
+    for sequential reservoir/quota samplers — map-only md5-derived
+    priority keys + TakeOrderedAndProject, no corpus shuffle
+    (operators/samplers.py has the algorithm and determinism
+    contract). The length weight is the curation shape: prefer long
+    documents without hard-cutting short ones."""
+    from ..operators.samplers import weighted_sample_without_replacement
+
+    d = load_spread(spark, sf_dir, "documents", "doc_id")
+    return weighted_sample_without_replacement(
+        d.select("doc_id", "n_chars"), "n_chars", "doc_id", k=25
+    )

@@ -1418,3 +1418,45 @@ def test_pagerank_rejects_zero_iterations(spark):
     e = spark.createDataFrame([("a", "b")], "src string, dst string")
     with _pytest.raises(ValueError):
         graph.pagerank(e, iterations=0)
+
+
+# ---------------------------------------------------------------- samplers
+
+
+def test_weighted_sample_is_weighted_and_deterministic(spark):
+    """Statistical sanity: with weights 100:1, heavy items dominate
+    the sample; and two runs over different partitionings pick the
+    IDENTICAL set (md5-derived priorities, not rand())."""
+    from omicidx_gh_etl_spark.operators.samplers import (
+        weighted_sample_without_replacement,
+    )
+
+    rows = [(i, 100.0 if i < 50 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = weighted_sample_without_replacement(df, "w", "id", k=40).collect()
+    assert len(got) == 40
+    heavy = sum(1 for r in got if r["id"] < 50)
+    assert heavy >= 25  # 50 items carry ~85% of total weight
+    assert [r["rk"] for r in got] == sorted(r["rk"] for r in got)
+
+    again = weighted_sample_without_replacement(
+        df.repartition(17), "w", "id", k=40
+    ).collect()
+    assert {r["id"] for r in got} == {r["id"] for r in again}
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from omicidx_gh_etl_spark.operators.samplers import (
+        weighted_sample_without_replacement,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, None), (4, 2.0)], "id long, w double"
+    )
+    got = weighted_sample_without_replacement(df, "w", "id", k=10).collect()
+    assert [r["id"] for r in got] == [4]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        weighted_sample_without_replacement(df, "w", "id", k=0)
