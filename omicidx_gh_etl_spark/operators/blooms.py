@@ -44,6 +44,7 @@ __all__ = [
     "bloom_might_contain",
     "bloom_prune",
     "bloom_semi_join",
+    "hash_key_sql",
 ]
 
 _BF = "__bf"
@@ -64,7 +65,7 @@ def _position_sql(key_sql: str, seed: int, num_bits: int) -> str:
 _INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
 
 
-def _key_sql(df: DataFrame, key_col: str) -> str:
+def hash_key_sql(df: DataFrame, key_col: str) -> str:
     """Key reference canonicalized for hashing.
 
     The same VALUE must produce the same xxhash64 on both sides of
@@ -74,6 +75,7 @@ def _key_sql(df: DataFrame, key_col: str) -> str:
     match (an equi-join would have coerced them). Integral keys are
     therefore widened to bigint before hashing; other types pass
     through and :func:`bloom_prune` enforces exact type equality.
+    Public because :func:`bloom_might_contain` callers MUST use it.
     """
     dt = df.schema[key_col].dataType.simpleString()
     ref = f"`{key_col}`"
@@ -113,7 +115,7 @@ def bloom_bitmap(
     if num_bits % 64:
         raise ValueError("num_bits must be a multiple of 64")
     n_words = num_bits // 64
-    key_sql = _key_sql(df, key_col)
+    key_sql = hash_key_sql(df, key_col)
     pos_arr = ", ".join(
         _position_sql(key_sql, seed, num_bits)
         for seed in range(1, num_hashes + 1)
@@ -144,11 +146,15 @@ def bloom_might_contain(
     """Boolean: every one of the key's k bits is set in ``bf_col``.
 
     ``key_sql`` is a SQL expression string for the probe key,
-    CANONICALIZED the same way the bitmap was built (use
-    :func:`_key_sql`; integral keys widen to bigint). 1-based
-    element_at; all bit arithmetic stays in codegen. One parsed SQL
-    expression (k repeated position subtrees fold into the same
-    codegen block) instead of k py4j-assembled Column trees.
+    CANONICALIZED the same way the bitmap was built — pass
+    ``hash_key_sql(df, col)``, never a bare column reference: an
+    integral probe key of a different width than the build side
+    hashes to different positions (xxhash64 is
+    representation-sensitive) and every true match silently fails
+    the bit test. 1-based element_at; all bit arithmetic stays in
+    codegen. One parsed SQL expression (k repeated position subtrees
+    fold into the same codegen block) instead of k py4j-assembled
+    Column trees.
     """
     tests = []
     for seed in range(1, num_hashes + 1):
@@ -175,11 +181,16 @@ def bloom_prune(
     row = a glorified literal that stays out of the plan text), so
     the filter is map-only on ``big`` — no shuffle of the big side.
     """
+    if _BF in big.columns:
+        raise ValueError(
+            f"big side already has a {_BF!r} column — rename it before "
+            "bloom pruning (the bitmap cross join would make it ambiguous)"
+        )
     _check_key_types(big, small, big_key, small_key)
     bf = bloom_bitmap(small, small_key, num_bits, num_hashes)
     return (
         big.crossJoin(F.broadcast(bf))
-        .filter(bloom_might_contain(_key_sql(big, big_key), num_bits, num_hashes))
+        .filter(bloom_might_contain(hash_key_sql(big, big_key), num_bits, num_hashes))
         .drop(_BF)
     )
 

@@ -18,14 +18,23 @@ Per-round lineage is truncated with ``localCheckpoint`` every
 practice, same as ``connected_components``). Nothing is collected;
 the node count enters the expressions as a broadcast 1-row aggregate.
 
-Determinism contract: ranks are ROUNDED to ``round_scale`` decimals
-at the end of every iteration. Contribution sums are floating-point
-and Spark's partial-aggregation order is nondeterministic, so
-un-rounded ranks differ in the last ulp across runs AND across
-engines; rounding each round (noise ~1e-15 relative, scale 9 → five
-orders of margin) snaps both to identical values, which then
-propagate exactly. The same unrolled computation is therefore
-bit-reproducible in any engine — see the ``graph_pagerank`` oracle.
+Determinism contract: the iteration runs on ranks NORMALIZED to the
+uniform value (``r_rel = rank·N``, start 1.0, teleport term exactly
+``1-d``), rounded to ``round_scale`` decimals at the end of every
+round. Contribution sums are floating-point and Spark's
+partial-aggregation order is nondeterministic, so un-rounded values
+differ in the last ulp across runs AND across engines; rounding each
+round (noise ~1e-15 relative on O(1) values, scale 9 → five orders
+of margin) snaps both to identical values, which then propagate
+exactly. Normalization is what makes that sound at ANY graph size:
+rounding the raw rank (magnitude ~1/N) at a fixed decimal count
+would quantize a 1e8-node graph's ranks into a handful of buckets
+and round the 1e-10 teleport term to zero — silent garbage exactly
+at the advertised scale. (Mega-hubs with ``r_rel`` beyond ~1e6
+exceed what ``round(x, 9)`` can represent in a double; ordering
+still holds, bit-reproducibility of those few values may not.) The
+same unrolled computation is bit-reproducible in any engine — see
+the ``graph_pagerank`` oracle.
 """
 
 from __future__ import annotations
@@ -53,13 +62,16 @@ def pagerank(
     contributing nothing — their mass leaks, matching the plain
     power-method formulation (symmetrize the edge list to avoid
     dangling nodes entirely, as the registered query does).
-    Ranks start uniform at 1/N and every round computes
-    ``(1-d)/N + d·Σ incoming rank/outdegree``, rounded to
-    ``round_scale`` (see module docstring for why rounding is the
-    determinism contract, not a shortcut).
+    Internally the N-normalized rank iterates from exactly 1.0 as
+    ``(1-d) + d·Σ incoming r_rel/outdegree``, rounded to
+    ``round_scale`` each round (see module docstring — the rounding
+    and the normalization TOGETHER are the determinism contract);
+    the returned ``rank`` column is ``r_rel/N``.
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
+    if checkpoint_interval < 1:
+        raise ValueError("checkpoint_interval must be >= 1")
     src, dst = F.col(src_col), F.col(dst_col)
     e = edges.select(src.alias("src"), dst.alias("dst")).distinct()
     outdeg = e.groupBy("src").agg(F.count("*").alias("odeg"))
@@ -70,27 +82,25 @@ def pagerank(
         .distinct()
     )
     n_row = nodes.agg(F.count("*").alias("n"))
-    ranks = nodes.crossJoin(F.broadcast(n_row)).select(
-        "node", F.round(F.lit(1.0) / F.col("n"), round_scale).alias("rank")
-    )
+    # iterate on r_rel = rank·N (uniform start = exactly 1.0) so the
+    # per-round rounding is relative-precision at any graph size
+    ranks = nodes.select("node", F.lit(1.0).alias("r_rel"))
     for i in range(iterations):
         contribs = (
             ed.join(ranks, ed["src"] == ranks["node"])
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("rank") / F.col("odeg")).alias("contrib"))
+            .agg(F.sum(F.col("r_rel") / F.col("odeg")).alias("contrib"))
         )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .crossJoin(F.broadcast(n_row))
-            .select(
-                "node",
-                F.round(
-                    (1.0 - damping) / F.col("n")
-                    + damping * F.coalesce(F.col("contrib"), F.lit(0.0)),
-                    round_scale,
-                ).alias("rank"),
-            )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            F.round(
+                F.lit(1.0 - damping)
+                + damping * F.coalesce(F.col("contrib"), F.lit(0.0)),
+                round_scale,
+            ).alias("r_rel"),
         )
         if (i + 1) % checkpoint_interval == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+    return ranks.crossJoin(F.broadcast(n_row)).select(
+        "node", (F.col("r_rel") / F.col("n")).alias("rank")
+    )

@@ -103,7 +103,22 @@ def release(ids_df: DataFrame) -> None:
     result — call AFTER the result is materialized (written,
     checkpointed, or collected); before that, dropping the cache
     would let the range partitioner resample on recompute and
-    corrupt the numbering."""
+    corrupt the numbering.
+
+    Must be handed the EXACT DataFrame ``assign_contiguous_ids``
+    returned — the handle rides on that object, so a derived frame
+    (``.select()``/``.filter()`` result) can't release it. A miss
+    warns instead of silently leaking the persisted blocks.
+    """
     src = getattr(ids_df, "_contiguous_ids_input", None)
     if src is not None:
         src.unpersist()
+    else:
+        import warnings
+
+        warnings.warn(
+            "release() got a DataFrame without a persisted-input handle "
+            "— pass the exact assign_contiguous_ids() result, or the "
+            "cached input stays pinned on the executors",
+            stacklevel=2,
+        )

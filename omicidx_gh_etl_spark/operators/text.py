@@ -565,20 +565,11 @@ def bm25_topk(
         for i, name in enumerate(tf_cols)
     ]
     score = f"round({' + '.join(parts)}, 4)"
+    from .common import ranked_topk
+
     scored = (
         sized.crossJoin(F.broadcast(stats))
         .selectExpr(f"`{id_col}`", f"{score} AS score")
         .filter(F.col("score") > 0)
     )
-    from pyspark.sql import Window as W
-
-    return (
-        scored.orderBy(F.desc("score"), F.asc(id_col))
-        .limit(k)
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                W.partitionBy().orderBy(F.desc("score"), F.asc(id_col))
-            ).cast("int"),
-        )
-    )
+    return ranked_topk(scored, "score", id_col, k)

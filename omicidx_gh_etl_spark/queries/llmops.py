@@ -2237,9 +2237,9 @@ def _pr_iter_sql(i: int) -> str:
       GROUP BY 1),
     r{i} AS (
       SELECT nodes.node,
-             round((1.0 - 0.85) / nn.n
+             round((1.0 - 0.85)
                    + 0.85 * coalesce(c{i}.contrib, 0.0), 9) AS pr
-      FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.node CROSS JOIN nn)"""
+      FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.node)"""
 
 
 _PR_ORACLE = f"""
@@ -2250,10 +2250,9 @@ _PR_ORACLE = f"""
     nodes AS (SELECT src AS node FROM edges
               UNION SELECT dst FROM edges),
     nn AS (SELECT count(*) AS n FROM nodes),
-    r0 AS (SELECT node, round(1.0 / nn.n, 9) AS pr
-           FROM nodes CROSS JOIN nn),
+    r0 AS (SELECT node, 1.0 AS pr FROM nodes),
     {','.join(_pr_iter_sql(i) for i in (1, 2, 3))}
-    SELECT node, pr FROM r3
+    SELECT node, r3.pr / nn.n AS pr FROM r3 CROSS JOIN nn
     """
 
 
@@ -2297,13 +2296,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH scored AS (
       SELECT doc_id, n_chars,
-             round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-                          ::BIGINT + 0.5) / 1152921504606846976.0)
-                   / CAST(n_chars AS DOUBLE), 8) AS priority
+             round(ln(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1,
+                                           15))::BIGINT + 0.5)
+                          / 1152921504606846976.0))
+                   - ln(CAST(n_chars AS DOUBLE)), 8) AS priority
       FROM documents WHERE n_chars > 0)
     SELECT doc_id, n_chars, priority, CAST(rk AS INT) AS rk FROM (
       SELECT doc_id, n_chars, priority,
-             row_number() OVER (ORDER BY priority DESC, doc_id) AS rk
+             row_number() OVER (ORDER BY priority ASC, doc_id) AS rk
       FROM scored)
     WHERE rk <= 25
     """,
@@ -2313,9 +2313,10 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Efraimidis-Spirakis weighted sampling WITHOUT replacement
     (probability ∝ n_chars): the deterministic one-pass replacement
     for sequential reservoir/quota samplers — map-only md5-derived
-    priority keys + TakeOrderedAndProject, no corpus shuffle
-    (operators/samplers.py has the algorithm and determinism
-    contract). The length weight is the curation shape: prefer long
+    LOG-DOMAIN priority keys (scale-invariant rounding; see
+    operators/samplers.py for why the naive ln(u)/w key collapses at
+    realistic weight magnitudes) + TakeOrderedAndProject, no corpus
+    shuffle. The length weight is the curation shape: prefer long
     documents without hard-cutting short ones."""
     from ..operators.samplers import weighted_sample_without_replacement
 

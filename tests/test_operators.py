@@ -1460,3 +1460,24 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
 
     with _pytest.raises(ValueError):
         weighted_sample_without_replacement(df, "w", "id", k=0)
+
+
+def test_weighted_sample_survives_large_weight_magnitudes(spark):
+    """Regression: the naive ln(u)/w key rounded at 1e-8 collapses to
+    one quantum once weights reach ~1e6, silently degrading the
+    sample into id-ordered selection. The log-domain key is
+    scale-invariant: multiplying all weights by 1e7 must yield the
+    SAME sample as the unscaled weights, still weight-dominated."""
+    from omicidx_gh_etl_spark.operators.samplers import (
+        weighted_sample_without_replacement,
+    )
+
+    rows = [(i, 100.0 if i < 50 else 1.0) for i in range(1000)]
+    base = spark.createDataFrame(rows, "id long, w double")
+    scaled = base.selectExpr("id", "w * 1e7 AS w")
+    got_base = {r["id"] for r in
+                weighted_sample_without_replacement(base, "w", "id", 40).collect()}
+    got_scaled = {r["id"] for r in
+                  weighted_sample_without_replacement(scaled, "w", "id", 40).collect()}
+    assert got_base == got_scaled
+    assert sum(1 for i in got_scaled if i < 50) >= 25
