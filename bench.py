@@ -501,6 +501,72 @@ def scale_section(spark, sf_dir: str, rep: int = 100) -> dict:
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
 
+    # 3c. Bloom-pruned semi join at rep× probe rows: lineitem replicas
+    # (remapped orderkeys so selectivity is preserved) semi-joined to
+    # the urgent-order key set through the caller-sized bitmap. The
+    # claim this measures: the big side is cut map-side, so the timed
+    # cost tracks the SCAN, not a full-probe shuffle.
+    from omicidx_gh_etl_spark.operators import blooms
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    n_li = li.count() * rep
+    li_rep = li.select("l_orderkey", "l_returnflag", repx).select(
+        (F.col("l_orderkey") * rep + F.col("__rep")).alias("l_orderkey"),
+        "l_returnflag",
+    ).repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
+    urgent_rep = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", repx
+    ).select((F.col("o_orderkey") * rep + F.col("__rep")).alias("o_orderkey"))
+    bsj = blooms.bloom_semi_join(
+        li_rep, urgent_rep, "l_orderkey", "o_orderkey", num_bits=1 << 22
+    )
+    sec = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        bsj.count()
+        sec = min(sec, time.perf_counter() - t0)
+    out["join_bloom_pruned_semi"] = {
+        "rows": n_li, "sec": round(sec, 3), "rows_per_sec": round(n_li / sec)
+    }
+
+    # 3d. PageRank on a prep× event graph (re-salted property buckets
+    # → prep disjoint bipartite graphs, like the LSH replicas): the
+    # iterative-join throughput number — edges×iterations per second.
+    # prep = rep/10: the edge list grows ~linearly in replicas and 3
+    # iterations re-join it each round, so full rep would dominate the
+    # whole scale section's wall time.
+    from omicidx_gh_etl_spark.operators import graph as graph_op
+    from omicidx_gh_etl_spark.queries.tables import load_events
+
+    prep = max(1, rep // 10)
+    repp = F.explode(F.sequence(F.lit(1), F.lit(prep))).alias("__rep")
+    ev = load_events(spark, sf_dir)
+    k_expr = F.try_variant_get(F.parse_json("props"), "$.k", "bigint") % 100
+    pairs = (
+        ev.select(F.col("user_id").alias("u"), k_expr.alias("kb"), repp)
+        .filter(F.col("kb").isNotNull())
+        .select(
+            F.concat(F.lit("u:"), F.col("u") * prep + F.col("__rep")).alias("a"),
+            F.concat(F.lit("k:"), F.col("kb") * prep + F.col("__rep")).alias("b"),
+        )
+        .distinct()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).repartition(spark.sparkContext.defaultParallelism, "a")
+    n_edges = edges.count()
+    pr = graph_op.pagerank(edges, "a", "b", iterations=3)
+    sec = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        pr.count()
+        sec = min(sec, time.perf_counter() - t0)
+    out["graph_pagerank"] = {
+        "edges": n_edges, "iterations": 3, "sec": round(sec, 3),
+        "edge_iters_per_sec": round(3 * n_edges / sec),
+    }
+
     # 4. sf1 file-backed weak scaling: the TOP-3 headline queries
     # against REAL 10×-sf0.1 parquet (materialized once, multi-file so
     # the scan has genuine parallelism), each PAIRED with the DuckDB
