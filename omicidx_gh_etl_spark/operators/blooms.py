@@ -12,6 +12,9 @@ first-class, caller-controlled operator built from public expressions:
 - ``bloom_semi_join``  — prune, then exact semi join: identical result
                          to a plain semi join (false positives removed
                          by the exact join; false negatives impossible)
+- ``bloom_anti_join``  — exact anti join where bloom MISSES are
+                         certain non-matches kept map-side; only the
+                         probable sliver shuffles
 
 Scale design (the reason this exists): a plain big⋈small semi join
 shuffles the BIG side on the join key. With a bloom pass the big side
@@ -44,6 +47,7 @@ __all__ = [
     "bloom_might_contain",
     "bloom_prune",
     "bloom_semi_join",
+    "bloom_anti_join",
     "hash_key_sql",
 ]
 
@@ -228,3 +232,46 @@ def bloom_semi_join(
         on=big_key,
         how="left_semi",
     )
+
+
+def bloom_anti_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """Exact ``big`` LEFT ANTI ``small``, bloom-accelerated.
+
+    The bloom's one-sided error points the OTHER way here: a row that
+    FAILS the probe is a CERTAIN non-match (no false negatives), so
+    it belongs in the anti result immediately — map-side, no shuffle.
+    Only the probable-positive sliver (true matches + FPR) takes the
+    exact anti join. Null big keys are correct on either branch: a
+    bloom miss keeps them directly, a hit sends them to the exact
+    anti join where null never equi-matches — both match plain
+    left_anti semantics (nulls are KEPT).
+
+    Cost shape: ``big`` is evaluated twice (once per branch) but only
+    ~(selectivity + FPR) of it shuffles. At 100 TB with a
+    1%-selective small side that trades one extra columnar scan for
+    removing 99% of the anti join's shuffle — the right trade
+    whenever the scan is cheaper than the shuffle (persist ``big``
+    first if it is itself an expensive derivation).
+    """
+    if _BF in big.columns:
+        raise ValueError(
+            f"big side already has a {_BF!r} column — rename it before "
+            "bloom pruning (the bitmap cross join would make it ambiguous)"
+        )
+    _check_key_types(big, small, big_key, small_key)
+    bf = bloom_bitmap(small, small_key, num_bits, num_hashes)
+    probed = big.crossJoin(F.broadcast(bf))
+    hit = bloom_might_contain(hash_key_sql(big, big_key), num_bits, num_hashes)
+    certain_out = probed.filter(~hit).drop(_BF)
+    maybe = probed.filter(hit).drop(_BF)
+    exact_out = maybe.join(
+        small.select(F.col(small_key).alias(big_key)), on=big_key, how="left_anti"
+    )
+    return certain_out.unionByName(exact_out)

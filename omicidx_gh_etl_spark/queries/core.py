@@ -899,6 +899,47 @@ def incremental_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_bloom_pruned_anti",
+    """
+    SELECT l.l_returnflag, count(*) AS n_items,
+           sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS revenue
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY l.l_returnflag
+    """,
+    tags=("U3", "J1", "bloom"),
+)
+def join_bloom_pruned_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join with the bloom's one-sided error pointed the OTHER
+    way (operators/blooms.py::bloom_anti_join): a probe MISS is a
+    CERTAIN non-match that enters the result map-side without ever
+    shuffling; only the probable sliver (true matches + false
+    positives) takes the exact anti join. Result is bit-identical to
+    a plain NOT EXISTS. Scale: the anti join — normally the
+    worst-case shuffle (every big row must check membership) — moves
+    only ~(selectivity + FPR) of the fact table."""
+    from ..operators.blooms import bloom_anti_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        bloom_anti_join(
+            li, urgent, "l_orderkey", "o_orderkey",
+            num_bits=1 << 20, num_hashes=3,
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("revenue"),
+        )
+    )
+
+
+@register(
     "incremental_agg_refresh",
     """
     SELECT event_type,

@@ -1481,3 +1481,20 @@ def test_weighted_sample_survives_large_weight_magnitudes(spark):
                   weighted_sample_without_replacement(scaled, "w", "id", 40).collect()}
     assert got_base == got_scaled
     assert sum(1 for i in got_scaled if i < 50) >= 25
+
+
+def test_bloom_anti_join_matches_exact_anti(spark):
+    """Bloom misses are certain non-matches (kept map-side); hits take
+    the exact anti join — the union must equal a plain left_anti,
+    including null-key rows (kept, like left_anti)."""
+    from omicidx_gh_etl_spark.operators import blooms
+
+    big = spark.createDataFrame(
+        [(i, i % 3) for i in range(2000)] + [(None, 99)], "k long, v long"
+    )
+    small = spark.range(0, 2000, 7).select(F.col("id").alias("sk"))
+    got = blooms.bloom_anti_join(big, small, "k", "sk", num_bits=1 << 13)
+    exact = big.join(small.select(F.col("sk").alias("k")), "k", "left_anti")
+    assert got.exceptAll(exact).count() == 0
+    assert exact.exceptAll(got).count() == 0
+    assert got.filter(F.col("k").isNull()).count() == 1
