@@ -573,3 +573,88 @@ def bm25_topk(
         .filter(F.col("score") > 0)
     )
     return ranked_topk(scored, "score", id_col, k)
+
+
+def _sql_str(s: str) -> str:
+    """SQL single-quoted literal with backslash+quote escaping (merge
+    symbols come from corpus text and may contain either)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def bpe_learn_merges(
+    df: DataFrame, text_col: str, n_merges: int = 8
+) -> DataFrame:
+    """Learn a BPE merge table from the corpus: ``(merge_order, left,
+    right, pair_count)`` — tokenizer TRAINING, not encoding (the
+    encoding side is ``text_bpe_tokens``'s fixed-vocab operator).
+
+    Classic Sennrich BPE, distributed: each round counts adjacent
+    symbol pairs corpus-wide (one explode + groupBy on uniform pair
+    keys, map-side partials), picks the argmax (count desc, then
+    lexicographic — a TOTAL order, so the learned table is
+    deterministic), and applies the merge with a left-to-right
+    ``aggregate`` fold over each word's symbol array (JVM lambda,
+    handles runs correctly: "aaaa" + (a,a) → aa,aa). The corpus
+    tokenization is localCheckpoint-ed per round, so round N costs
+    one scan of the CURRENT symbols, not a replay of N-1 merges.
+
+    Driver state is the merge table itself (n_merges rows) plus one
+    1-row collect per round — O(vocab), never O(corpus). At 100 TB
+    production practice is to train on a hash-sample of the corpus
+    (compose with ``sample_hash_stratified``) — pair counts
+    concentrate fast and the merge table stabilizes long before the
+    full corpus is needed; the per-round plan here is
+    sample-size-proportional either way.
+
+    No DuckDB oracle: the iterative re-tokenization isn't expressible
+    as non-recursive SQL — evidence is the golden pytest (hand-checked
+    merge order) plus per-round recorded values in
+    ROWS_ONLY_EVIDENCE.json.
+    """
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    spark = df.sparkSession
+    words = df.select(F.explode(tokens_expr(text_col)).alias("w"))
+    cur = words.select(
+        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        .alias("s")
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        for order in range(1, n_merges + 1):
+            best = (
+                cur.filter(F.size("s") >= 2)
+                .select(
+                    F.expr(
+                        "explode(transform(sequence(1, size(s) - 1),"
+                        " i -> struct(element_at(s, i) AS l,"
+                        " element_at(s, i + 1) AS r)))"
+                    ).alias("p")
+                )
+                .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                .agg(F.count("*").alias("c"))
+                .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            l, r, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
+            merges.append((order, l, r, c))
+            ls, rs, ms = _sql_str(l), _sql_str(r), _sql_str(l + r)
+            nxt = cur.select(
+                F.expr(
+                    "aggregate(s, cast(array() as array<string>),"
+                    " (acc, x) -> IF(size(acc) > 0"
+                    f" AND element_at(acc, -1) = {ls} AND x = {rs},"
+                    f" concat(slice(acc, 1, size(acc) - 1), array({ms})),"
+                    " concat(acc, array(x))))"
+                ).alias("s")
+            ).localCheckpoint(eager=True)
+            cur.unpersist()
+            cur = nxt
+    finally:
+        cur.unpersist()
+    return spark.createDataFrame(
+        merges, "merge_order int, left string, right string, pair_count bigint"
+    )

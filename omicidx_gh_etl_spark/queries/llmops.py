@@ -2324,3 +2324,22 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_without_replacement(
         d.select("doc_id", "n_chars"), "n_chars", "doc_id", k=25
     )
+
+
+@register(
+    "text_bpe_learn_merges",
+    None,  # iterative re-tokenization is not expressible as
+    # non-recursive SQL; evidence = golden pytest (hand-checked merge
+    # order, run/tie semantics) + per-round recorded merge table in
+    # ROWS_ONLY_EVIDENCE.json (deterministic: exact integer counts,
+    # total-order argmax)
+    tags=("text", "llm", "tokenizer", "iterative"),
+)
+def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING over the corpus (Sennrich merges):
+    per round, corpus-wide adjacent-pair counts → deterministic
+    argmax → fold-apply the merge (operators/text.py::bpe_learn_merges
+    has the scale story — per-round cost is one scan of the current
+    symbols, driver state is the merge table only)."""
+    d = load_spread(spark, sf_dir, "documents", "doc_id")
+    return text.bpe_learn_merges(d, "text", n_merges=8)

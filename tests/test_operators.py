@@ -1498,3 +1498,33 @@ def test_bloom_anti_join_matches_exact_anti(spark):
     assert got.exceptAll(exact).count() == 0
     assert exact.exceptAll(got).count() == 0
     assert got.filter(F.col("k").isNull()).count() == 1
+
+
+def test_bpe_learn_merges_golden_order(spark):
+    """Hand-checked Sennrich order on a tiny corpus: words aa,aa,ab →
+    round 1 merges (a,a) count 2; retokenized [aa],[aa],[a,b] →
+    round 2 merges (a,b) count 1; nothing left to merge after."""
+    from omicidx_gh_etl_spark.operators import text as T
+
+    df = _docs(spark, [(1, "aa aa ab")])
+    got = [
+        (r["merge_order"], r["left"], r["right"], r["pair_count"])
+        for r in T.bpe_learn_merges(df, "text", n_merges=5).collect()
+    ]
+    assert got == [(1, "a", "a", 2), (2, "a", "b", 1)]
+
+
+def test_bpe_learn_merges_handles_runs_and_ties(spark):
+    """'aaaa' + merge (a,a) must retokenize to aa,aa (left-to-right
+    consumption), and count ties break lexicographically."""
+    from omicidx_gh_etl_spark.operators import text as T
+
+    df = _docs(spark, [(1, "aaaa bc bc")])
+    got = [
+        (r["merge_order"], r["left"], r["right"], r["pair_count"])
+        for r in T.bpe_learn_merges(df, "text", n_merges=2).collect()
+    ]
+    # round 1: pairs (a,a)x3, (b,c)x2 -> (a,a); round 2: aaaa -> [aa,aa]
+    # so pairs (aa,aa)x1, (b,c)x2 -> (b,c)
+    assert got[0] == (1, "a", "a", 3)
+    assert got[1] == (2, "b", "c", 2)

@@ -160,3 +160,29 @@ def test_span_fixpoint_postcondition_recorded(spark):
             "spans_remaining": int(remaining),
         }
     })
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_GATE), reason="testdata absent")
+def test_bpe_learn_merges_table_recorded(spark):
+    """The learned merge table is fully deterministic (exact integer
+    pair counts, total-order argmax) even though it has no SQL oracle
+    — record it verbatim each round so any drift is visible in the
+    diff, and assert the structural floors: 8 rounds completed on
+    this corpus, counts non-increasing is NOT required (later merges
+    can create new frequent pairs) but every count is positive and
+    orders are 1..8."""
+    rows = sorted(
+        REGISTRY["text_bpe_learn_merges"].builder(spark, SF_GATE).collect(),
+        key=lambda r: r["merge_order"],
+    )
+    assert [r["merge_order"] for r in rows] == list(range(1, 9))
+    assert all(r["pair_count"] > 0 for r in rows)
+    assert all(len(r["left"]) >= 1 and len(r["right"]) >= 1 for r in rows)
+    _record(
+        {
+            "bpe_merges": [
+                [r["merge_order"], r["left"], r["right"], r["pair_count"]]
+                for r in rows
+            ]
+        }
+    )
