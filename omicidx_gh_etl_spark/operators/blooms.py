@@ -178,6 +178,29 @@ def bloom_might_contain(
     return F.expr(" AND ".join(tests))
 
 
+def _probed(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    num_bits: int,
+    num_hashes: int,
+):
+    """Shared probe assembly: validate, build the bitmap, broadcast it
+    onto ``big`` → (probed_frame, hit_column). Both join variants
+    consume this so the guard/type-check/probe logic cannot drift."""
+    if _BF in big.columns:
+        raise ValueError(
+            f"big side already has a {_BF!r} column — rename it before "
+            "the bloom probe (the bitmap cross join would make it ambiguous)"
+        )
+    _check_key_types(big, small, big_key, small_key)
+    bf = bloom_bitmap(small, small_key, num_bits, num_hashes)
+    probed = big.crossJoin(F.broadcast(bf))
+    hit = bloom_might_contain(hash_key_sql(big, big_key), num_bits, num_hashes)
+    return probed, hit
+
+
 def bloom_prune(
     big: DataFrame,
     small: DataFrame,
@@ -193,18 +216,8 @@ def bloom_prune(
     row = a glorified literal that stays out of the plan text), so
     the filter is map-only on ``big`` — no shuffle of the big side.
     """
-    if _BF in big.columns:
-        raise ValueError(
-            f"big side already has a {_BF!r} column — rename it before "
-            "bloom pruning (the bitmap cross join would make it ambiguous)"
-        )
-    _check_key_types(big, small, big_key, small_key)
-    bf = bloom_bitmap(small, small_key, num_bits, num_hashes)
-    return (
-        big.crossJoin(F.broadcast(bf))
-        .filter(bloom_might_contain(hash_key_sql(big, big_key), num_bits, num_hashes))
-        .drop(_BF)
-    )
+    probed, hit = _probed(big, small, big_key, small_key, num_bits, num_hashes)
+    return probed.filter(hit).drop(_BF)
 
 
 def bloom_semi_join(
@@ -257,18 +270,19 @@ def bloom_anti_join(
     ~(selectivity + FPR) of it shuffles. At 100 TB with a
     1%-selective small side that trades one extra columnar scan for
     removing 99% of the anti join's shuffle — the right trade
-    whenever the scan is cheaper than the shuffle (persist ``big``
-    first if it is itself an expensive derivation).
+    whenever the scan is cheaper than the shuffle.
+
+    CORRECTNESS PRECONDITION (not just cost): because ``big`` appears
+    in BOTH union branches, its plan is evaluated twice and must be
+    DETERMINISTIC. A nondeterministic input — unseeded sample(),
+    a rand()-derived filter, a non-idempotent source — can place a
+    row in neither or both evaluations, silently dropping or
+    duplicating it in the result. Persist/localCheckpoint such
+    inputs first (the same contract as any Spark self-referencing
+    union; ``bloom_semi_join`` does not share it — there ``big`` is
+    evaluated once).
     """
-    if _BF in big.columns:
-        raise ValueError(
-            f"big side already has a {_BF!r} column — rename it before "
-            "bloom pruning (the bitmap cross join would make it ambiguous)"
-        )
-    _check_key_types(big, small, big_key, small_key)
-    bf = bloom_bitmap(small, small_key, num_bits, num_hashes)
-    probed = big.crossJoin(F.broadcast(bf))
-    hit = bloom_might_contain(hash_key_sql(big, big_key), num_bits, num_hashes)
+    probed, hit = _probed(big, small, big_key, small_key, num_bits, num_hashes)
     certain_out = probed.filter(~hit).drop(_BF)
     maybe = probed.filter(hit).drop(_BF)
     exact_out = maybe.join(

@@ -588,23 +588,25 @@ def bpe_learn_merges(
     right, pair_count)`` — tokenizer TRAINING, not encoding (the
     encoding side is ``text_bpe_tokens``'s fixed-vocab operator).
 
-    Classic Sennrich BPE, distributed: each round counts adjacent
-    symbol pairs corpus-wide (one explode + groupBy on uniform pair
-    keys, map-side partials), picks the argmax (count desc, then
-    lexicographic — a TOTAL order, so the learned table is
-    deterministic), and applies the merge with a left-to-right
-    ``aggregate`` fold over each word's symbol array (JVM lambda,
-    handles runs correctly: "aaaa" + (a,a) → aa,aa). The corpus
-    tokenization is localCheckpoint-ed per round, so round N costs
-    one scan of the CURRENT symbols, not a replay of N-1 merges.
+    Classic Sennrich BPE, distributed, and — like Sennrich's own
+    implementation — trained on the (UNIQUE word, frequency) table,
+    not word instances: the corpus collapses once up front to
+    distinct words with counts, every round's pair counts are
+    frequency-weighted sums, and the merge fold rewrites each
+    distinct word once. Identical merge table, but per-round work is
+    O(distinct words) instead of O(corpus tokens) — on Zipfian text
+    that is orders of magnitude, and it is exact (no sampling
+    needed). Each round: one explode + groupBy on uniform pair keys
+    (map-side partials), argmax under a TOTAL order (count desc,
+    then lexicographic — deterministic table), then a left-to-right
+    ``aggregate`` fold over the symbol arrays (JVM lambda, handles
+    runs correctly: "aaaa" + (a,a) → aa,aa). The vocab table is
+    localCheckpoint-ed per round, so round N costs one scan of the
+    CURRENT symbols, not a replay of N-1 merges; the final round
+    skips the fold entirely (its retokenization is never read).
 
     Driver state is the merge table itself (n_merges rows) plus one
-    1-row collect per round — O(vocab), never O(corpus). At 100 TB
-    production practice is to train on a hash-sample of the corpus
-    (compose with ``sample_hash_stratified``) — pair counts
-    concentrate fast and the merge table stabilizes long before the
-    full corpus is needed; the per-round plan here is
-    sample-size-proportional either way.
+    1-row collect per round — O(vocab), never O(corpus).
 
     No DuckDB oracle: the iterative re-tokenization isn't expressible
     as non-recursive SQL — evidence is the golden pytest (hand-checked
@@ -614,10 +616,15 @@ def bpe_learn_merges(
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
     spark = df.sparkSession
-    words = df.select(F.explode(tokens_expr(text_col)).alias("w"))
-    cur = words.select(
+    vocab = (
+        df.select(F.explode(tokens_expr(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    cur = vocab.select(
         F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
-        .alias("s")
+        .alias("s"),
+        "c",
     ).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
     try:
@@ -629,18 +636,21 @@ def bpe_learn_merges(
                         "explode(transform(sequence(1, size(s) - 1),"
                         " i -> struct(element_at(s, i) AS l,"
                         " element_at(s, i + 1) AS r)))"
-                    ).alias("p")
+                    ).alias("p"),
+                    "c",
                 )
                 .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-                .agg(F.count("*").alias("c"))
-                .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+                .agg(F.sum("c").alias("n"))
+                .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
                 .limit(1)
                 .collect()
             )
             if not best:
                 break
-            l, r, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
+            l, r, c = best[0]["l"], best[0]["r"], int(best[0]["n"])
             merges.append((order, l, r, c))
+            if order == n_merges:
+                break  # the last retokenization would never be read
             ls, rs, ms = _sql_str(l), _sql_str(r), _sql_str(l + r)
             nxt = cur.select(
                 F.expr(
@@ -649,7 +659,8 @@ def bpe_learn_merges(
                     f" AND element_at(acc, -1) = {ls} AND x = {rs},"
                     f" concat(slice(acc, 1, size(acc) - 1), array({ms})),"
                     " concat(acc, array(x))))"
-                ).alias("s")
+                ).alias("s"),
+                "c",
             ).localCheckpoint(eager=True)
             cur.unpersist()
             cur = nxt

@@ -1,9 +1,11 @@
 """Per-round recorded evidence for the no-oracle tail.
 
-Three registered queries have no DuckDB oracle (float-iteration
-nondeterminism: `similarity_kmeans_fit`, `similarity_pq_search`,
-`dedup_semantic_clusters`) and one operator is pinned only by a
-postcondition (`remove_duplicate_spans_fixpoint`). The driver records
+Four registered queries have no DuckDB oracle — float-iteration
+nondeterminism (`similarity_kmeans_fit`, `similarity_pq_search`,
+`dedup_semantic_clusters`) and non-SQL-expressible iteration
+(`text_bpe_learn_merges`, whose deterministic merge table is recorded
+verbatim) — and one operator is pinned only by a postcondition
+(`remove_duplicate_spans_fixpoint`). The driver records
 a weaker rows-only check for them, so this test computes their
 DETERMINISTIC SUB-PROPERTIES at the driver's comparison scale each
 round, asserts the floors, and appends the measured values (keyed by
