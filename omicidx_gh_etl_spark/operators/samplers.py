@@ -72,3 +72,40 @@ def weighted_sample_without_replacement(
     pri = F.round(F.log(-F.log(u)) - F.log(w), round_scale).alias("priority")
     scored = df.filter(w > 0).select("*", pri)
     return ranked_topk(scored, "priority", id_col, k, ascending=True)
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    weight_col: str,
+    id_col: str,
+    k: int,
+    round_scale: int = 8,
+) -> DataFrame:
+    """Stratified E-S: k rows PER GROUP with probability ∝ weight
+    within each group — the per-source/per-language quota shape of a
+    mixture-curation pipeline (exact quotas, unlike the rate-based
+    ``sample_hash_stratified``).
+
+    Same log-domain priority as
+    :func:`weighted_sample_without_replacement`; selection is a
+    rank-k window per group (WindowGroupLimit pushes the cut into
+    the shuffle — one exchange on the group key, per-group state of
+    k rows). Groups with fewer than k positive-weight rows return
+    all of them.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    from pyspark.sql import Window as W
+
+    w = F.col(weight_col).cast("double")
+    u = _uniform01(F.col(id_col))
+    pri = F.round(F.log(-F.log(u)) - F.log(w), round_scale).alias("priority")
+    scored = df.filter(w > 0).select("*", pri)
+    win = W.partitionBy(*group_cols).orderBy(F.asc("priority"), F.asc(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(win).cast("int"))
+        .filter(F.col("rk") <= k)
+    )

@@ -2343,3 +2343,37 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     symbols, driver state is the merge table only)."""
     d = load_spread(spark, sf_dir, "documents", "doc_id")
     return text.bpe_learn_merges(d, "text", n_merges=8)
+
+
+@register(
+    "sample_weighted_per_source",
+    """
+    WITH scored AS (
+      SELECT source, doc_id, n_chars,
+             round(ln(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1,
+                                           15))::BIGINT + 0.5)
+                          / 1152921504606846976.0))
+                   - ln(CAST(n_chars AS DOUBLE)), 8) AS priority
+      FROM documents WHERE n_chars > 0)
+    SELECT source, doc_id, n_chars, priority, CAST(rk AS INT) AS rk FROM (
+      SELECT source, doc_id, n_chars, priority,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY priority ASC, doc_id) AS rk
+      FROM scored)
+    WHERE rk <= 5
+    """,
+    tags=("sampling", "llm"),
+)
+def sample_weighted_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified Efraimidis-Spirakis: an exact length-weighted
+    5-document quota PER SOURCE (operators/samplers.py::
+    weighted_sample_per_group) — the per-source mixture-quota shape,
+    vs sample_hash_stratified's rate-based thinning. One exchange on
+    the group key; WindowGroupLimit caps per-group state at k."""
+    from ..operators.samplers import weighted_sample_per_group
+
+    d = load_spread(spark, sf_dir, "documents", "doc_id")
+    return weighted_sample_per_group(
+        d.select("source", "doc_id", "n_chars"),
+        ["source"], "n_chars", "doc_id", k=5,
+    )

@@ -1528,3 +1528,22 @@ def test_bpe_learn_merges_handles_runs_and_ties(spark):
     # so pairs (aa,aa)x1, (b,c)x2 -> (b,c)
     assert got[0] == (1, "a", "a", 3)
     assert got[1] == (2, "b", "c", 2)
+
+
+def test_weighted_sample_per_group_quotas_and_small_groups(spark):
+    from omicidx_gh_etl_spark.operators.samplers import (
+        weighted_sample_per_group,
+    )
+
+    rows = [(i, "big", 1.0) for i in range(100)] + [
+        (1000, "tiny", 5.0), (1001, "tiny", 0.0)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, w double")
+    got = weighted_sample_per_group(df, ["g"], "w", "id", k=10).collect()
+    by_g: dict[str, list] = {}
+    for r in got:
+        by_g.setdefault(r["g"], []).append(r)
+    assert len(by_g["big"]) == 10
+    # tiny group: only 1 positive-weight row -> returned whole
+    assert [r["id"] for r in by_g["tiny"]] == [1000]
+    assert all(r["rk"] <= 10 for r in got)
