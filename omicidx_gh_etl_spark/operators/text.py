@@ -669,3 +669,88 @@ def bpe_learn_merges(
     return spark.createDataFrame(
         merges, "merge_order int, left string, right string, pair_count bigint"
     )
+
+
+def bm25_batch_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str,
+    id_col: str,
+    q_id_col: str = "q_id",
+    q_term_col: str = "term",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 for a TABLE of queries: ``(q_id, id, score, rk)``
+    top-k docs per query — the batch-retrieval complement of
+    :func:`bm25_topk` (whose fixed-small-query plan is shuffle-free
+    but whose per-term expressions can't scale to thousands of
+    queries).
+
+    Plan: ONE inverted-index build — explode doc tokens, count tf per
+    (doc, term) — semi-filtered to the union of query terms BEFORE
+    the tf aggregate (broadcast of the distinct term list, so the
+    shuffle carries only matching postings); df per term and corpus
+    stats reduce from that same index; queries broadcast onto the
+    postings; per-(q_id, doc) score aggregate; rank-k window per
+    query (WindowGroupLimit). Everything shuffles on uniform
+    (term/doc/q_id) keys. At 100 TB the posting-list shuffle is the
+    honest cost of batch retrieval — amortized across ALL queries,
+    where the fixed-query operator would rescan per query.
+
+    Same determinism contract as ``bm25_topk``: scores round to 4
+    before ranking, doc-id tiebreak. ``queries`` must be small enough
+    to broadcast (thousands of (q_id, term) rows — it is the query
+    workload, not data).
+    """
+    toks = f"filter(split(coalesce(`{text_col}`, '') , ' '), x -> x != '')"
+    q = queries.select(
+        F.col(q_id_col).alias("q_id"), F.col(q_term_col).alias("term")
+    ).distinct()
+    qterms = q.select("term").distinct()
+    sized = docs.selectExpr(f"`{id_col}`", f"{toks} AS __t")
+    stats = sized.selectExpr(
+        "count(*) AS __n", "avg(size(__t)) AS __avgdl"
+    )
+    postings = (
+        sized.select(
+            F.col(id_col), F.size("__t").alias("__dl"),
+            F.explode("__t").alias("term"),
+        )
+        .join(F.broadcast(qterms), "term", "left_semi")
+        .groupBy(id_col, "term", "__dl")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = postings.groupBy("term").agg(F.count("*").alias("df"))
+    contrib = (
+        postings.join(F.broadcast(q), "term")
+        .join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "q_id",
+            F.col(id_col),
+            (
+                F.log(
+                    1.0
+                    + (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))
+                )
+            ).alias("part"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    scored = contrib.groupBy("q_id", id_col).agg(
+        F.round(F.sum("part"), 4).alias("score")
+    )
+    win = W.partitionBy("q_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.filter(F.col("score") > 0)
+        .withColumn("rk", F.row_number().over(win).cast("int"))
+        .filter(F.col("rk") <= k)
+    )

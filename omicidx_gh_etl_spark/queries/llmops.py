@@ -2377,3 +2377,53 @@ def sample_weighted_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("source", "doc_id", "n_chars"),
         ["source"], "n_chars", "doc_id", k=5,
     )
+
+
+_BM25_BATCH_Q = [(1, "vector"), (1, "stream"), (2, "merge"), (2, "batch")]
+
+
+@register(
+    "text_bm25_batch_topk",
+    f"""
+    WITH q(q_id, term) AS (VALUES
+      {', '.join(f"({i}, '{t}')" for i, t in _BM25_BATCH_Q)}),
+    sized AS (
+      SELECT doc_id, {_BM25_TOKS} AS t FROM documents),
+    stats AS (SELECT count(*) AS n, avg(len(t)) AS avgdl FROM sized),
+    postings AS (
+      SELECT doc_id, term, dl, count(*) AS tf FROM (
+        SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM sized)
+      WHERE term IN (SELECT DISTINCT term FROM q)
+      GROUP BY 1, 2, 3),
+    dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+    contrib AS (
+      SELECT q.q_id, p.doc_id,
+             ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * (p.tf * (1.2 + 1.0))
+             / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / s.avgdl)) AS part
+      FROM postings p
+      JOIN q ON p.term = q.term
+      JOIN dfreq ON p.term = dfreq.term
+      CROSS JOIN stats s),
+    scored AS (
+      SELECT q_id, doc_id, round(sum(part), 4) AS score
+      FROM contrib GROUP BY 1, 2)
+    SELECT q_id, doc_id, score, CAST(rk AS INT) AS rk FROM (
+      SELECT q_id, doc_id, score,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY score DESC, doc_id) AS rk
+      FROM scored WHERE score > 0)
+    WHERE rk <= 10
+    """,
+    tags=("text", "llm", "retrieval"),
+)
+def text_bm25_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 for a query TABLE (2 queries here): one inverted-index
+    build semi-filtered to the query-term union, stats and df from
+    the same postings, top-10 per query — the batch-retrieval
+    complement of the shuffle-free fixed-query text_bm25_topk
+    (operators/text.py::bm25_batch_topk has the plan discussion:
+    posting-shuffle cost amortized across all queries)."""
+    d = load_spread(spark, sf_dir, "documents", "doc_id")
+    q = spark.createDataFrame(_BM25_BATCH_Q, "q_id int, term string")
+    return text.bm25_batch_topk(d, q, "text", "doc_id", k=10)

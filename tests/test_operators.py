@@ -1547,3 +1547,30 @@ def test_weighted_sample_per_group_quotas_and_small_groups(spark):
     # tiny group: only 1 positive-weight row -> returned whole
     assert [r["id"] for r in by_g["tiny"]] == [1000]
     assert all(r["rk"] <= 10 for r in got)
+
+
+def test_bm25_batch_matches_fixed_query_scores(spark):
+    """The batch operator over a single-query table must produce
+    exactly the fixed-query operator's scores (same formula, same
+    rounding) for the same terms."""
+    from omicidx_gh_etl_spark.operators import text as T
+
+    df = _docs(
+        spark,
+        [
+            (1, "apple apple pear"),
+            (2, "apple " + "x " * 40 + "y"),
+            (3, "pear plum"),
+            (4, "apple pear plum"),
+        ],
+    )
+    q = spark.createDataFrame([(7, "apple")], "q_id int, term string")
+    batch = {
+        (r["doc_id"], r["score"], r["rk"])
+        for r in T.bm25_batch_topk(df, q, "text", "doc_id", k=10).collect()
+    }
+    fixed = {
+        (r["doc_id"], r["score"], r["rk"])
+        for r in T.bm25_topk(df, "text", "doc_id", ["apple"], k=10).collect()
+    }
+    assert batch == fixed
