@@ -154,7 +154,11 @@ def main() -> None:
     if isinstance(export.get("ratio_vs_duckdb"), (int, float)):
         compact["export_ratio_vs_duckdb"] = export["ratio_vs_duckdb"]
     line = json.dumps(compact, separators=(",", ":"))
-    assert len(line) < 1900, f"compact bench line {len(line)}B > tail window"
+    if len(line) >= 1900:
+        # explicit raise, not assert: asserts vanish under `python -O`
+        # and an oversized line silently recreates the r4
+        # "parsed": null failure this guard exists to prevent
+        raise RuntimeError(f"compact bench line {len(line)}B > tail window")
     print(line)
 
 

@@ -254,6 +254,7 @@ def bloom_anti_join(
     small_key: str,
     num_bits: int = 1 << 20,
     num_hashes: int = 3,
+    materialize: bool = False,
 ) -> DataFrame:
     """Exact ``big`` LEFT ANTI ``small``, bloom-accelerated.
 
@@ -280,8 +281,14 @@ def bloom_anti_join(
     duplicating it in the result. Persist/localCheckpoint such
     inputs first (the same contract as any Spark self-referencing
     union; ``bloom_semi_join`` does not share it — there ``big`` is
-    evaluated once).
+    evaluated once). Callers who cannot guarantee determinism should
+    pass ``materialize=True``: the probed frame is eagerly
+    localCheckpointed once, so both branches read the SAME
+    materialized rows (costs one extra persist of ``big``'s
+    projection — cheap insurance vs silent corruption).
     """
+    if materialize:
+        big = big.localCheckpoint(eager=True)
     probed, hit = _probed(big, small, big_key, small_key, num_bits, num_hashes)
     certain_out = probed.filter(~hit).drop(_BF)
     maybe = probed.filter(hit).drop(_BF)

@@ -72,24 +72,29 @@ def assign_contiguous_ids(
         .agg(F.count("*").alias("cnt"))
         .collect()
     }
-    offsets, acc = {}, 0
+    offsets, acc = [], 0
     for pid in range(max(counts, default=-1) + 1):
-        offsets[pid] = acc
+        offsets.append(acc)
         acc += counts.get(pid, 0)
     if not offsets:
-        # empty input: create_map() with zero entries is map<void,void>
-        # and cannot be indexed — a typed placeholder keeps the (empty)
+        # empty input: array() with zero entries is array<void> and
+        # cannot be indexed — a typed placeholder keeps the (empty)
         # result schema identical to the non-empty case
-        offsets = {0: 0}
-    # offsets as a literal map: num_partitions entries, not data
-    off_map = F.create_map(
-        *[F.lit(x) for pid, off in sorted(offsets.items()) for x in (pid, off)]
-    )
+        offsets = [0]
+    # Offsets as a literal ARRAY indexed by the dense pid (0..P-1):
+    # element_at is an O(1) GetArrayItem in codegen. A create_map
+    # literal here would be the linear-scan trap (Spark's GetMapValue
+    # walks the entries) — O(rows × partitions) at the 10⁴–10⁵
+    # partition counts this operator targets; see the same lesson in
+    # blooms.py's bitmap assembly.
+    off_arr = F.array(*[F.lit(off).cast("long") for off in offsets])
     mono = F.monotonically_increasing_id()
     out = r.withColumn("__mono", mono).select(
         "*",
         (
-            off_map[F.shiftright(F.col("__mono"), _MONO_BITS).cast("int")]
+            F.element_at(
+                off_arr, F.shiftright(F.col("__mono"), _MONO_BITS).cast("int") + 1
+            )
             + F.col("__mono").bitwiseAND(F.lit((1 << _MONO_BITS) - 1))
             + F.lit(start)
         ).alias(id_name),

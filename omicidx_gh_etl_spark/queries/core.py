@@ -175,17 +175,20 @@ def mart_denormalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged studies+experiments+samples+runs (WAREHOUSE_SUMMARY.md:119-139,
     EXPORT_DEPLOYMENT.md:247-252 — 6.9 s on 64 cores).
     Scale: the fact table (orders ≈ experiments) is joined against
-    progressively smaller dims; nation/region (and customer when it
-    fits) are explicitly broadcast so the fact side never shuffles —
-    one scan, zero exchanges for the dim joins. This is the plan that
-    survives 100×: fact stays partition-local, dims ship to executors.
+    progressively smaller dims; only the CONSTANT-sized dims
+    (nation/region — 25/5 rows at every SF) carry an explicit
+    broadcast hint. Customer grows with the data (≈40M rows at the
+    reference's scale), so its join is left to Spark: at bench SF the
+    planner's size estimate (and AQE at runtime) still broadcasts it,
+    while at 100× it degrades gracefully to a shuffle join instead of
+    OOMing on a forced hint.
     """
     o = load_table(spark, sf_dir, "orders").alias("o")
     c = load_table(spark, sf_dir, "customer").alias("c")
     n = load_table(spark, sf_dir, "nation").alias("n")
     r = load_table(spark, sf_dir, "region").alias("r")
     return (
-        o.join(F.broadcast(c), F.col("o.o_custkey") == F.col("c.c_custkey"))
+        o.join(c, F.col("o.o_custkey") == F.col("c.c_custkey"))
         .join(F.broadcast(n), F.col("c.c_nationkey") == F.col("n.n_nationkey"))
         .join(F.broadcast(r), F.col("n.n_regionkey") == F.col("r.r_regionkey"))
         .select(

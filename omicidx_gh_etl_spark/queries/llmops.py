@@ -1420,8 +1420,12 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = F.round(
         F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 4
     )
+    # df_ has one row per DISTINCT CORPUS TERM — vocabulary-
+    # proportional (hundreds of millions of rows on a web corpus), so
+    # no broadcast hint: a plain shuffle join on the uniform `term`
+    # key scales; the 1-row corpus count is the only broadcast
     scored = (
-        tf.join(F.broadcast(df_), "term")
+        tf.join(df_, "term")
         .crossJoin(F.broadcast(n))
         .select("doc_id", "term", score.alias("tfidf"))
     )
@@ -1459,7 +1463,11 @@ def contamination_test_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     the leakage check every eval pipeline needs, composed from this
     repo's own primitives (hash split × shingle inverted index). The
     shingle join is the same sub-quadratic index as the Jaccard
-    operator; split membership broadcasts."""
+    operator. Split membership is ``md5(doc_id) % 10`` — a pure
+    function of a column the shingle frame already carries — so it is
+    computed MAP-SIDE on ``sh.doc_id`` directly: zero membership
+    joins, zero broadcasts of corpus-proportional id sets (train is
+    80% of the corpus by construction)."""
     d = load_spread(spark, sf_dir, "documents", "doc_id")
     sh = dedup.shingles(d, "text", "doc_id", n=3)
     bucket = (
@@ -1467,19 +1475,13 @@ def contamination_test_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         % 10
     )
-    split = d.select("doc_id", bucket.alias("bucket"))
-    test_ids = split.filter(F.col("bucket") == 9).select(
-        F.col("doc_id").alias("test_doc")
+    tagged = sh.select("doc_id", "shingle", bucket.alias("bucket"))
+    te = tagged.filter(F.col("bucket") == 9).select(
+        F.col("doc_id").alias("test_doc"), "shingle"
     )
-    train_ids = split.filter(F.col("bucket") < 8).select(
-        F.col("doc_id").alias("train_doc")
+    tr = tagged.filter(F.col("bucket") < 8).select(
+        F.col("doc_id").alias("train_doc"), "shingle"
     )
-    te = sh.join(
-        F.broadcast(test_ids), sh["doc_id"] == F.col("test_doc")
-    ).select("test_doc", "shingle")
-    tr = sh.join(
-        F.broadcast(train_ids), sh["doc_id"] == F.col("train_doc")
-    ).select("train_doc", "shingle")
     return (
         te.join(tr, "shingle")
         .groupBy("test_doc", "train_doc")
@@ -1553,7 +1555,8 @@ def curation_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     the composition itself is oracle-checked, not just the pieces.
     Scale: quality is map-only; the keeper set and split are one
     aggregate + one map; everything joins on doc_id (the keeper set
-    semi-joins broadcast after its aggregate)."""
+    is corpus-proportional, so its semi-join carries no broadcast
+    hint — the planner shuffles on the uniform doc_id key)."""
     d = load_table(spark, sf_dir, "documents")
     scored = text.quality_flag(
         d, "text", ["doc_id", "lang"], min_tokens=30, min_distinct_ratio=0.2
@@ -1569,7 +1572,10 @@ def curation_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
     return (
         scored.filter(F.col("quality") == "ok")
-        .join(F.broadcast(keepers), "doc_id", "left_semi")
+        # keepers ≈ the whole corpus (exact-dedup survivors) — plain
+        # semi join on doc_id; no forced broadcast of a
+        # corpus-proportional frame
+        .join(keepers, "doc_id", "left_semi")
         .groupBy("lang", split.alias("split"))
         .agg(
             F.count("*").alias("n_docs"),

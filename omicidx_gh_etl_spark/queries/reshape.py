@@ -368,16 +368,18 @@ def percent_of_total_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     result).
 
     Scale: the window runs over the AGGREGATED frame (|nations| rows),
-    not the fact table, so the sort is trivial; dimensions are
-    broadcast into the fact join. Shares divide two exact DECIMAL sums
-    once, in double, rounded — deterministic across engines.
+    not the fact table, so the sort is trivial; only the constant-size
+    dims (nation/region) carry broadcast hints — customer grows with
+    the data, so its join strategy is left to the planner/AQE. Shares
+    divide two exact DECIMAL sums once, in double, rounded —
+    deterministic across engines.
     """
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
     rev = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))

@@ -89,7 +89,10 @@ def late_materialization_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
         o.join(F.broadcast(topk), "o_orderkey")
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        # customer is data-proportional — no forced hint; after the
+        # 100-row topk semi-filter the planner broadcasts whichever
+        # side its stats say fits (at scale that's the filtered fact)
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .select(
             "o_orderkey",
             "o_orderstatus",
@@ -619,9 +622,11 @@ def audit_violations_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") > 1)
     )
-    orphan = o.join(
-        F.broadcast(c), o["o_custkey"] == c["c_custkey"], "left_anti"
-    )
+    # plain anti join: customer is data-proportional, so no forced
+    # broadcast hint — the planner picks broadcast-anti when the dim
+    # fits and a shuffle otherwise (blooms.bloom_anti_join is the
+    # map-side scale path when even the key set won't broadcast)
+    orphan = o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")
     return (
         one("null_custkey", o.filter(F.col("o_custkey").isNull()))
         .unionByName(one("nonpositive_price", o.filter(F.col("o_totalprice") <= 0)))

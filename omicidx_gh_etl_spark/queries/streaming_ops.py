@@ -190,19 +190,29 @@ def streaming_neardup_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     later batches — the continuous-crawl dedup shape. The pair set is
     ingestion-order-invariant (pinned by test_streaming_neardup), so
     the bounded run equals one-shot batch LSH, which IS the oracle."""
+    import shutil
     import tempfile
 
     from ..engine.snapshots import SnapshotTable
     from ..streaming.neardup import run_neardup_stream
 
     tmp = tempfile.mkdtemp(prefix="neardup_q_")
-    return run_neardup_stream(
-        spark,
-        f"{sf_dir}/documents.parquet",
-        "doc_id long, text string, source string, lang string, n_chars long",
-        SnapshotTable(f"{tmp}/index"),
-        SnapshotTable(f"{tmp}/pairs"),
-    )
+    try:
+        pairs = run_neardup_stream(
+            spark,
+            f"{sf_dir}/documents.parquet",
+            "doc_id long, text string, source string, lang string, n_chars long",
+            SnapshotTable(f"{tmp}/index"),
+            SnapshotTable(f"{tmp}/pairs"),
+        )
+        # materialize BEFORE returning: the lazy snapshot read is the
+        # only thing pinning the temp index/pairs dirs —
+        # localCheckpoint(eager) cuts the lineage so the tmpdir can be
+        # deleted here instead of leaking per invocation (same
+        # treatment as streaming_ann_ingest below)
+        return pairs.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @register(

@@ -1574,3 +1574,30 @@ def test_bm25_batch_matches_fixed_query_scores(spark):
         for r in T.bm25_topk(df, "text", "doc_id", ["apple"], k=10).collect()
     }
     assert batch == fixed
+
+
+def test_contiguous_ids_wide_partition_count_o1_lookup(spark):
+    """At the 10²–10⁵ partition counts this operator targets, the
+    per-row offset lookup must be O(1): an array literal indexed by the
+    dense pid (GetArrayItem), never a create_map literal (Spark's
+    GetMapValue is a linear scan → O(rows × partitions))."""
+    from pyspark.sql import Window as W
+
+    from omicidx_gh_etl_spark.operators import ids as ids_op
+
+    df = spark.range(0, 6000).select((F.col("id") * 31 % 6000).alias("k"))
+    out = ids_op.assign_contiguous_ids(df, ["k"], num_partitions=300)
+    try:
+        analyzed = out._jdf.queryExecution().analyzed().toString()
+        assert "map_keys" not in analyzed and "keys: [" not in analyzed
+        assert "element_at" in analyzed
+        got = {r["k"]: r["global_id"] for r in out.collect()}
+    finally:
+        ids_op.release(out)
+    want = {
+        r["k"]: r["rn"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(W.partitionBy().orderBy("k"))
+        ).collect()
+    }
+    assert got == want

@@ -4,6 +4,8 @@ operator, and exactly-once replay."""
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -70,3 +72,20 @@ def test_streaming_neardup_replay_is_exactly_once(spark, tmp_path):
     assert index.latest_version() == iv
     assert pairs_tbl.latest_version() == pv
     assert pairs_tbl.read(spark).count() == n_pairs
+
+
+def test_neardup_query_leaves_no_tmpdir(spark):
+    """The registered streaming_neardup_lsh query mkdtemps its snapshot
+    dirs; the result must be materialized (localCheckpoint) and the
+    tree deleted before return — the round-5 verdict found the lazy
+    return pinning the dirs forever (same leak ann_ingest had)."""
+    import glob
+    import tempfile
+
+    from omicidx_gh_etl_spark.queries import REGISTRY
+
+    pat = os.path.join(tempfile.gettempdir(), "neardup_q_*")
+    before = set(glob.glob(pat))
+    df = REGISTRY["streaming_neardup_lsh"].builder(spark, "/root/testdata/sf0.001")
+    assert df.count() >= 0  # consumable after the tmpdir is gone
+    assert set(glob.glob(pat)) == before

@@ -81,7 +81,11 @@ def spark_to_pandas(sdf) -> pd.DataFrame:
     return sdf.toPandas()
 
 
-def compare_strict(name: str, sdf, con) -> list[str]:
+def compare_strict(name: str, sdf, con, record: dict | None = None) -> list[str]:
+    """``record`` (optional out-param) receives ``rows`` and the Spark
+    result's canonical ``hash`` — the artifact fields PARITY_FULL
+    commits so a later round / the judge can diff results without
+    re-running."""
     q = REGISTRY[name]
     duck = con.execute(q.oracle).df()
     spark_pd = spark_to_pandas(sdf)
@@ -94,6 +98,9 @@ def compare_strict(name: str, sdf, con) -> list[str]:
         s_c, d_c = _canon(spark_pd), _canon(duck)
     except TypeError as e:
         return [f"CANON CRASH (driver would err): {e}"]
+    if record is not None:
+        record["rows"] = len(s_c)
+        record["hash"] = _hash(s_c)
     if _hash(s_c) != _hash(d_c):
         # find first differing cell for the report
         for col in s_c.columns:
@@ -143,8 +150,14 @@ def current_round(repo_root: str = ".") -> int:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     if "--slice" in only:
         # rotate: replace --slice with this round's 20-query window
         only.discard("--slice")
@@ -165,28 +178,51 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     failed, passed, skipped = [], [], []
+    records: dict[str, dict] = {}
     for name, q in sorted(REGISTRY.items()):
         if only and name not in only:
             continue
         if q.oracle is None:
             skipped.append(name)
+            records[name] = {"status": "rows_only"}
             continue
+        rec: dict = {}
         try:
             sdf = q.builder(spark, sf_dir)
-            errors = compare_strict(name, sdf, con)
+            errors = compare_strict(name, sdf, con, record=rec)
         except Exception as e:  # noqa: BLE001
             errors = [f"EXCEPTION: {type(e).__name__}: {e}"]
         if errors:
             failed.append(name)
+            rec["status"] = "fail"
+            rec["errors"] = errors[:6]
             print(f"  FAIL  {name}")
             for e in errors[:6]:
                 print(f"        {e}")
         else:
             passed.append(name)
+            rec["status"] = "ok"
             print(f"  ok    {name}")
+        records[name] = rec
     print(f"\n{len(passed)} passed, {len(failed)} failed, {len(skipped)} rows-only")
     if failed:
         print("failed:", " ".join(failed))
+    if json_path:
+        import json
+
+        with open(json_path, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_passed": len(passed),
+                    "n_failed": len(failed),
+                    "n_rows_only": len(skipped),
+                    "queries": records,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
     return 1 if failed else 0
 
 
