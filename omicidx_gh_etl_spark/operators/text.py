@@ -582,7 +582,7 @@ def _sql_str(s: str) -> str:
 
 
 def bpe_learn_merges(
-    df: DataFrame, text_col: str, n_merges: int = 8
+    df: DataFrame, text_col: str, n_merges: int = 8, batch: int = 1
 ) -> DataFrame:
     """Learn a BPE merge table from the corpus: ``(merge_order, left,
     right, pair_count)`` — tokenizer TRAINING, not encoding (the
@@ -606,7 +606,32 @@ def bpe_learn_merges(
     skips the fold entirely (its retokenization is never read).
 
     Driver state is the merge table itself (n_merges rows) plus one
-    1-row collect per round — O(vocab), never O(corpus).
+    small collect per round — O(vocab), never O(corpus).
+
+    Scale envelope — jobs per merge. Sequential mode (``batch=1``)
+    runs ONE Spark job (pair-count + argmax) and one fold per merge:
+    at the hundreds of merges this module's queries and tests train,
+    that is hundreds of sequential jobs, entirely fine; a production
+    32k-merge vocabulary would mean 32k sequential jobs whose ~0.1-1 s
+    scheduling floors dominate. ``batch=m`` amortizes that by applying
+    up to m merges per round WITHOUT changing the output: each round
+    takes the maximal PREFIX of the (count desc, left, right)-sorted
+    pair table that is pairwise symbol-disjoint — stopping at the
+    first pair that shares a symbol with an earlier accepted pair,
+    whose concatenation collides with an existing symbol or an
+    accepted pair's symbols/concat — then trims the batch to counts
+    STRICTLY above the first excluded pair. Under those conditions
+    the batched table is exactly the sequential table: applying an
+    accepted merge cannot change the count of any other accepted pair
+    (disjoint), old pairs can't overtake (the batch is a sorted
+    prefix), and every pair a merge creates is bounded by a
+    conflicting pair's count, which the strict trim puts below every
+    remaining batch member — so the sequential argmax sequence is the
+    batch, in order. Worst case (every top pair conflicting) degrades
+    to one merge per round, never to a wrong table; the
+    batched-vs-sequential equality is pinned by pytest on the test
+    corpus. batch>1 adds one O(vocab) distinct-symbol collect per
+    round for the concat-collision check.
 
     No DuckDB oracle: the iterative re-tokenization isn't expressible
     as non-recursive SQL — evidence is the golden pytest (hand-checked
@@ -615,6 +640,8 @@ def bpe_learn_merges(
     """
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
+    if batch < 1:
+        raise ValueError("batch must be >= 1")
     spark = df.sparkSession
     vocab = (
         df.select(F.explode(tokens_expr(text_col)).alias("w"))
@@ -628,8 +655,8 @@ def bpe_learn_merges(
     ).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
     try:
-        for order in range(1, n_merges + 1):
-            best = (
+        while len(merges) < n_merges:
+            pc = (
                 cur.filter(F.size("s") >= 2)
                 .select(
                     F.expr(
@@ -641,24 +668,78 @@ def bpe_learn_merges(
                 )
                 .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
                 .agg(F.sum("c").alias("n"))
-                .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
-                .limit(1)
+            )
+            limit = batch * 4 + 8
+            if batch > 1:
+                pc = pc.persist()
+            cand = (
+                pc.orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+                .limit(limit)
                 .collect()
             )
-            if not best:
+            if not cand:
+                if batch > 1:
+                    pc.unpersist()
                 break
-            l, r, c = best[0]["l"], best[0]["r"], int(best[0]["n"])
-            merges.append((order, l, r, c))
-            if order == n_merges:
+            if batch == 1:
+                accepted = [cand[0]]
+            else:
+                # O(vocab) driver rows: the concat-collision check needs
+                # the CURRENT symbol alphabet (a merge whose output token
+                # already exists as a symbol would fold new pair counts
+                # into existing ones, breaking the exactness bound).
+                symbols = {
+                    row["v"]
+                    for row in pc.selectExpr("l AS v")
+                    .union(pc.selectExpr("r AS v"))
+                    .distinct()
+                    .collect()
+                }
+                pc.unpersist()
+                touched: set[str] = set()
+                accepted = []
+                stop_n = None  # count of the first excluded pair
+                for i, row in enumerate(cand):
+                    cat = row["l"] + row["r"]
+                    if (
+                        len(accepted) == batch
+                        or {row["l"], row["r"], cat} & touched
+                        or cat in symbols
+                    ):
+                        stop_n = int(row["n"])
+                        break
+                    touched |= {row["l"], row["r"], cat}
+                    accepted.append(row)
+                if stop_n is None and len(cand) == limit:
+                    # the full collect window was disjoint; pairs beyond
+                    # it can tie the tail — bound by the last seen count
+                    stop_n = int(cand[-1]["n"])
+                if stop_n is not None:
+                    accepted = [a for a in accepted if int(a["n"]) > stop_n]
+                # a single merge is exact regardless of conflicts
+                accepted = accepted or [cand[0]]
+            accepted = accepted[: n_merges - len(merges)]
+            for row in accepted:
+                merges.append(
+                    (len(merges) + 1, row["l"], row["r"], int(row["n"]))
+                )
+            if len(merges) >= n_merges:
                 break  # the last retokenization would never be read
-            ls, rs, ms = _sql_str(l), _sql_str(r), _sql_str(l + r)
+            # one fold applies the whole batch: rules are symbol-disjoint,
+            # so each (last-symbol, x) position matches at most one arm
+            arms = "".join(
+                f" WHEN size(acc) > 0"
+                f" AND element_at(acc, -1) = {_sql_str(a['l'])}"
+                f" AND x = {_sql_str(a['r'])}"
+                f" THEN concat(slice(acc, 1, size(acc) - 1),"
+                f" array({_sql_str(a['l'] + a['r'])}))"
+                for a in accepted
+            )
             nxt = cur.select(
                 F.expr(
                     "aggregate(s, cast(array() as array<string>),"
-                    " (acc, x) -> IF(size(acc) > 0"
-                    f" AND element_at(acc, -1) = {ls} AND x = {rs},"
-                    f" concat(slice(acc, 1, size(acc) - 1), array({ms})),"
-                    " concat(acc, array(x))))"
+                    f" (acc, x) -> CASE{arms}"
+                    " ELSE concat(acc, array(x)) END)"
                 ).alias("s"),
                 "c",
             ).localCheckpoint(eager=True)

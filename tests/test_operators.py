@@ -1530,6 +1530,54 @@ def test_bpe_learn_merges_handles_runs_and_ties(spark):
     assert got[1] == (2, "b", "c", 2)
 
 
+def test_bpe_batched_equals_sequential(spark):
+    """``batch=m`` must produce the IDENTICAL merge table to the
+    sequential path — the exactness contract of the prefix-disjoint +
+    strict-count-trim batching (operators/text.py::bpe_learn_merges).
+    The corpus mixes disjoint high-count pairs (batchable), shared
+    symbols (conflict stop), count ties (trim), and a run ('aaaa')."""
+    from omicidx_gh_etl_spark.operators import text as T
+
+    df = _docs(
+        spark,
+        [
+            (1, "the the the quick quick brown fox fox"),
+            (2, "jumps over over the lazy dog dog dog"),
+            (3, "aaaa abab the quick fence fence"),
+        ],
+    )
+
+    def table(batch):
+        return [
+            (r["merge_order"], r["left"], r["right"], r["pair_count"])
+            for r in T.bpe_learn_merges(
+                df, "text", n_merges=12, batch=batch
+            ).collect()
+        ]
+
+    seq = table(1)
+    assert len(seq) == 12
+    for m in (2, 4, 8):
+        assert table(m) == seq, f"batch={m} diverged from sequential"
+
+
+def test_bpe_batched_conflict_degrades_to_single(spark):
+    """Every top pair shares a symbol -> the batch degrades to one
+    merge per round, never to a wrong table."""
+    from omicidx_gh_etl_spark.operators import text as T
+
+    df = _docs(spark, [(1, "aaaa aaa aa")])
+    seq = [
+        (r["merge_order"], r["left"], r["right"], r["pair_count"])
+        for r in T.bpe_learn_merges(df, "text", n_merges=3).collect()
+    ]
+    bat = [
+        (r["merge_order"], r["left"], r["right"], r["pair_count"])
+        for r in T.bpe_learn_merges(df, "text", n_merges=3, batch=4).collect()
+    ]
+    assert bat == seq
+
+
 def test_weighted_sample_per_group_quotas_and_small_groups(spark):
     from omicidx_gh_etl_spark.operators.samplers import (
         weighted_sample_per_group,
