@@ -35,10 +35,15 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
+def tokens_sql(text_col: str) -> str:
+    """Whitespace tokens, empties dropped, as a SQL fragment (matches
+    DuckDB ``list_filter(string_split(text,' '), x -> x <> '')``)."""
+    return f"filter(split({text_col}, ' '), x -> x != '')"
+
+
 def tokens_expr(text_col: str) -> Column:
-    """Whitespace tokens, empties dropped (matches DuckDB
-    ``list_filter(string_split(text,' '), x -> x <> '')``)."""
-    return F.expr(f"filter(split({text_col}, ' '), x -> x != '')")
+    """:func:`tokens_sql` as a Column."""
+    return F.expr(tokens_sql(text_col))
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -64,7 +69,7 @@ def shingles(
     Documents with fewer than ``n`` tokens yield zero shingles
     (sequence guard — Spark's ``sequence(1,0)`` would descend).
     """
-    toks = df.select(F.col(id_col), tokens_expr(text_col).alias("t"))
+    toks = df.selectExpr(f"`{id_col}`", f"{tokens_sql(text_col)} AS t")
     # Expression string keeps the construction line-for-line comparable
     # with the DuckDB oracle SQL. The CASE guards short docs: Spark's
     # sequence(0, -1) would produce a *descending* sequence, not empty.
@@ -75,7 +80,7 @@ def shingles(
     )
     if distinct:
         arr = f"array_distinct({arr})"
-    return toks.select(F.col(id_col), F.explode(F.expr(arr)).alias("shingle"))
+    return toks.selectExpr(f"`{id_col}`", f"explode({arr}) AS shingle")
 
 
 def _gram_sql(n: int) -> str:
@@ -90,14 +95,14 @@ def positional_shingles(
     rows (id, pos, shingle). The substrate for exact-substring span
     detection (:func:`duplicate_span_runs`), where *where* a shingle
     occurs matters, not just *whether* it occurs."""
-    toks = df.select(F.col(id_col), tokens_expr(text_col).alias("t"))
+    toks = df.selectExpr(f"`{id_col}`", f"{tokens_sql(text_col)} AS t")
     arr = (
         f"CASE WHEN size(t) >= {n} THEN "
         f"transform(sequence(0, size(t) - {n}), i -> {_gram_sql(n)}) "
         f"ELSE array() END"
     )
-    return toks.select(
-        F.col(id_col), F.posexplode(F.expr(arr)).alias("pos", "shingle")
+    return toks.selectExpr(
+        f"`{id_col}`", f"posexplode({arr}) AS (pos, shingle)"
     )
 
 
@@ -437,15 +442,14 @@ def minhash_band_signatures(
     if hash_family == "xxhash64":
         # mask to 62 bits: keeps x nonnegative (so x % bins is a true
         # bin index) without abs()'s Long.MIN_VALUE edge case.
-        x = F.xxhash64(F.col("shingle")).bitwiseAND(F.lit((1 << 62) - 1))
+        x_sql = f"(xxhash64(shingle) & {(1 << 62) - 1})"
     elif hash_family == "md5":
-        x = F.conv(F.substring(F.md5(F.col("shingle")), 1, 11), 16, 10).cast(
-            "bigint"
-        )
+        x_sql = "cast(conv(substring(md5(shingle), 1, 11), 16, 10) as bigint)"
     else:
         raise ValueError(f"unknown hash_family: {hash_family!r}")
-    hashed = shingle_df.select(
-        F.col(id_col), x.alias("x"), (x % num_hashes).alias("bin")
+    qid = f"`{id_col}`"  # backtick-quote: id_col is a NAME, not SQL
+    hashed = shingle_df.selectExpr(
+        qid, f"{x_sql} AS x", f"({x_sql} % {num_hashes}) AS bin"
     )
     # The signature/densify/band expressions below are BUILT AS SQL
     # STRINGS passed through a handful of selectExpr/expr calls rather
@@ -467,7 +471,6 @@ def minhash_band_signatures(
     # distinct shingle hashes in that residue class) borrows the first
     # non-empty bin clockwise — every signature row is defined for any
     # doc with ≥1 shingle.
-    qid = f"`{id_col}`"  # backtick-quote: id_col is a NAME, not SQL
     sig = sig.selectExpr(
         qid,
         *[
@@ -609,20 +612,20 @@ def lsh_pairs_from_bands(
     via the bucket-aggregate pair explosion (no self-join — see
     minhash_lsh_candidates' plan-shape notes)."""
     buckets = band_sig.groupBy("band", "bsig").agg(
-        F.array_sort(F.collect_list(id_col)).alias("ids")
+        F.expr(f"array_sort(collect_list(`{id_col}`))").alias("ids")
     )
     if max_bucket_size is not None:
-        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
-    pairs = buckets.filter(F.size("ids") > 1).select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ids, (x, i) -> "
-                "transform(slice(ids, i + 2, size(ids)), "
-                "y -> struct(x AS d1, y AS d2))))"
-            )
-        ).alias("p")
+        buckets = buckets.filter(f"size(ids) <= {int(max_bucket_size)}")
+    return (
+        buckets.filter("size(ids) > 1")
+        .selectExpr(
+            "explode(flatten(transform(ids, (x, i) -> "
+            "transform(slice(ids, i + 2, size(ids)), "
+            "y -> struct(x AS d1, y AS d2))))) AS p"
+        )
+        .selectExpr("p.d1", "p.d2")
+        .distinct()
     )
-    return pairs.select("p.d1", "p.d2").distinct()
 
 
 def incremental_lsh_candidates(
@@ -697,32 +700,28 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
     :func:`simhash_band_pairs`.
     """
     assert bits % 4 == 0 and bits <= 52, "bits: multiple of 4, double-exact"
-    toks = df.select(
-        F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok")
-    )
-    h = toks.select(
-        id_col,
-        F.conv(F.substring(F.md5("tok"), 1, bits // 4), 16, 10)
-        .cast("bigint")
-        .alias("h16"),
-    )
+    qid = f"`{id_col}`"
     per_bit = (
-        h.select(
-            id_col,
-            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
-            "h16",
+        df.selectExpr(
+            qid, f"explode({tokens_sql(text_col)}) AS tok"
         )
-        .withColumn(
-            "contrib",
-            F.expr("CASE WHEN CAST(floor(h16 / power(2, j)) AS BIGINT) % 2 = 1 "
-                   "THEN 1 ELSE -1 END"),
+        .selectExpr(
+            qid,
+            f"cast(conv(substring(md5(tok), 1, {bits // 4}), 16, 10) "
+            "as bigint) AS h16",
+        )
+        .selectExpr(qid, f"explode(sequence(0, {bits - 1})) AS j", "h16")
+        .selectExpr(
+            qid, "j",
+            "CASE WHEN CAST(floor(h16 / power(2, j)) AS BIGINT) % 2 = 1 "
+            "THEN 1 ELSE -1 END AS contrib",
         )
         .groupBy(id_col, "j")
-        .agg(F.sum("contrib").alias("s"))
+        .agg(F.expr("sum(contrib)").alias("s"))
     )
     return per_bit.groupBy(id_col).agg(
-        F.sum(
-            F.expr("CASE WHEN s > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END")
+        F.expr(
+            "sum(CASE WHEN s > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)"
         ).alias("simhash")
     )
 

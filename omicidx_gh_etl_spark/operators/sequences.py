@@ -25,19 +25,30 @@ def coalesce_intervals(
     end — i.e. strict gaps split, shared endpoints merge. Returns one
     row per merged span: key_cols + (ms, me).
     """
-    order = W.partitionBy(*key_cols).orderBy(start_col, end_col)
-    prev_max_e = F.max(end_col).over(order.rowsBetween(W.unboundedPreceding, -1))
-    flagged = df.withColumn(
-        "__is_start",
-        F.when(prev_max_e.isNull() | (F.col(start_col) > prev_max_e), 1).otherwise(0),
+    keys = ", ".join(f"`{c}`" for c in key_cols)
+    over = f"PARTITION BY {keys} ORDER BY `{start_col}`, `{end_col}`"
+    prev = (
+        f"max(`{end_col}`) OVER ({over} "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
     )
-    gid = F.sum("__is_start").over(
-        order.rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
+    # Both windows share one partition/order spec, so the second
+    # Window reuses the first's sort — same plan the Column form made.
     return (
-        flagged.withColumn("__gid", gid)
+        df.selectExpr(
+            "*",
+            f"CASE WHEN {prev} IS NULL OR `{start_col}` > {prev} "
+            "THEN 1 ELSE 0 END AS __is_start",
+        )
+        .selectExpr(
+            "*",
+            f"sum(__is_start) OVER ({over} "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __gid",
+        )
         .groupBy(*key_cols, "__gid")
-        .agg(F.min(start_col).alias("ms"), F.max(end_col).alias("me"))
+        .agg(
+            F.expr(f"min(`{start_col}`)").alias("ms"),
+            F.expr(f"max(`{end_col}`)").alias("me"),
+        )
         .drop("__gid")
     )
 

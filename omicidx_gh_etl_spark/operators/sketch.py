@@ -39,7 +39,10 @@ def heavy_hitters(df: DataFrame, key: str | Column, k: int) -> DataFrame:
     (≤ k counters each); the exact recount shuffles only rows matching
     a broadcast candidate set of ≤ k × num_partitions keys.
     """
-    keyed = df.select(F.col(key).cast("string").alias("key"))
+    if isinstance(key, str):
+        keyed = df.selectExpr(f"cast(`{key}` as string) AS key")
+    else:
+        keyed = df.select(key.cast("string").alias("key"))
 
     def mg_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Batch-merge MG instead of a per-ROW loop: each Arrow batch's
@@ -75,15 +78,15 @@ def heavy_hitters(df: DataFrame, key: str | Column, k: int) -> DataFrame:
 
     # threshold as an in-plan broadcast scalar (1 row), not a separate
     # driver-side count(): saves one full scan of the input
-    total = keyed.where(F.col("key").isNotNull()).agg(
-        F.count("*").alias("__total")
+    total = keyed.filter("key IS NOT NULL").agg(
+        F.expr("count(*)").alias("__total")
     )
     return (
         keyed.join(F.broadcast(candidates), "key", "left_semi")
         .groupBy("key")
-        .agg(F.count("*").alias("n"))
+        .agg(F.expr("count(*)").alias("n"))
         .join(F.broadcast(total))
-        .where(F.col("n") > F.col("__total") / k)
+        .filter(f"n > __total / {int(k)}")
         .drop("__total")
     )
 

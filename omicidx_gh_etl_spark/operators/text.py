@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import tokens_expr
+from .dedup import tokens_expr, tokens_sql
 
 # Tiny built-in English marker list; real pipelines plug in a proper
 # profile table (one broadcast join away).
@@ -40,17 +40,16 @@ def _markers_sql(markers: tuple[str, ...]) -> str:
 
 def with_token_stats(df: DataFrame, text_col: str, keep: list[str]) -> DataFrame:
     """Add n_tokens / n_distinct_tokens / distinct_ratio / avg_token_len."""
-    toks = tokens_expr(text_col)
-    d = df.withColumn("__t", toks)
-    sum_len = F.expr("aggregate(__t, 0L, (acc, x) -> acc + length(x))")
-    return d.select(
+    return df.selectExpr(
+        *keep, f"{tokens_sql(text_col)} AS __t"
+    ).selectExpr(
         *keep,
-        F.size("__t").alias("n_tokens"),
-        F.size(F.array_distinct("__t")).alias("n_distinct_tokens"),
-        F.round(
-            F.size(F.array_distinct("__t")).cast("double") / F.size("__t"), 4
-        ).alias("distinct_ratio"),
-        F.round(sum_len.cast("double") / F.size("__t"), 4).alias("avg_token_len"),
+        "size(__t) AS n_tokens",
+        "size(array_distinct(__t)) AS n_distinct_tokens",
+        "round(cast(size(array_distinct(__t)) as double) / size(__t), 4)"
+        " AS distinct_ratio",
+        "round(cast(aggregate(__t, 0L, (acc, x) -> acc + length(x))"
+        " as double) / size(__t), 4) AS avg_token_len",
     )
 
 
@@ -87,13 +86,11 @@ def quality_flag(
 ) -> DataFrame:
     """Quality gate: long enough + lexically diverse enough → 'ok'."""
     scored = with_token_stats(df, text_col, keep)
-    return scored.withColumn(
-        "quality",
-        F.when(
-            (F.col("n_tokens") >= min_tokens)
-            & (F.col("distinct_ratio") >= min_distinct_ratio),
-            "ok",
-        ).otherwise("low"),
+    return scored.selectExpr(
+        "*",
+        f"CASE WHEN n_tokens >= {int(min_tokens)} "
+        f"AND distinct_ratio >= cast({float(min_distinct_ratio)!r} as double) "
+        "THEN 'ok' ELSE 'low' END AS quality",
     )
 
 
@@ -396,37 +393,28 @@ def winnow_fingerprints(
     shuffle, on (id, fp)). Hashes are md5-derived 60-bit BIGINTs, so
     the DuckDB oracle reproduces them exactly.
     """
-    from pyspark.sql import Window as W
-
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
-    d = df.select(F.col(id_col), norm.alias("__n"))
-    grams = d.select(
-        id_col,
+    qid = f"`{id_col}`"
+    d = df.selectExpr(
+        qid, f"trim(regexp_replace(lower({text_col}), '\\\\s+', ' ')) AS __n"
+    )
+    grams = d.selectExpr(
+        qid,
         # CASE guard: Spark sequence(1, 0) DESCENDS, it is not empty
-        F.explode(
-            F.expr(
-                f"CASE WHEN length(__n) >= {k} "
-                f"THEN sequence(1, length(__n) - {k - 1}) "
-                f"ELSE array() END"
-            )
-        ).alias("pos"),
-        F.col("__n"),
-    ).select(
-        id_col,
+        f"explode(CASE WHEN length(__n) >= {k} "
+        f"THEN sequence(1, length(__n) - {k - 1}) "
+        "ELSE array() END) AS pos",
+        "__n",
+    ).selectExpr(
+        qid,
         "pos",
-        F.conv(F.substring(F.md5(F.expr(f"substring(__n, pos, {k})")), 1, 15), 16, 10)
-        .cast("bigint")
-        .alias("h"),
+        f"cast(conv(substring(md5(substring(__n, pos, {k})), 1, 15), 16, 10)"
+        " as bigint) AS h",
     )
-    frame = (
-        W.partitionBy(id_col)
-        .orderBy("pos")
-        .rowsBetween(W.currentRow, window - 1)
-    )
-    return (
-        grams.select(F.col(id_col), F.min("h").over(frame).alias("fp"))
-        .distinct()
-    )
+    return grams.selectExpr(
+        qid,
+        f"min(h) OVER (PARTITION BY {qid} ORDER BY pos "
+        f"ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS fp",
+    ).distinct()
 
 
 def hashed_linear_score(

@@ -276,17 +276,17 @@ def range_join_events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.rangejoin import range_join
 
     day_us = 86_400_000_000
-    points = load_table(spark, sf_dir, "lineitem").select(
-        F.expr("unix_micros(cast(l_shipdate as timestamp))").alias("ts")
+    points = load_table(spark, sf_dir, "lineitem").selectExpr(
+        "unix_micros(cast(l_shipdate as timestamp)) AS ts"
     )
     intervals = (
         load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_orderkey") % 97 == 0)
-        .select(
+        .filter("o_orderkey % 97 = 0")
+        .selectExpr(
             "o_orderkey",
-            F.expr("unix_micros(cast(o_orderdate as timestamp))").alias("lo"),
+            "unix_micros(cast(o_orderdate as timestamp)) AS lo",
+            f"unix_micros(cast(o_orderdate as timestamp)) + {7 * day_us} AS hi",
         )
-        .withColumn("hi", F.col("lo") + 7 * day_us)
     )
     joined = range_join(points, intervals, "ts", "lo", "hi", bin_width=day_us)
     return joined.groupBy("o_orderkey").agg(F.count("*").alias("n_ship"))

@@ -134,23 +134,19 @@ def join_fact_accession(spark: SparkSession, sf_dir: str) -> DataFrame:
     filters (status + date) are pushed below the join so the shuffled
     build side is already pruned. AQE handles skewed keys.
     """
-    li = load_table(spark, sf_dir, "lineitem").alias("l")
-    o = (
-        load_table(spark, sf_dir, "orders")
-        .filter(
-            (F.col("o_orderstatus") == "F")
-            & (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
-            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
-        )
-        .alias("o")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        "o_orderstatus = 'F' "
+        "AND o_orderdate >= cast('1995-01-01' as timestamp_ntz) "
+        "AND o_orderdate <  cast('1996-01-01' as timestamp_ntz)"
     )
-    return li.join(o, F.col("l.l_orderkey") == F.col("o.o_orderkey"), "inner").select(
-        F.col("l.l_orderkey").alias("l_orderkey"),
-        F.col("l.l_linenumber").alias("l_linenumber"),
-        F.col("l.l_quantity").alias("l_quantity"),
-        F.col("l.l_extendedprice").cast("decimal(18,2)").alias("extended_price"),
-        F.col("o.o_orderstatus").alias("o_orderstatus"),
-        F.col("o.o_orderdate").cast("date").alias("order_date"),
+    return li.join(o, F.expr("l_orderkey = o_orderkey"), "inner").selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "cast(l_extendedprice as decimal(18,2)) AS extended_price",
+        "o_orderstatus",
+        "cast(o_orderdate as date) AS order_date",
     )
 
 
@@ -183,22 +179,22 @@ def mart_denormalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     while at 100× it degrades gracefully to a shuffle join instead of
     OOMing on a forced hint.
     """
-    o = load_table(spark, sf_dir, "orders").alias("o")
-    c = load_table(spark, sf_dir, "customer").alias("c")
-    n = load_table(spark, sf_dir, "nation").alias("n")
-    r = load_table(spark, sf_dir, "region").alias("r")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
     return (
-        o.join(c, F.col("o.o_custkey") == F.col("c.c_custkey"))
-        .join(F.broadcast(n), F.col("c.c_nationkey") == F.col("n.n_nationkey"))
-        .join(F.broadcast(r), F.col("n.n_regionkey") == F.col("r.r_regionkey"))
-        .select(
-            F.col("o.o_orderkey").alias("o_orderkey"),
-            F.col("o.o_orderdate").cast("date").alias("order_date"),
-            F.col("o.o_totalprice").cast("decimal(18,2)").alias("total_price"),
-            F.col("c.c_name").alias("customer_name"),
-            F.col("c.c_mktsegment").alias("segment"),
-            F.col("n.n_name").alias("nation"),
-            F.col("r.r_name").alias("region"),
+        o.join(c, F.expr("o_custkey = c_custkey"))
+        .join(F.broadcast(n), F.expr("c_nationkey = n_nationkey"))
+        .join(F.broadcast(r), F.expr("n_regionkey = r_regionkey"))
+        .selectExpr(
+            "o_orderkey",
+            "cast(o_orderdate as date) AS order_date",
+            "cast(o_totalprice as decimal(18,2)) AS total_price",
+            "c_name AS customer_name",
+            "c_mktsegment AS segment",
+            "n_name AS nation",
+            "r_name AS region",
         )
     )
 

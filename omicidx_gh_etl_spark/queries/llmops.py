@@ -1045,10 +1045,10 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: token count, lexical diversity, avg token length."""
     d = load_table(spark, sf_dir, "documents")
     out = text.quality_flag(d, "text", ["doc_id"], min_tokens=30, min_distinct_ratio=0.2)
-    return out.select(
+    return out.selectExpr(
         "doc_id",
-        F.col("n_tokens").cast("bigint").alias("n_tokens"),
-        F.col("n_distinct_tokens").cast("bigint").alias("n_distinct_tokens"),
+        "cast(n_tokens as bigint) AS n_tokens",
+        "cast(n_distinct_tokens as bigint) AS n_distinct_tokens",
         "distinct_ratio",
         "avg_token_len",
         "quality",

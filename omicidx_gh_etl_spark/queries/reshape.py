@@ -210,21 +210,18 @@ def interval_coalesce_user_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory blowup.
     """
     ev = load_events(spark, sf_dir)
-    iv = ev.select(
+    iv = ev.selectExpr(
         "user_id",
-        F.col("ts_us").alias("s"),
-        (
-            F.col("ts_us")
-            + (F.col("value").cast("decimal(18,2)") * 1000000).cast("bigint")
-        ).alias("e"),
+        "ts_us AS s",
+        "ts_us + cast(cast(value as decimal(18,2)) * 1000000 as bigint) AS e",
     )
     from ..operators.sequences import coalesce_intervals
 
     merged = coalesce_intervals(iv, ["user_id"], "s", "e")
     return merged.groupBy("user_id").agg(
-        F.count("*").alias("n_spans"),
-        F.sum(F.col("me") - F.col("ms")).alias("covered_us"),
-        F.max(F.col("me") - F.col("ms")).alias("longest_span_us"),
+        F.expr("count(*)").alias("n_spans"),
+        F.expr("sum(me - ms)").alias("covered_us"),
+        F.expr("max(me - ms)").alias("longest_span_us"),
     )
 
 

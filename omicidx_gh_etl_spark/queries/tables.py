@@ -73,6 +73,28 @@ def _file_state(path: str) -> tuple | None:
 
 _SCHEMA_CACHE: dict[tuple, T.StructType] = {}
 _PROBE_CACHE: dict[tuple, tuple[int, int | None]] = {}
+# Loaded-DataFrame cache, per session object (weak — a dropped session
+# frees its plans). DataFrames are immutable plan handles: handing the
+# SAME object to every caller is safe — each downstream transformation
+# builds a new plan on top — and skips the ~6 py4j calls + JVM analyze
+# a fresh reader costs per load (profiled: ~15-25 ms each, ~30 loads
+# across the headline set). Self-joins of one cached object are the
+# same shape as today's single-load-two-branches queries, which Spark
+# resolves; the full-registry parity gate would catch a regression.
+_DF_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _df_cached(spark: SparkSession, key: tuple, build) -> DataFrame:
+    per_session = _DF_CACHE.setdefault(spark, {})
+    df = per_session.get(key)
+    if df is None:
+        df = build()
+        if len(per_session) >= 256:
+            per_session.clear()  # stale (path, old-mtime) entries
+        per_session[key] = df
+    return df
 
 
 def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
@@ -95,7 +117,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _pin_session(spark)
     if name == "events":
         return load_events(spark, sf_dir)
-    return _read_parquet(spark, f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    state = _file_state(path)
+    if state is None:  # directory/glob layouts are never cached
+        return _read_parquet(spark, path)
+    return _df_cached(
+        spark, ("table", state), lambda: _read_parquet(spark, path)
+    )
 
 
 def _scan_info(path: str, cap: int) -> tuple[int, int | None]:
@@ -211,6 +239,19 @@ def load_spread(
     many-file layout the probe bails before counting rows and the
     spread is skipped entirely).
     """
+    state = _file_state(f"{sf_dir}/{name}.parquet")
+    if state is not None:
+        return _df_cached(
+            spark,
+            ("spread", state, key),
+            lambda: _load_spread_fresh(spark, sf_dir, name, key),
+        )
+    return _load_spread_fresh(spark, sf_dir, name, key)
+
+
+def _load_spread_fresh(
+    spark: SparkSession, sf_dir: str, name: str, key: str
+) -> DataFrame:
     df = load_table(spark, sf_dir, name)
     want = spark.sparkContext.defaultParallelism
     units, rows = _scan_info(f"{sf_dir}/{name}.parquet", want)
@@ -239,7 +280,17 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ts_us == epoch_us(ts)`` in the oracle in both cases.
     """
     _pin_session(spark)  # sets nanosAsLong too (see _pin_session)
-    raw = _read_parquet(spark, f"{sf_dir}/events.parquet")
+    path = f"{sf_dir}/events.parquet"
+    state = _file_state(path)
+    if state is not None:
+        return _df_cached(
+            spark, ("events", state), lambda: _load_events_fresh(spark, path)
+        )
+    return _load_events_fresh(spark, path)
+
+
+def _load_events_fresh(spark: SparkSession, path: str) -> DataFrame:
+    raw = _read_parquet(spark, path)
     if isinstance(raw.schema["ts"].dataType, T.LongType):
         return (
             raw.withColumn("ts_us", F.expr("ts div 1000"))
