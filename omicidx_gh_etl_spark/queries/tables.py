@@ -92,9 +92,31 @@ def _df_cached(spark: SparkSession, key: tuple, build) -> DataFrame:
     if df is None:
         df = build()
         if len(per_session) >= 256:
-            per_session.clear()  # stale (path, old-mtime) entries
+            _evict_stale(per_session)
         per_session[key] = df
     return df
+
+
+def _evict_stale(per_session: dict) -> None:
+    """Drop only entries whose underlying file changed (stale
+    (path, size, mtime) state) — a long-lived session over live paths
+    must not thrash rebuilds of still-valid plans. Cache keys embed a
+    ``_file_state`` tuple as their last path-bearing element; an entry
+    is stale iff that file's CURRENT state differs. If nothing is stale
+    (256 genuinely-live tables), fall back to clearing: the handles
+    remain valid, we only lose memoization."""
+    stale = []
+    for key in per_session:
+        state = next(
+            (p for p in key if isinstance(p, tuple) and len(p) == 3), None
+        )
+        if state is not None and _file_state(state[0]) != state:
+            stale.append(key)
+    if stale:
+        for key in stale:
+            del per_session[key]
+    else:
+        per_session.clear()
 
 
 def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
@@ -113,7 +135,16 @@ def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one synthetic table, normalizing engine-specific quirks."""
+    """Load one synthetic table, normalizing engine-specific quirks.
+
+    Repeated loads of the same (session, path-state) return the SAME
+    DataFrame object (plan-handle cache). Constraint for callers that
+    load a table twice and join the loads: refer to join columns by
+    renaming/aliasing first (``df.select(F.col(k).alias(...))`` or
+    ``df.alias("l")``/``.alias("r")``), never ``dfA[k] == dfB[k]`` —
+    on the identical object Spark raises its ambiguous-self-join
+    error. Every current double-load query renames first; keep it so.
+    """
     _pin_session(spark)
     if name == "events":
         return load_events(spark, sf_dir)

@@ -154,6 +154,13 @@ def main() -> int:
     json_path = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            print(
+                "usage: parity_strict.py [sf_dir] [--json OUT.json] "
+                "[--slice | query ...]",
+                file=sys.stderr,
+            )
+            return 2
         json_path = argv[i + 1]
         del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
