@@ -57,6 +57,20 @@ _CONST_DIM_PREFIXES = ("n_", "r_")
 # uniqueness from the plan, so it is declared here.
 _UNIQUE_KEYS = ("vec_id", "doc_id", "o_orderkey", "c_custkey")
 
+# Aggregate GROUP KEYS whose distinct-value count is bounded by the
+# schema / the author's construction, not the corpus (round-6 advice:
+# an Aggregate alone does not bound output — groupBy(doc_id) grows with
+# the data; these keys do not):
+# - event_type: generator enum (a handful of values at every SF);
+# - source:     corpus source tag, same kind of enum;
+# - __qb:      quantile-bucket index, ≤ n_buckets by construction
+#              (engine/curate.py token-budget selection);
+# - bkt:       hash-bucket index (`md5(...) % n_buckets`), bounded by
+#              the modulus constant (queries/llmops.py DSIR buckets);
+# - j, bucket: Count-Min sketch coordinates, ≤ depth × width constants
+#              (operators/sketch.py).
+_BOUNDED_GROUP_KEYS = {"event_type", "source", "__qb", "bkt", "j", "bucket"}
+
 # (query name → allowed broadcast-hint count) for hints whose
 # boundedness none of the structural rules can see. Every entry needs
 # a justification here and is asserted to still exist — a stale
@@ -91,23 +105,91 @@ _BOUND_FILTER = re.compile(
     r"\((?:%s)#\d+L? (?:<|<=|=) (?:cast\()?-?\d+" % "|".join(_UNIQUE_KEYS)
 )
 
+_KEY_REF = re.compile(r"#\d+L?\b")
+
+
+def _agg_key_names(agg) -> list[str]:
+    """Base column names of an Aggregate's grouping expressions
+    (exprId suffixes stripped); a non-attribute grouping expression
+    keeps its full rendering and so never matches the bounded list —
+    conservative by construction."""
+    return [
+        _KEY_REF.sub("", g.toString())
+        for g in _jlist(agg.groupingExpressions())
+    ]
+
+
+def _filter_condition(n) -> str:
+    """The Filter's condition rendered WITHOUT truncation (round-6
+    advice: ``simpleString(25)`` elides long conditions, which could
+    hide — or fake — a bounding literal)."""
+    try:
+        return n.condition().toString()
+    except Exception:
+        return n.simpleString(1000)
+
 
 def _hint_child_ok(child) -> bool:
-    names = set()
-    leaves, bound_filters = [], 0
-    for n in _walk(child):
-        node = n.nodeName()
-        names.add(node)
-        if node == "Filter" and _BOUND_FILTER.search(n.simpleString(25)):
-            bound_filters += 1
-        if n.children().size() == 0:
-            leaves.append(n)
-    if names & {"Aggregate", "Deduplicate", "GlobalLimit"}:
+    """EVERY root-to-leaf path in the hint child must cross its own
+    bounding node (round-6 advice: the old any-Aggregate-in-subtree
+    rule let one reduced branch of a Join whitelist the other, and
+    accepted corpus-keyed aggregates like groupBy(doc_id)). Walking
+    top-down, a path is bounded when it hits:
+
+    - ``GlobalLimit`` / ``Deduplicate`` — author-shaped top-k /
+      distinct frames (every current use dedups an already-reduced
+      candidate or query-term set);
+    - ``Aggregate`` with NO group keys (scalar), with every group key
+      in ``_BOUNDED_GROUP_KEYS``, or with ANY ``Filter`` above it on
+      the path (the HAVING hot-set pattern: the author capped the key
+      set explicitly — hot shingles, Q18 large-volume orders);
+    - a bounded leaf (``_leaf_ok``) or any leaf below a unique-key
+      vs literal ``Filter`` (``vec_id < 10`` ⇒ ≤10 rows at any SF).
+    """
+    return _path_ok(child, False, False)
+
+
+def _path_ok(node, any_filter_above: bool, key_bound_above: bool) -> bool:
+    nm = node.nodeName()
+    if nm in ("GlobalLimit", "Deduplicate"):
         return True
-    unbounded = sum(0 if _leaf_ok(leaf) else 1 for leaf in leaves)
-    # one constant-key-bounding filter per unbounded leaf: `vec_id < k`
-    # on a unique key caps rows at k regardless of SF
-    return bound_filters >= unbounded
+    if nm == "Aggregate":
+        keys = _agg_key_names(node)
+        if not keys or any_filter_above:
+            return True
+        if all(k in _BOUNDED_GROUP_KEYS for k in keys):
+            return True
+        return _semi_bounded_agg(node, keys)
+    kids = _jlist(node.children())
+    if not kids:
+        return _leaf_ok(node) or key_bound_above
+    if nm == "Filter":
+        cond = _filter_condition(node)
+        any_filter_above = True
+        key_bound_above = key_bound_above or bool(_BOUND_FILTER.search(cond))
+    return all(
+        _path_ok(k, any_filter_above, key_bound_above) for k in kids
+    )
+
+
+def _semi_bounded_agg(agg, keys: list[str]) -> bool:
+    """groupBy whose input was LEFT SEMI-joined on every group key
+    against a bounded right side (itself judged by ``_path_ok``):
+    distinct group keys ≤ the bounded semi set, regardless of corpus
+    size — the bm25_batch shape (postings semi-filtered to the
+    broadcast query-term list BEFORE the df-per-term aggregate)."""
+    for n in _walk(agg):
+        if n.nodeName() != "Join":
+            continue
+        head = n.simpleString(1000)
+        if "LeftSemi" not in head:
+            continue
+        if not all(f"{k}#" in head for k in keys):
+            continue
+        right = _jlist(n.children())[1]
+        if _path_ok(right, False, False):
+            return True
+    return False
 
 
 def _broadcast_hints(plan):

@@ -3,9 +3,9 @@
 The round driver samples ~50 of the registered queries per round, so
 most of the registry is only ever checked by tools/parity.py's
 row-level compare. This test replays the driver's EXACT pandas
-value-hash gate (tools/parity_strict.py) over a deterministic 20-query
+value-hash gate (tools/parity_strict.py) over a deterministic 35-query
 window that rotates with the round number: every oracle-backed query
-gets a recorded strict check within ~8 rounds without any single test
+gets a recorded strict check within ~5 rounds without any single test
 run paying for the full registry. The current window is recorded in
 COVERAGE.md.
 """
@@ -37,13 +37,13 @@ SF_GATE = "/root/testdata/sf0.01"  # the driver's comparison scale
 def test_slice_rotation_is_deterministic_and_covering():
     names = sorted(n for n, q in REGISTRY.items() if q.oracle is not None)
     seen: set[str] = set()
-    rounds_to_cover = -(-len(names) // 20)
+    rounds_to_cover = -(-len(names) // 35)
     for r in range(1, rounds_to_cover + 1):
         s = ps.slice_for_round(names, r)
-        assert len(s) == 20
+        assert len(s) == 35
         assert s == ps.slice_for_round(names, r)  # deterministic
         seen.update(s)
-    assert seen == set(names)  # full registry within ceil(n/20) rounds
+    assert seen == set(names)  # full registry within ceil(n/35) rounds
 
 
 @pytest.mark.skipif(

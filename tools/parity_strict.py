@@ -121,7 +121,7 @@ def compare_strict(name: str, sdf, con, record: dict | None = None) -> list[str]
     return errors
 
 
-def slice_for_round(names: list[str], round_no: int, k: int = 20) -> list[str]:
+def slice_for_round(names: list[str], round_no: int, k: int = 35) -> list[str]:
     """Deterministic rotating window over ``names`` for CI-style strict
     checks: round N covers ``names[(N-1)*k % len :][:k]`` (wrapping), so
     every query gets a recorded strict run within ``ceil(len/k)`` rounds
@@ -166,7 +166,7 @@ def main() -> int:
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     if "--slice" in only:
-        # rotate: replace --slice with this round's 20-query window
+        # rotate: replace --slice with this round's 35-query window
         only.discard("--slice")
         oracle_backed = [n for n, q in REGISTRY.items() if q.oracle is not None]
         only |= set(slice_for_round(oracle_backed, current_round()))
