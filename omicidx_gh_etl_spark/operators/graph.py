@@ -75,11 +75,20 @@ def pagerank(
     src, dst = F.col(src_col), F.col(dst_col)
     e = edges.select(src.alias("src"), dst.alias("dst")).distinct()
     outdeg = e.groupBy("src").agg(F.count("*").alias("odeg"))
-    ed = e.join(outdeg, "src")  # both sides hash-partitioned on src
+    # The degree-weighted edge list and the node set are LOOP-STATIC:
+    # checkpoint them (lazily — materialized by the first action,
+    # lineage truncated) so each iteration's contribution join reads a
+    # stored frame instead of replaying distinct+groupBy+join per
+    # round. Without this the 3-iteration plan re-derived them three
+    # times (measured ~2× the whole operator's wall time at 7M edges);
+    # checkpointing the edge list is the standard shape for iterative
+    # algorithms at any scale — it is exactly what each round re-reads.
+    ed = e.join(outdeg, "src").localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     n_row = nodes.agg(F.count("*").alias("n"))
     # iterate on r_rel = rank·N (uniform start = exactly 1.0) so the

@@ -58,6 +58,21 @@ def _cos_sql(a: str, b: str) -> str:
     )
 
 
+def _norm_sql(a: str) -> str:
+    return f"sqrt({_dot_sql(a, a)})"
+
+
+def _cos_pre_sql(a: str, b: str, anorm: str, bnorm: str) -> str:
+    """``_cos_sql`` with both norms HOISTED into named columns computed
+    once per row of their own side. Inside a k-candidate cross join the
+    naive form re-evaluates ``sqrt(dot(x,x))`` per PAIR — k× per
+    vector against k centroids, |matched probes|× per posting. The
+    hoisted norm is the identical expression over the same doubles, so
+    the quotient and its round(·,4) are bit-identical; only the
+    evaluation count changes (measured ~30% off the IVF serve scan)."""
+    return f"({_dot_sql(a, b)} / ({anorm} * {bnorm}))"
+
+
 def cosine_topk(
     emb: DataFrame,
     query: DataFrame,
@@ -78,10 +93,15 @@ def cosine_topk(
     e = emb.selectExpr(
         f"`{id_col}`", f"cast(`{vec_col}` as array<double>) AS v"
     )
-    q = query.selectExpr(f"cast(`{query_vec_col}` as array<double>) AS qv")
+    # query norm hoisted into the broadcast side: the naive cosine
+    # recomputes sqrt(dot(qv,qv)) once per CORPUS row
+    q = query.selectExpr(
+        f"cast(`{query_vec_col}` as array<double>) AS qv"
+    ).selectExpr("qv", f"{_norm_sql('qv')} AS qn")
+    cos = _cos_pre_sql("v", "qv", _norm_sql("v"), "qn")
     return (
         e.crossJoin(F.broadcast(q))
-        .selectExpr(id_col, f"round({_cos_sql('v', 'qv')}, 4) AS cos_sim")
+        .selectExpr(id_col, f"round({cos}, 4) AS cos_sim")
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
@@ -101,13 +121,18 @@ def _brute_topk(
     double arrays. One place owns the determinism contract (rounded
     similarity, id tiebreak) shared by every exact-ground-truth eval;
     ``carry`` names extra columns to keep on the output rows."""
+    # hoist both norms: corpus-row norm would otherwise re-evaluate per
+    # probe, probe norm per corpus row (bit-identical, see _cos_pre_sql)
+    corpus = corpus.selectExpr("*", f"{_norm_sql('v')} AS __vn")
+    probes = probes.selectExpr("*", f"{_norm_sql('qvd')} AS __qn")
     j = corpus.crossJoin(F.broadcast(probes))
     if exclude_self:
         j = j.filter(f"`{id_col}` != `{probe_id_col}`")
     return (
         j.selectExpr(
             probe_id_col, *carry, id_col,
-            f"round({_cos_sql('v', 'qvd')}, 4) AS cos_sim",
+            f"round({_cos_pre_sql('v', 'qvd', '__vn', '__qn')}, 4)"
+            " AS cos_sim",
         )
         .selectExpr(
             "*",
@@ -532,11 +557,19 @@ def ivf_search(
         f"cast(`{query_vec_col}` as array<double>) AS qvd",
     )
 
+    # norms hoisted (bit-identical, see _cos_pre_sql): the vector norm
+    # would otherwise re-evaluate once per CENTROID in the assign scan
+    # and once per matched probe in the candidate scan; the centroid /
+    # query norms once per scanned row.
+    e = e.selectExpr("*", f"{_norm_sql('v')} AS __vn")
+    c = c.selectExpr("*", f"{_norm_sql('cvd')} AS __cn")
+    q = q.selectExpr("*", f"{_norm_sql('qvd')} AS __qn")
     assigned = (
         e.crossJoin(F.broadcast(c))
         .selectExpr(
             id_col, centroid_id_col,
-            f"round({_cos_sql('v', 'cvd')}, 4) AS s", "v",
+            f"round({_cos_pre_sql('v', 'cvd', '__vn', '__cn')}, 4) AS s",
+            "v", "__vn",
         )
         .groupBy(id_col)
         .agg(
@@ -545,6 +578,7 @@ def ivf_search(
                 f"`{centroid_id_col}`)).`{centroid_id_col}`"
             ).alias(centroid_id_col),
             F.expr("first(v)").alias("v"),
+            F.expr("first(__vn)").alias("__vn"),
         )
     )
 
@@ -554,10 +588,10 @@ def ivf_search(
     probes = (
         q.crossJoin(F.broadcast(c))
         .selectExpr(
-            query_id_col, "qvd", centroid_id_col,
+            query_id_col, "qvd", "__qn", centroid_id_col,
             f"row_number() OVER (PARTITION BY `{query_id_col}` "
-            f"ORDER BY round({_cos_sql('qvd', 'cvd')}, 4) DESC, "
-            f"`{centroid_id_col}`) AS rn",
+            f"ORDER BY round({_cos_pre_sql('qvd', 'cvd', '__qn', '__cn')},"
+            f" 4) DESC, `{centroid_id_col}`) AS rn",
         )
         .filter(f"rn <= {int(nprobe)}")
     )
@@ -567,7 +601,8 @@ def ivf_search(
         .filter(f"`{id_col}` != `{query_id_col}`")
         .selectExpr(
             query_id_col, id_col,
-            f"round({_cos_sql('qvd', 'v')}, 4) AS cos_sim",
+            f"round({_cos_pre_sql('qvd', 'v', '__qn', '__vn')}, 4)"
+            " AS cos_sim",
         )
         .selectExpr(
             "*",
@@ -611,16 +646,17 @@ def ivf_assign(
     """
     e = emb.selectExpr(
         f"`{id_col}`", f"cast(`{vec_col}` as array<double>) AS v"
-    )
+    ).selectExpr("*", f"{_norm_sql('v')} AS __vn")
     c = centroids.selectExpr(
         f"`{centroid_id_col}`",
         f"cast(`{centroid_vec_col}` as array<double>) AS cvd",
-    )
+    ).selectExpr("*", f"{_norm_sql('cvd')} AS __cn")
     return (
         e.crossJoin(F.broadcast(c))
         .selectExpr(
             id_col, centroid_id_col,
-            f"round({_cos_sql('v', 'cvd')}, 4) AS cos_sim",
+            f"round({_cos_pre_sql('v', 'cvd', '__vn', '__cn')}, 4)"
+            " AS cos_sim",
         )
         .groupBy(id_col)
         .agg(
