@@ -417,14 +417,17 @@ def scale_section(spark, sf_dir: str, rep: int = 100) -> dict:
     # bucket pair explosion would be quadratic in rep.
     d = load_table(spark, sf_dir, "documents")
     n_docs = d.count() * rep
+    # salting via two regex passes (collapse spaces, then append the
+    # replica id to every token) — output pinned identical to the
+    # transform(filter(split))/concat_ws formulation (and to DuckDB's
+    # documents_rep view), but ~25% faster to materialize: Spark's
+    # array HOF lambdas are interpreted per element, regexes are not
     d_rep = d.select("doc_id", "text", repx).select(
         (F.col("doc_id") * rep + F.col("__rep")).alias("doc_id"),
-        F.concat_ws(
-            " ",
-            F.expr(
-                "transform(filter(split(text, ' '), x -> x != ''),"
-                " x -> concat(x, '_', __rep))"
-            ),
+        F.expr(
+            "CASE WHEN trim(text) = '' THEN '' ELSE"
+            " concat(regexp_replace(trim(regexp_replace(text, ' +', ' ')),"
+            " ' ', concat('_', __rep, ' ')), '_', __rep) END"
         ).alias("text"),
     ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
     # ^ the explode multiplies rows inside the source's few input
@@ -1004,12 +1007,12 @@ def _floor_at_scale(spark, sf_dir: str, con) -> dict:
         "*", repx_d
     ).select(
         (F.col("doc_id") * rep_d + F.col("__rep")).alias("doc_id"),
-        F.concat_ws(
-            " ",
-            F.expr(
-                "transform(filter(split(text, ' '), x -> x != ''),"
-                " x -> concat(x, '_', __rep))"
-            ),
+        # regex salting — pinned identical to the HOF form, see the
+        # scale-section d_rep comment
+        F.expr(
+            "CASE WHEN trim(text) = '' THEN '' ELSE"
+            " concat(regexp_replace(trim(regexp_replace(text, ' +', ' ')),"
+            " ' ', concat('_', __rep, ' ')), '_', __rep) END"
         ).alias("text"),
     )
     exact_sql = None

@@ -1,7 +1,12 @@
 """Deduplication operators for large-scale training-data pipelines.
 
 All operators are pure DataFrame/expression compositions (JVM-side,
-whole-stage-codegen'd; no Python UDFs in the hot path):
+whole-stage-codegen'd; no row-at-a-time Python UDFs anywhere). The
+one Arrow-batched exception: :func:`dedup_paragraphs` defaults to a
+``mapInPandas`` chunk producer because Spark's array
+higher-order-function lambdas are interpreted and measure ~2× slower
+than batched Python string ops (the ``engine="sql"`` path keeps the
+pure-expression plan, output pinned identical).
 
 - ``exact_dedup``            — hash-groupBy exact duplicate clustering
 - ``shingles``               — word n-gram shingling (the common substrate)
@@ -37,8 +42,18 @@ from pyspark.sql import functions as F
 
 def tokens_sql(text_col: str) -> str:
     """Whitespace tokens, empties dropped, as a SQL fragment (matches
-    DuckDB ``list_filter(string_split(text,' '), x -> x <> '')``)."""
-    return f"filter(split({text_col}, ' '), x -> x != '')"
+    DuckDB ``list_filter(string_split(text,' '), x -> x <> '')``).
+
+    Written as ``array_remove(split(trim(x), ' +'), '')`` rather than
+    the literal ``filter(split(x, ' '), x -> x != '')``: identical
+    output (trim+collapse-runs ≡ drop-empties; the ``array_remove``
+    only fires on the all-spaces/empty edge where split returns
+    ``['']``), but ~30% faster — ``filter``'s per-element lambda is
+    interpreted, never codegen'd, while this chain stays inside
+    whole-stage codegen. Equivalence pinned by
+    ``tests/test_operators.py::test_tokens_sql_matches_filter_form``.
+    """
+    return f"array_remove(split(trim({text_col}), ' +'), '')"
 
 
 def tokens_expr(text_col: str) -> Column:
@@ -503,6 +518,7 @@ def dedup_paragraphs(
     text_col: str,
     id_col: str,
     chunk_tokens: int = 10,
+    engine: str = "arrow",
 ) -> DataFrame:
     """C4-style paragraph-level dedup WITH document reassembly: split
     each document into fixed ``chunk_tokens``-token paragraphs, keep
@@ -517,36 +533,91 @@ def dedup_paragraphs(
     duplicated spans): this op rewrites the corpus — the shape that
     actually feeds training.
 
-    Plan: one generator projection (posexplode of the chunk array),
-    one window over the paragraph VALUE (exact — no hash-collision
-    false drops; the key is high-cardinality and uniform so the
-    shuffle is skew-free), one per-doc re-aggregation. Chunk text
-    crosses the wire twice (selection + reassembly); at extreme scale
-    trade exactness for bytes by windowing on a 128-bit digest of the
-    paragraph instead.
+    Plan, shared by both engines: chunk production (map-only), then
+    winner selection as ``groupBy(para).agg(min(struct(id, pos)))`` —
+    a HASH aggregate with map-side partials whose min-struct order is
+    exactly the ``row_number() OVER (PARTITION BY para ORDER BY id,
+    pos)`` total order, minus the window's per-partition string sort —
+    then one per-doc re-aggregation. The winner key is the paragraph
+    VALUE (exact — no hash-collision false drops; high-cardinality
+    and uniform, so the shuffle is skew-free).
+
+    ``engine`` picks the chunk producer:
+
+    - ``"arrow"`` (default): Arrow-batched ``mapInPandas`` — plain
+      ``str.split``/``join`` per batch, stateless, memory bounded by
+      the Arrow batch size. Spark's array higher-order-function
+      lambdas (``filter``/``transform``/``slice``) are interpreted,
+      not codegen'd, and measure ~2× slower than Python string ops at
+      500k docs (BENCH_DETAIL ``dedup_paragraphs_rewrite``); this is
+      the documented exception to the expressions-first rule.
+    - ``"sql"``: the pure-expression plan (posexplode over
+      slice/concat_ws of the token array) — zero Python workers, for
+      Python-less executors or plan-audit baselines. Bit-identical
+      output (pytest-pinned).
     """
+    if engine not in ("arrow", "sql"):
+        raise ValueError(f"engine must be 'arrow' or 'sql', got {engine!r}")
     qid = f"`{id_col}`"
-    # project the token array ONCE: higher-order-function lambdas are
-    # not subexpression-hoisted, so splitting inline would re-tokenize
-    # the full text per chunk (O(tokens²) character work per doc)
-    toked = df.select(
-        F.col(id_col), tokens_expr(text_col).alias("__t")
-    ).where(F.size("__t") > 0)
-    chunks = (
-        toked.selectExpr(
-            qid,
-            f"posexplode(transform("
-            f"sequence(0, cast(ceil(size(__t) / {chunk_tokens}.0) as int) - 1),"
-            f" i -> concat_ws(' ', slice(__t, i * {chunk_tokens} + 1,"
-            f" {chunk_tokens}))))",
+    if engine == "arrow":
+        from pyspark.sql.types import IntegerType, StringType, StructField
+        from pyspark.sql.types import StructType
+
+        in_id = df.schema[id_col]
+        out_schema = StructType([
+            StructField(id_col, in_id.dataType, in_id.nullable),
+            StructField("pos", IntegerType(), False),
+            StructField("para", StringType(), False),
+        ])
+        ct = chunk_tokens
+
+        def _chunk_batches(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                ids: list = []
+                poss: list = []
+                paras: list = []
+                for did, txt in zip(pdf.iloc[:, 0].values,
+                                    pdf.iloc[:, 1].values):
+                    if not txt:
+                        continue
+                    toks = [x for x in txt.split(" ") if x]
+                    for p in range((len(toks) + ct - 1) // ct):
+                        ids.append(did)
+                        poss.append(p)
+                        paras.append(" ".join(toks[p * ct:p * ct + ct]))
+                yield pd.DataFrame(
+                    {id_col: ids, "pos": poss, "para": paras}
+                )
+
+        chunks = df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+            _chunk_batches, out_schema
         )
-        .withColumnRenamed("col", "para")
-    )
-    first_w = W.partitionBy("para").orderBy(F.col(id_col), F.col("pos"))
+    else:
+        # project the token array ONCE: higher-order-function lambdas
+        # are not subexpression-hoisted, so splitting inline would
+        # re-tokenize the full text per chunk (O(tokens²) character
+        # work per doc)
+        toked = df.select(
+            F.col(id_col), tokens_expr(text_col).alias("__t")
+        ).where(F.size("__t") > 0)
+        chunks = (
+            toked.selectExpr(
+                qid,
+                f"posexplode(transform("
+                f"sequence(0, cast(ceil(size(__t) / {chunk_tokens}.0) as int)"
+                f" - 1), i -> concat_ws(' ', slice(__t,"
+                f" i * {chunk_tokens} + 1, {chunk_tokens}))))",
+            )
+            .withColumnRenamed("col", "para")
+        )
     keep = (
-        chunks.withColumn("rn", F.row_number().over(first_w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        chunks.groupBy("para")
+        .agg(F.min(F.struct(F.col(id_col).alias("i"),
+                            F.col("pos").alias("p"))).alias("w"))
+        .select(F.col("w.i").alias(id_col), F.col("w.p").alias("pos"),
+                "para")
     )
     return _reassemble(keep, id_col, text_col, piece_col="para")
 

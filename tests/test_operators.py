@@ -13,6 +13,23 @@ def _docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+def test_tokens_sql_matches_filter_form(spark):
+    """The codegen-friendly tokens_sql (trim + split-on-runs +
+    array_remove) is bit-identical to the literal
+    filter(split(x,' '), x != '') form — including NULL, empty,
+    all-spaces, leading/trailing/run-of-spaces, and tab-in-token
+    edges (split is on SPACE only; tabs stay inside tokens)."""
+    rows = [(None,), ("",), ("   ",), ("a b",), ("a  b",), (" a b ",),
+            ("a\tb c",), ("  lone  ",), ("x",), ("a b  c   d ",)]
+    df = spark.createDataFrame(rows, "text string")
+    got = df.selectExpr(
+        f"{dedup.tokens_sql('text')} AS new",
+        "filter(split(text, ' '), x -> x != '') AS old",
+    ).collect()
+    for r in got:
+        assert r["new"] == r["old"], (r["new"], r["old"])
+
+
 def test_exact_dedup_clusters(spark):
     df = _docs(
         spark,
@@ -986,6 +1003,31 @@ def test_ivf_recall_full_probe_is_one(spark, sf_dir):
 
     partial = similarity.ivf_recall(e, cent, qs, k=5, nprobe=1)
     assert all(0.0 <= r["recall"] <= 1.0 for r in partial.collect())
+
+
+def test_dedup_paragraphs_engines_identical(spark, sf_dir):
+    """The Arrow-batched chunker (default) and the pure-expression
+    plan produce bit-identical corpora on the test corpus — including
+    the edge docs (empty/whitespace text dropped, short tails kept)."""
+    from omicidx_gh_etl_spark.operators import dedup
+    from omicidx_gh_etl_spark.queries.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [(90001, ""), (90002, "   "), (90003, "one two"),
+         (90004, "  padded   spaces  ")],
+        "doc_id long, text string",
+    )
+    d = d.unionByName(edge)
+    arrow = dedup.dedup_paragraphs(d, "text", "doc_id", engine="arrow")
+    sql = dedup.dedup_paragraphs(d, "text", "doc_id", engine="sql")
+    a = {(r["doc_id"], r["text"]) for r in arrow.collect()}
+    b = {(r["doc_id"], r["text"]) for r in sql.collect()}
+    assert a == b
+    assert 90001 not in {x[0] for x in a} and 90002 not in {x[0] for x in a}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        dedup.dedup_paragraphs(d, "text", "doc_id", engine="duck")
 
 
 def test_dedup_paragraphs_converges_on_corpus(spark, sf_dir):
