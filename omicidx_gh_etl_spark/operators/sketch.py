@@ -43,17 +43,29 @@ def heavy_hitters(df: DataFrame, key: str | Column, k: int) -> DataFrame:
         keyed = df.selectExpr(f"cast(`{key}` as string) AS key")
     else:
         keyed = df.select(key.cast("string").alias("key"))
+    keyed = keyed.filter("key IS NOT NULL")
+
+    # The MG pass runs over xxhash64(key) int64s, not the key strings:
+    # the Arrow transfer ships 8 fixed bytes/row instead of a varlen
+    # string, and value_counts/dict work runs on machine ints. A hash
+    # COLLISION can only merge two keys' counters — the merged counter
+    # dominates each key's true count, so every true heavy hitter
+    # still survives MG (recall is preserved deterministically); the
+    # collider becomes a false candidate that the exact keyed recount
+    # prunes. No false positives survive, because the final filter is
+    # on exact per-KEY counts.
+    hashed = keyed.selectExpr("xxhash64(key) AS h")
 
     def mg_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Batch-merge MG instead of a per-ROW loop: each Arrow batch's
-        # exact value_counts() (C speed, nulls dropped) is a trivially
-        # exact frequency summary, folded into the running k-bounded
-        # summary with the MERGE rule — add counts over the batch's
-        # DISTINCT keys only, then once per batch subtract the (k+1)-th
-        # largest count and drop non-positives. Mergeable-summaries
-        # result (Agarwal et al., PODS 2012): the merge is again MG(k)
-        # with error ≤ n_p/(k+1), so every key with partition frequency
-        # > n_p/k still survives. Python-level work per batch is
+        # exact value_counts() (C speed) is a trivially exact frequency
+        # summary, folded into the running k-bounded summary with the
+        # MERGE rule — add counts over the batch's DISTINCT keys only,
+        # then once per batch subtract the (k+1)-th largest count and
+        # drop non-positives. Mergeable-summaries result (Agarwal et
+        # al., PODS 2012): the merge is again MG(k) with error
+        # ≤ n_p/(k+1), so every key with partition frequency > n_p/k
+        # still survives. Python-level work per batch is
         # O(distinct-in-batch), not O(rows) — on skewed (real
         # heavy-hitter) data that is a small fraction of rows; the
         # all-distinct adversarial case degrades to O(rows) with
@@ -62,7 +74,7 @@ def heavy_hitters(df: DataFrame, key: str | Column, k: int) -> DataFrame:
         import numpy as np
 
         for pdf in batches:
-            vc = pdf["key"].value_counts()
+            vc = pdf["h"].value_counts()
             get = counters.get
             for v, c in zip(vc.index.to_numpy(), vc.to_numpy()):
                 counters[v] = get(v, 0) + int(c)
@@ -72,22 +84,32 @@ def heavy_hitters(df: DataFrame, key: str | Column, k: int) -> DataFrame:
                 dec = np.partition(vals, len(vals) - k - 1)[len(vals) - k - 1]
                 counters = {key: n - dec for key, n in counters.items()
                             if n > dec}
-        yield pd.DataFrame({"key": list(counters.keys())})
+        yield pd.DataFrame({"h": list(counters.keys())}, dtype="int64")
 
-    candidates = keyed.mapInPandas(mg_partition, "key string").distinct()
+    candidates = hashed.mapInPandas(mg_partition, "h long").distinct()
 
-    # threshold as an in-plan broadcast scalar (1 row), not a separate
-    # driver-side count(): saves one full scan of the input
-    total = keyed.filter("key IS NOT NULL").agg(
-        F.expr("count(*)").alias("__total")
+    # ONE recount scan produces both the exact candidate counts AND
+    # the total-row scalar: non-candidate rows collapse into a single
+    # NULL catch-all group (map-side partials absorb them), and the
+    # grand total is a window over the grouped rows — a frame bounded
+    # by construction at ≤ k × num_partitions + 1 rows, so the
+    # unpartitioned window is not a scale risk. Saves the third full
+    # input scan the previous shape spent on a separate count(*).
+    grouped = (
+        keyed.join(
+            F.broadcast(candidates),
+            F.expr("xxhash64(key)") == F.col("h"),
+            "left",
+        )
+        .groupBy(F.expr("CASE WHEN h IS NOT NULL THEN key END").alias("g"))
+        .agg(F.expr("count(*)").alias("n"))
     )
     return (
-        keyed.join(F.broadcast(candidates), "key", "left_semi")
-        .groupBy("key")
-        .agg(F.expr("count(*)").alias("n"))
-        .join(F.broadcast(total))
-        .filter(f"n > __total / {int(k)}")
-        .drop("__total")
+        grouped.withColumn(
+            "__total", F.expr("sum(n) OVER ()")
+        )
+        .filter(f"g IS NOT NULL AND n > __total / {int(k)}")
+        .selectExpr("g AS key", "n")
     )
 
 

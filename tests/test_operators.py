@@ -943,6 +943,37 @@ def test_dedup_paragraphs_rewrites_and_drops(spark):
     assert out[4] == "completely different words entirely"
 
 
+def test_cosine_topk_engines_identical(spark, sf_dir):
+    """The Arrow/numpy gemv engine returns exactly the sql-expression
+    engine's rows — same doubles, same HALF_UP rounding, same
+    (cos desc, id asc) tiebreak — on the corpus AND under heavy ties
+    (replicated identical vectors, where a per-batch top-k that sorts
+    by cosine alone would drop the lowest ids)."""
+    from omicidx_gh_etl_spark.operators import similarity
+    from omicidx_gh_etl_spark.queries.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    a = similarity.cosine_topk(e, q, k=10, engine="sql").collect()
+    b = similarity.cosine_topk(e, q, k=10, engine="arrow").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    # tie stress: 60 copies of the query vector under distinct ids
+    ties = e.filter(F.col("vec_id") < 3).selectExpr(
+        "explode(sequence(0, 19)) AS r", "vec_id", "embedding"
+    ).selectExpr("vec_id * 20 + r AS vec_id", "embedding")
+    at = similarity.cosine_topk(ties, q, k=7, engine="sql").collect()
+    bt = similarity.cosine_topk(ties, q, k=7, engine="arrow").collect()
+    assert [tuple(r) for r in at] == [tuple(r) for r in bt]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        similarity.cosine_topk(e, q, engine="duck")
+    with _pytest.raises(ValueError):
+        similarity.cosine_topk(e, e.limit(2).selectExpr(
+            "embedding AS qv"), engine="arrow").collect()
+
+
 def test_knn_label_vote_majority_and_ties(spark):
     """Majority vote wins; a vote tie resolves to the SMALLEST label;
     per-class accuracy aggregates correctly."""
