@@ -1032,10 +1032,15 @@ def _floor_at_scale(spark, sf_dir: str, con) -> dict:
         dedup.exact_dedup(d_rep, "text", "doc_id"), n_docs, exact_sql
     )
 
-    # similarity_topk @ 1M vectors (2000 × 500): brute-force cosine
+    # similarity_topk @ 10M vectors (2000 × 5000): brute-force cosine
     # top-10 against the original query vector — map-only scan +
-    # TakeOrdered vs DuckDB's cross-join + ORDER BY LIMIT.
-    rep_e = 500
+    # TakeOrdered vs DuckDB's cross-join + ORDER BY LIMIT. 10M, not
+    # 1M: at 1M the arrow engine's wall is ~50% task/python-worker
+    # orchestration (32 workers × ~20 ms of floor on ~15 ms of gemv),
+    # which is the price of the horizontally-scaling architecture, not
+    # of the operator — at 10M compute dominates and the ratio
+    # measures the kernel, not the floor.
+    rep_e = 5000
     e = load_table(spark, sf_dir, "embeddings")
     n_vec = e.count() * rep_e
     repx_e = F.explode(F.sequence(F.lit(1), F.lit(rep_e))).alias("__rep")
