@@ -57,34 +57,35 @@ def heavy_hitters(df: DataFrame, key: str | Column, k: int) -> DataFrame:
     hashed = keyed.selectExpr("xxhash64(key) AS h")
 
     def mg_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # Batch-merge MG instead of a per-ROW loop: each Arrow batch's
-        # exact value_counts() (C speed) is a trivially exact frequency
-        # summary, folded into the running k-bounded summary with the
-        # MERGE rule — add counts over the batch's DISTINCT keys only,
-        # then once per batch subtract the (k+1)-th largest count and
-        # drop non-positives. Mergeable-summaries result (Agarwal et
-        # al., PODS 2012): the merge is again MG(k) with error
-        # ≤ n_p/(k+1), so every key with partition frequency > n_p/k
-        # still survives. Python-level work per batch is
-        # O(distinct-in-batch), not O(rows) — on skewed (real
-        # heavy-hitter) data that is a small fraction of rows; the
-        # all-distinct adversarial case degrades to O(rows) with
-        # dict-merge constants, same asymptotics as the row loop.
-        counters: dict = {}
+        # Batch-merge MG, fully vectorized — no Python-level loop over
+        # keys anywhere: each Arrow batch's exact value_counts() (C
+        # speed) is a trivially exact frequency summary, merged into
+        # the running k-bounded (keys, counts) arrays with
+        # np.unique(return_inverse) + np.add.at, then once per batch
+        # the (k+1)-th largest count is subtracted and non-positives
+        # dropped. Mergeable-summaries result (Agarwal et al., PODS
+        # 2012): the merge is again MG(k) with error ≤ n_p/(k+1), so
+        # every key with partition frequency > n_p/k still survives.
+        # Per-batch work is O(d log d) in distinct-in-batch — the
+        # adversarial all-distinct tail runs at numpy sort speed, not
+        # dict-insert speed.
         import numpy as np
 
+        ckeys = np.empty(0, dtype=np.int64)
+        ccounts = np.empty(0, dtype=np.int64)
         for pdf in batches:
             vc = pdf["h"].value_counts()
-            get = counters.get
-            for v, c in zip(vc.index.to_numpy(), vc.to_numpy()):
-                counters[v] = get(v, 0) + int(c)
-            if len(counters) > k:
-                vals = np.fromiter(counters.values(), dtype=np.int64,
-                                   count=len(counters))
-                dec = np.partition(vals, len(vals) - k - 1)[len(vals) - k - 1]
-                counters = {key: n - dec for key, n in counters.items()
-                            if n > dec}
-        yield pd.DataFrame({"h": list(counters.keys())}, dtype="int64")
+            merged = np.concatenate([ckeys, vc.index.to_numpy(np.int64)])
+            weights = np.concatenate([ccounts, vc.to_numpy(np.int64)])
+            ckeys, inv = np.unique(merged, return_inverse=True)
+            ccounts = np.zeros(len(ckeys), dtype=np.int64)
+            np.add.at(ccounts, inv, weights)
+            if len(ckeys) > k:
+                dec = np.partition(ccounts, len(ccounts) - k - 1)[
+                    len(ccounts) - k - 1]
+                keep = ccounts > dec
+                ckeys, ccounts = ckeys[keep], ccounts[keep] - dec
+        yield pd.DataFrame({"h": ckeys})
 
     candidates = hashed.mapInPandas(mg_partition, "h long").distinct()
 
