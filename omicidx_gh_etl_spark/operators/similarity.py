@@ -261,12 +261,29 @@ def _brute_topk(
     probe_id_col: str,
     exclude_self: bool = False,
     carry: tuple[str, ...] = (),
+    engine: str = "sql",
 ) -> DataFrame:
     """Multi-query brute-force cosine top-k: ``corpus`` must expose
     (``id_col``, ``v``), ``probes`` (``probe_id_col``, ``qvd``) — both
     double arrays. One place owns the determinism contract (rounded
     similarity, id tiebreak) shared by every exact-ground-truth eval;
-    ``carry`` names extra columns to keep on the output rows."""
+    ``carry`` names extra columns to keep on the output rows.
+
+    ``engine="arrow"`` computes all probe×batch cosines as ONE BLAS
+    gemm per Arrow batch and pre-selects each probe's local top-k
+    (with exact rounded-tie inclusion) before the per-probe window —
+    the window then ranks ~num_batches × k candidates per probe
+    instead of the full corpus × probes cross product. Same f64 math,
+    HALF_UP rounding and NULL-cosine LIMIT semantics; output
+    pytest-pinned identical to the sql engine. The probe side is
+    driver-materialized — the same small-eval-set bound the sql
+    engine's broadcast already imposes."""
+    if engine not in ("sql", "arrow"):
+        raise ValueError(f"engine must be 'sql' or 'arrow', got {engine!r}")
+    if engine == "arrow":
+        return _brute_topk_arrow(
+            corpus, probes, k, id_col, probe_id_col, exclude_self, carry
+        )
     # hoist both norms: corpus-row norm would otherwise re-evaluate per
     # probe, probe norm per corpus row (bit-identical, see _cos_pre_sql)
     corpus = corpus.selectExpr("*", f"{_norm_sql('v')} AS __vn")
@@ -290,6 +307,140 @@ def _brute_topk(
     )
 
 
+def _brute_topk_arrow(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int,
+    id_col: str,
+    probe_id_col: str,
+    exclude_self: bool,
+    carry: tuple[str, ...],
+) -> DataFrame:
+    """Arrow/BLAS engine for :func:`_brute_topk` (see its docstring)."""
+    import numpy as np
+
+    kk = int(k)
+    probe_cols = set(probes.columns)
+    corpus_cols = set(corpus.columns)
+    for c in carry:
+        if c in probe_cols and c in corpus_cols:
+            raise ValueError(f"carry column {c!r} exists on both sides")
+        if c not in probe_cols and c not in corpus_cols:
+            raise ValueError(f"carry column {c!r} on neither side")
+    p_carry = [c for c in carry if c in probe_cols]
+    c_carry = [c for c in carry if c in corpus_cols]
+
+    prows = probes.select(probe_id_col, "qvd", *p_carry).collect()
+    if not prows:
+        raise ValueError("probes is empty")
+    pids = np.asarray([r[probe_id_col] for r in prows])
+    qm = np.asarray([r["qvd"] for r in prows], dtype=np.float64)  # P×d
+    qns = np.sqrt((qm * qm).sum(axis=1))
+    p_carry_vals = {c: [r[c] for r in prows] for c in p_carry}
+    dim = qm.shape[1]
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    c_schema = corpus.schema
+    p_schema = probes.schema
+    out_schema = StructType(
+        [StructField(probe_id_col, p_schema[probe_id_col].dataType, True)]
+        + [StructField(c, p_schema[c].dataType, True) for c in p_carry]
+        + [StructField(c, c_schema[c].dataType, True) for c in c_carry]
+        + [StructField(id_col, c_schema[id_col].dataType, True),
+           StructField("cos_sim", DoubleType(), True)]
+    )
+    # the sql engine's column order is probe_id, *carry (caller
+    # order), id, cos — restore it with a final select
+    out_order = [probe_id_col, *carry, id_col, "cos_sim"]
+
+    def _gemm_batches(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            idn = np.asarray(b.column(0).to_numpy(zero_copy_only=False))
+            vecs = b.column(1)
+            if isinstance(vecs, pa.ChunkedArray):
+                vecs = vecs.combine_chunks()
+            flat = vecs.flatten().to_numpy(zero_copy_only=False)
+            if vecs.null_count == 0 and flat.size == n * dim:
+                arr = flat.reshape(n, dim).astype(np.float64, copy=False)
+            else:
+                arr = np.array(
+                    [np.asarray(v, dtype=np.float64)
+                     if v is not None and len(v) == dim
+                     else np.full(dim, np.nan)
+                     for v in vecs.to_pylist()]
+                )
+            norms = np.sqrt((arr * arr).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                raw = (arr @ qm.T) / (norms[:, None] * qns[None, :])
+            cosm = np.sign(raw) * np.floor(np.abs(raw) * 1e4 + 0.5) / 1e4
+            if exclude_self:
+                self_mask = idn[:, None] == pids[None, :]
+            rows_idx: list = []
+            probe_idx: list = []
+            cos_out: list = []
+            for p in range(len(pids)):
+                col = cosm[:, p]
+                ok = np.isfinite(col)
+                if exclude_self:
+                    ok &= ~self_mask[:, p]
+                scores = np.where(ok, col, -np.inf)
+                n_ok = int(ok.sum())
+                if n_ok > kk:
+                    kth = np.partition(scores, n - kk)[n - kk]
+                    cand = np.flatnonzero(scores >= kth)  # exact ties in
+                else:
+                    cand = np.flatnonzero(ok)
+                rows_idx.extend(cand.tolist())
+                probe_idx.extend([p] * len(cand))
+                cos_out.extend(col[cand].tolist())
+                if n_ok < kk:
+                    # NULL cosines fill the window's LIMIT slots
+                    # (DESC NULLS LAST, id ASC) on degenerate corpora
+                    nul = ~np.isfinite(col)
+                    if exclude_self:
+                        nul &= ~self_mask[:, p]
+                    nul_idx = np.flatnonzero(nul)
+                    take = nul_idx[np.argsort(idn[nul_idx])][:kk - n_ok]
+                    rows_idx.extend(take.tolist())
+                    probe_idx.extend([p] * len(take))
+                    cos_out.extend([None] * len(take))
+            if not rows_idx:
+                continue
+            take_arr = pa.array(rows_idx, type=pa.int64())
+            cols = [pa.array([pids[p] for p in probe_idx])]
+            for c in p_carry:
+                vals = p_carry_vals[c]
+                cols.append(pa.array([vals[p] for p in probe_idx]))
+            for i, c in enumerate(c_carry):
+                cols.append(b.column(2 + i).take(take_arr))
+            cols.append(b.column(0).take(take_arr))
+            cols.append(pa.array(cos_out, type=pa.float64()))
+            yield pa.record_batch(
+                cols,
+                names=[probe_id_col, *p_carry, *c_carry, id_col, "cos_sim"],
+            )
+
+    cand = corpus.select(id_col, "v", *c_carry).mapInArrow(
+        _gemm_batches, out_schema
+    )
+    return (
+        cand.selectExpr(
+            "*",
+            f"row_number() OVER (PARTITION BY `{probe_id_col}` "
+            f"ORDER BY cos_sim DESC, `{id_col}`) AS rn",
+        )
+        .filter(f"rn <= {kk}")
+        .drop("rn")
+        .select(*out_order)
+    )
+
+
 def knn_label_vote(
     corpus: DataFrame,
     probes: DataFrame,
@@ -300,6 +451,7 @@ def knn_label_vote(
     probe_id_col: str = "q_id",
     probe_vec_col: str = "qv",
     probe_label_col: str = "true_label",
+    engine: str = "sql",
 ) -> DataFrame:
     """kNN label probe — the standard embedding-quality evaluation for
     a training-data pipeline: predict each held-out probe's label by
@@ -330,7 +482,8 @@ def knn_label_vote(
         F.col(probe_label_col),
     )
     neighbors = _brute_topk(
-        c, p, k, id_col, probe_id_col, carry=(probe_label_col, label_col)
+        c, p, k, id_col, probe_id_col,
+        carry=(probe_label_col, label_col), engine=engine,
     )
     votes = neighbors.groupBy(probe_id_col, probe_label_col, label_col).agg(
         F.count(F.lit(1)).alias("votes")
@@ -371,6 +524,7 @@ def ivf_recall(
     query_id_col: str = "q_id",
     query_vec_col: str = "qv",
     queries_in_corpus: bool = True,
+    engine: str = "sql",
 ) -> DataFrame:
     """Recall@k of :func:`ivf_search` against the brute-force cosine
     ground truth — THE standard ANN quality metric: per query, the
@@ -402,7 +556,8 @@ def ivf_recall(
         F.col(query_id_col), _as_double(query_vec_col).alias("qvd")
     )
     truth = _brute_topk(
-        e, q, k, id_col, query_id_col, exclude_self=queries_in_corpus
+        e, q, k, id_col, query_id_col, exclude_self=queries_in_corpus,
+        engine=engine,
     ).select(query_id_col, id_col)
     hits = truth.join(ivf, [query_id_col, id_col], "left_semi")
     n_true = truth.groupBy(query_id_col).agg(F.count(F.lit(1)).alias("n_true"))

@@ -974,6 +974,73 @@ def test_cosine_topk_engines_identical(spark, sf_dir):
             "embedding AS qv"), engine="arrow").collect()
 
 
+def test_brute_topk_engines_identical(spark, sf_dir):
+    """The BLAS-gemm arrow engine of the multi-probe brute-force
+    top-k returns exactly the sql engine's rows — carried columns,
+    exclude_self, rounded-cos ties and id tiebreaks included — on the
+    corpus (via knn_label_vote / ivf_recall truth) and on a planted
+    all-ties corpus."""
+    from omicidx_gh_etl_spark.operators import similarity
+    from omicidx_gh_etl_spark.operators.similarity import _brute_topk
+    from omicidx_gh_etl_spark.queries.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    c = e.select("vec_id", F.expr(
+        "cast(embedding as array<double>)").alias("v"),
+        (F.col("vec_id") % 3).alias("label"))
+    p = e.filter("vec_id < 6").select(
+        F.col("vec_id").alias("q_id"),
+        F.expr("cast(embedding as array<double>)").alias("qvd"),
+        (F.col("vec_id") % 2).alias("true_label"))
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    a = _brute_topk(c, p, 5, "vec_id", "q_id",
+                    carry=("true_label", "label"))
+    b = _brute_topk(c, p, 5, "vec_id", "q_id",
+                    carry=("true_label", "label"), engine="arrow")
+    assert rows(a) == rows(b)
+    ax = _brute_topk(c, p, 5, "vec_id", "q_id", exclude_self=True)
+    bx = _brute_topk(c, p, 5, "vec_id", "q_id", exclude_self=True,
+                     engine="arrow")
+    assert rows(ax) == rows(bx)
+
+    # planted ties: 30 copies of one vector — the per-batch preselect
+    # must keep ALL rounded-cos ties so the id tiebreak stays global
+    ties = e.filter("vec_id < 2").selectExpr(
+        "explode(sequence(0, 14)) AS r", "vec_id", "embedding"
+    ).selectExpr(
+        "vec_id * 15 + r AS vec_id",
+        "cast(embedding as array<double>) AS v",
+    )
+    pt = p.limit(2)
+    at = _brute_topk(ties, pt, 4, "vec_id", "q_id")
+    bt = _brute_topk(ties, pt, 4, "vec_id", "q_id", engine="arrow")
+    assert rows(at) == rows(bt)
+
+    # end-to-end through the eval wrappers
+    knn_a = similarity.knn_label_vote(
+        e.withColumn("label", F.col("vec_id") % 3),
+        e.filter("vec_id < 6").selectExpr(
+            "vec_id AS q_id", "embedding AS qv",
+            "vec_id % 2 AS true_label"))
+    knn_b = similarity.knn_label_vote(
+        e.withColumn("label", F.col("vec_id") % 3),
+        e.filter("vec_id < 6").selectExpr(
+            "vec_id AS q_id", "embedding AS qv",
+            "vec_id % 2 AS true_label"), engine="arrow")
+    assert rows(knn_a) == rows(knn_b)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        _brute_topk(c, p, 5, "vec_id", "q_id", engine="duck")
+    with _pytest.raises(ValueError):
+        _brute_topk(c, p.withColumnRenamed("true_label", "label"),
+                    5, "vec_id", "q_id", carry=("label",),
+                    engine="arrow")
+
+
 def test_knn_label_vote_majority_and_ties(spark):
     """Majority vote wins; a vote tie resolves to the SMALLEST label;
     per-class accuracy aggregates correctly."""
