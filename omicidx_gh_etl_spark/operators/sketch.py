@@ -30,42 +30,38 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def heavy_hitters(df: DataFrame, key: str | Column, k: int) -> DataFrame:
-    """Exact keys with count > n/k, found without a full-cardinality
-    shuffle.
+def mg_merge(ckeys, ccounts, add_keys, add_counts, k: int):
+    """One vectorized Misra-Gries MERGE step: fold an exact (or MG)
+    frequency summary ``(add_keys, add_counts)`` into the running
+    k-bounded summary ``(ckeys, ccounts)`` — sum counts over the union
+    of keys (np.unique + np.add.at, no Python-level key loop), then if
+    more than ``k`` counters remain subtract the (k+1)-th largest and
+    drop non-positives. Mergeable-summaries result (Agarwal et al.,
+    PODS 2012): the merge of MG(k) summaries is again MG(k) with error
+    ≤ N/(k+1) over the combined stream, so every key with combined
+    frequency > N/k survives. Shared by the batch operator's
+    per-partition pass and the streaming per-micro-batch fold."""
+    import numpy as np
 
-    Returns ``(key, n)`` for every key whose exact global count exceeds
-    ``total_rows / k``. Candidate pruning is per-partition Misra-Gries
-    (≤ k counters each); the exact recount shuffles only rows matching
-    a broadcast candidate set of ≤ k × num_partitions keys.
-    """
-    if isinstance(key, str):
-        keyed = df.selectExpr(f"cast(`{key}` as string) AS key")
-    else:
-        keyed = df.select(key.cast("string").alias("key"))
-    keyed = keyed.filter("key IS NOT NULL")
+    merged = np.concatenate([ckeys, add_keys])
+    weights = np.concatenate([ccounts, add_counts])
+    keys, inv = np.unique(merged, return_inverse=True)
+    counts = np.zeros(len(keys), dtype=np.int64)
+    np.add.at(counts, inv, weights)
+    if len(keys) > k:
+        dec = np.partition(counts, len(counts) - k - 1)[len(counts) - k - 1]
+        keep = counts > dec
+        keys, counts = keys[keep], counts[keep] - dec
+    return keys, counts
 
-    # The MG pass runs over xxhash64(key) int64s, not the key strings:
-    # the Arrow transfer ships 8 fixed bytes/row instead of a varlen
-    # string, and value_counts/dict work runs on machine ints. A hash
-    # COLLISION can only merge two keys' counters — the merged counter
-    # dominates each key's true count, so every true heavy hitter
-    # still survives MG (recall is preserved deterministically); the
-    # collider becomes a false candidate that the exact keyed recount
-    # prunes. No false positives survive, because the final filter is
-    # on exact per-KEY counts.
-    hashed = keyed.selectExpr("xxhash64(key) AS h")
+
+def _mg_summaries(hashed: DataFrame, k: int) -> DataFrame:
+    """Per-partition MG(k) summaries of an ``(h: long)`` frame —
+    ≤ k rows (h, c) per partition, Arrow-batched, vectorized merge."""
 
     def mg_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # Batch-merge MG, fully vectorized — no Python-level loop over
-        # keys anywhere: each Arrow batch's exact value_counts() (C
-        # speed) is a trivially exact frequency summary, merged into
-        # the running k-bounded (keys, counts) arrays with
-        # np.unique(return_inverse) + np.add.at, then once per batch
-        # the (k+1)-th largest count is subtracted and non-positives
-        # dropped. Mergeable-summaries result (Agarwal et al., PODS
-        # 2012): the merge is again MG(k) with error ≤ n_p/(k+1), so
-        # every key with partition frequency > n_p/k still survives.
+        # Each Arrow batch's exact value_counts() (C speed) is a
+        # trivially exact frequency summary, folded in with mg_merge.
         # Per-batch work is O(d log d) in distinct-in-batch — the
         # adversarial all-distinct tail runs at numpy sort speed, not
         # dict-insert speed.
@@ -75,27 +71,35 @@ def heavy_hitters(df: DataFrame, key: str | Column, k: int) -> DataFrame:
         ccounts = np.empty(0, dtype=np.int64)
         for pdf in batches:
             vc = pdf["h"].value_counts()
-            merged = np.concatenate([ckeys, vc.index.to_numpy(np.int64)])
-            weights = np.concatenate([ccounts, vc.to_numpy(np.int64)])
-            ckeys, inv = np.unique(merged, return_inverse=True)
-            ccounts = np.zeros(len(ckeys), dtype=np.int64)
-            np.add.at(ccounts, inv, weights)
-            if len(ckeys) > k:
-                dec = np.partition(ccounts, len(ccounts) - k - 1)[
-                    len(ccounts) - k - 1]
-                keep = ccounts > dec
-                ckeys, ccounts = ckeys[keep], ccounts[keep] - dec
-        yield pd.DataFrame({"h": ckeys})
+            ckeys, ccounts = mg_merge(
+                ckeys, ccounts,
+                vc.index.to_numpy(np.int64), vc.to_numpy(np.int64), k,
+            )
+        yield pd.DataFrame({"h": ckeys, "c": ccounts})
 
-    candidates = hashed.mapInPandas(mg_partition, "h long").distinct()
+    return hashed.mapInPandas(mg_partition, "h long, c long")
 
-    # ONE recount scan produces both the exact candidate counts AND
-    # the total-row scalar: non-candidate rows collapse into a single
-    # NULL catch-all group (map-side partials absorb them), and the
-    # grand total is a window over the grouped rows — a frame bounded
-    # by construction at ≤ k × num_partitions + 1 rows, so the
-    # unpartitioned window is not a scale risk. Saves the third full
-    # input scan the previous shape spent on a separate count(*).
+
+def _keyed(df: DataFrame, key: str | Column) -> DataFrame:
+    if isinstance(key, str):
+        keyed = df.selectExpr(f"cast(`{key}` as string) AS key")
+    else:
+        keyed = df.select(key.cast("string").alias("key"))
+    return keyed.filter("key IS NOT NULL")
+
+
+def exact_recount(keyed: DataFrame, candidates: DataFrame,
+                  k: int) -> DataFrame:
+    """Exact ``(key, n)`` with ``n > total/k``, given a candidate-hash
+    frame ``(h: long)`` guaranteed to contain every true heavy
+    hitter's ``xxhash64(key)``.
+
+    ONE scan produces both the exact candidate counts AND the
+    total-row scalar: non-candidate rows collapse into a single NULL
+    catch-all group (map-side partials absorb them), and the grand
+    total is a window over the grouped rows — a frame bounded by
+    construction at ≤ candidates + 1 rows, so the unpartitioned window
+    is not a scale risk."""
     grouped = (
         keyed.join(
             F.broadcast(candidates),
@@ -112,6 +116,31 @@ def heavy_hitters(df: DataFrame, key: str | Column, k: int) -> DataFrame:
         .filter(f"g IS NOT NULL AND n > __total / {int(k)}")
         .selectExpr("g AS key", "n")
     )
+
+
+def heavy_hitters(df: DataFrame, key: str | Column, k: int) -> DataFrame:
+    """Exact keys with count > n/k, found without a full-cardinality
+    shuffle.
+
+    Returns ``(key, n)`` for every key whose exact global count exceeds
+    ``total_rows / k``. Candidate pruning is per-partition Misra-Gries
+    (≤ k counters each); the exact recount shuffles only rows matching
+    a broadcast candidate set of ≤ k × num_partitions keys.
+
+    The MG pass runs over xxhash64(key) int64s, not the key strings:
+    the Arrow transfer ships 8 fixed bytes/row instead of a varlen
+    string, and the summary work runs on machine ints. A hash
+    COLLISION can only merge two keys' counters — the merged counter
+    dominates each key's true count, so every true heavy hitter still
+    survives MG (recall is preserved deterministically); the collider
+    becomes a false candidate that the exact keyed recount prunes. No
+    false positives survive, because the final filter is on exact
+    per-KEY counts.
+    """
+    keyed = _keyed(df, key)
+    hashed = keyed.selectExpr("xxhash64(key) AS h")
+    candidates = _mg_summaries(hashed, k).select("h").distinct()
+    return exact_recount(keyed, candidates, k)
 
 
 def _cms_bucket(j_col: Column, key_col: Column, width: int) -> Column:

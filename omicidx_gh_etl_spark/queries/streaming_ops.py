@@ -239,6 +239,34 @@ def streaming_count_min_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_heavy_hitters",
+    """
+    SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n
+    FROM events
+    WHERE user_id IS NOT NULL
+    GROUP BY user_id
+    HAVING count(*) > (SELECT count(user_id) FROM events) / 120.0
+    """,
+    tags=("streaming", "sketch"),
+)
+def streaming_heavy_hitters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters over the event STREAM: per-micro-batch Misra-Gries
+    summaries (≤ k×partitions rows each) folded into one k-bounded
+    driver state, then ONE exact batch recount of the candidates —
+    the streaming face of `sketch_heavy_hitters`, sharing its exact
+    GROUP BY/HAVING oracle because MG mergeability guarantees the
+    streamed candidate set still contains every key above n/k
+    (operators/sketch.py::mg_merge; streaming/mg.py)."""
+    from ..streaming.mg import run_streaming_heavy_hitters
+    from .tables import load_events
+
+    return run_streaming_heavy_hitters(
+        spark, f"{sf_dir}/events.parquet", load_events(spark, sf_dir),
+        "user_id", k=120,
+    )
+
+
+@register(
     "streaming_ann_ingest",
     # the oracle is the one-shot cell assignment over the FULL corpus:
     # ingestion split must never change where a vector lands (same

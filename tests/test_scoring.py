@@ -245,6 +245,49 @@ def test_streaming_count_min_multibatch(spark, sf_dir, tmp_path):
     assert s == b and len(s) > 0
 
 
+def test_streaming_heavy_hitters_multibatch(spark, sf_dir, tmp_path):
+    """Streamed MG heavy hitters over MULTIPLE micro-batches must
+    equal the batch operator exactly — both are exact (candidates +
+    recount), and MG-merge across real batch boundaries must not lose
+    a key above n/k. Includes a planted hitter diluted by a sea of
+    near-distinct keys so eviction pressure crosses batches."""
+    from pyspark.sql import functions as F
+
+    from omicidx_gh_etl_spark.operators.sketch import heavy_hitters
+    from omicidx_gh_etl_spark.queries.tables import load_events
+    from omicidx_gh_etl_spark.streaming.mg import run_streaming_heavy_hitters
+
+    ev = load_events(spark, sf_dir)
+    src = str(tmp_path / "ev_parts")
+    ev.select("event_id", "user_id", "event_type", "value", "props", "ts") \
+        .repartition(4).write.parquet(src)
+
+    streamed = run_streaming_heavy_hitters(
+        spark, src, ev, "user_id", k=120, max_files_per_trigger=1
+    )
+    batch = heavy_hitters(ev, "user_id", 120)
+    s = {(r["key"], r["n"]) for r in streamed.collect()}
+    b = {(r["key"], r["n"]) for r in batch.collect()}
+    assert s == b
+
+    # planted hitter under eviction pressure across 4 micro-batches
+    n = 20_000
+    planted = spark.range(n).selectExpr(
+        "id AS event_id",
+        "CASE WHEN id % 9 = 0 THEN 77 ELSE 1000 + id END AS user_id",
+        "'t' AS event_type", "0.0 AS value", "'{}' AS props",
+        "timestamp'2024-01-01' AS ts",
+    )
+    src2 = str(tmp_path / "planted")
+    planted.repartition(4).write.parquet(src2)
+    got = {r["key"]: r["n"] for r in run_streaming_heavy_hitters(
+        spark, src2, spark.read.parquet(src2), "user_id", k=10,
+        max_files_per_trigger=1,
+    ).collect()}
+    assert set(got) == {"77"}
+    assert got["77"] == len([1 for i in range(n) if i % 9 == 0])
+
+
 def test_perceptual_hash_properties(spark):
     """Identical buffers share a phash, a locally-edited buffer stays
     CLOSE in Hamming distance (the property pHash exists for), an
