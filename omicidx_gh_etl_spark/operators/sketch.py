@@ -96,10 +96,15 @@ def exact_recount(keyed: DataFrame, candidates: DataFrame,
 
     ONE scan produces both the exact candidate counts AND the
     total-row scalar: non-candidate rows collapse into a single NULL
-    catch-all group (map-side partials absorb them), and the grand
-    total is a window over the grouped rows — a frame bounded by
-    construction at ≤ candidates + 1 rows, so the unpartitioned window
-    is not a scale risk."""
+    catch-all group (map-side partials absorb them), then the grouped
+    rows — bounded by construction at ≤ candidates + 1 — are packed
+    into a single collect_list row where the grand total is one HOF
+    sum computed ONCE (below the Generate, so it is not re-evaluated
+    per exploded row) before unpacking. No self-join, no plan-subtree
+    duplication, and no unpartitioned window (the former
+    ``sum(n) OVER ()`` logged WindowExec's "No Partition Defined"
+    warning, which reads as a defect; this is the same single narrow
+    shuffle to one reducer an empty-frame window costs)."""
     grouped = (
         keyed.join(
             F.broadcast(candidates),
@@ -109,12 +114,16 @@ def exact_recount(keyed: DataFrame, candidates: DataFrame,
         .groupBy(F.expr("CASE WHEN h IS NOT NULL THEN key END").alias("g"))
         .agg(F.expr("count(*)").alias("n"))
     )
+    packed = grouped.agg(
+        F.collect_list(F.struct("g", "n")).alias("rows")
+    ).selectExpr(
+        "rows",
+        "aggregate(rows, cast(0 as bigint), (a, r) -> a + r.n) AS __total",
+    )
     return (
-        grouped.withColumn(
-            "__total", F.expr("sum(n) OVER ()")
-        )
-        .filter(f"g IS NOT NULL AND n > __total / {int(k)}")
-        .selectExpr("g AS key", "n")
+        packed.select(F.explode("rows").alias("r"), "__total")
+        .filter(f"r.g IS NOT NULL AND r.n > __total / {int(k)}")
+        .selectExpr("r.g AS key", "r.n AS n")
     )
 
 
