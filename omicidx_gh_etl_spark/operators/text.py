@@ -740,6 +740,160 @@ def bpe_learn_merges(
     )
 
 
+# BPE-encode string framing: symbols inside a word are separated by a
+# DOUBLE unit separator, words by a record-separator symbol. The double
+# separator is what makes each merge rule ONE literal replace() that is
+# exactly Sennrich's left-to-right single pass: pattern "\x1fl\x1f\x1fr\x1f"
+# consumes only the INNER halves of the flanking boundaries, so the
+# leftover outer halves let the very next adjacent pair still match —
+# a single-separator framing silently skips every other pair in a run
+# (["a","a","a","a"] must encode to [aa, aa], not [aa, a, a]).
+_BPE_US = "\x1f"  # symbol separator (unit separator)
+_BPE_WB = "\x1e"  # word-boundary marker (record separator)
+
+
+def bpe_encode(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    id_col: str,
+    engine: str = "sql",
+) -> DataFrame:
+    """Tokenize the corpus with a LEARNED BPE merge table → ``(id,
+    n_tokens, tokens_str)`` — the encoding half of the tokenizer
+    lifecycle (:func:`bpe_learn_merges` is training; this applies the
+    trained table corpus-wide, the step an LLM-data pipeline runs over
+    every document it ships).
+
+    Semantics are exactly subword-nmt/Sennrich ``encode``: per
+    whitespace word, start from character symbols and repeatedly merge
+    the lowest-rank adjacent pair present, each rule applied as one
+    left-to-right non-overlapping pass. Iterating rules in rank order
+    (the sql engine) is equivalent because a pair involving a rule's
+    output symbol can only have been learned AFTER that rule — no
+    earlier-rank pair ever becomes newly applicable. That argument
+    needs the TRAINING invariant: every operand is a single character
+    or the concatenation output of an earlier rule (always true for
+    tables from :func:`bpe_learn_merges`; a hand-written table where a
+    later rule's output feeds an EARLIER rule's operand would make the
+    two engines legitimately diverge — don't do that).
+
+    ``engine="sql"`` (default, oracle-matched): the whole document is
+    framed as one separator-delimited string (see ``_BPE_US`` comment
+    for why the separator is doubled) and each merge is ONE literal
+    ``replace`` — a chain of |merges| codegen'd string ops, zero
+    Python, zero shuffle (pure map). Word boundaries are ``_BPE_WB``
+    symbols no merge pattern can cross. The same chain is literal
+    ANSI SQL, so DuckDB replays it value-exactly.
+
+    ``engine="pandas"``: Arrow-batched ``mapInPandas`` running the
+    classic ranks-dict encoder with a per-batch distinct-word memo —
+    the production path for real vocabularies (a 32k-merge table as a
+    32k-deep replace chain would blow the expression tree; the Python
+    encoder is O(word_len · merges_applied) per DISTINCT word and the
+    ranks dict is closure-captured, broadcast once per executor).
+    Output pinned identical to the sql engine by pytest.
+
+    Scale: both engines are map-only over documents — no shuffle, no
+    driver state beyond the merge table itself. Precondition: symbols
+    must not contain whitespace or the two framing control chars
+    (guaranteed for tables learned by :func:`bpe_learn_merges`, whose
+    symbols come from whitespace tokens of text; raises otherwise).
+    """
+    if engine not in ("sql", "pandas"):
+        raise ValueError(f"engine must be 'sql' or 'pandas', got {engine!r}")
+    for le, ri in merges:
+        for s in (le, ri):
+            if not s or any(c in s for c in (" ", "\t", _BPE_US, _BPE_WB)):
+                raise ValueError(f"illegal merge symbol {s!r}")
+    if engine == "pandas":
+        return _bpe_encode_pandas(df, text_col, merges, id_col)
+    us, wb = _BPE_US, _BPE_WB
+    # word → "c1␟␟c2␟␟…cn␟␟"; doc → "␟␟" + pieces joined by "␞␟␟"
+    # (each piece carries its trailing boundary, so the join inserts
+    # exactly one word-boundary symbol between full boundaries)
+    pieces = (
+        f"transform({tokens_sql(text_col)},"
+        f" w -> regexp_replace(w, '(.)', '$1{us}{us}'))"
+    )
+    enc = f"concat('{us}{us}', concat_ws('{wb}{us}{us}', {pieces}))"
+    for le, ri in merges:
+        pat = _sql_str(f"{us}{le}{us}{us}{ri}{us}")
+        rep = _sql_str(f"{us}{le}{ri}{us}")
+        enc = f"replace({enc}, {pat}, {rep})"
+    toks = (
+        f"array_remove(array_remove(split({enc}, '{us}{us}'), ''), '{wb}')"
+    )
+    return df.selectExpr(
+        f"`{id_col}`",
+        f"cast(size({toks}) as bigint) AS n_tokens",
+        f"concat_ws(' ', {toks}) AS tokens_str",
+    )
+
+
+def _bpe_encode_pandas(
+    df: DataFrame, text_col: str, merges: list[tuple[str, str]], id_col: str
+) -> DataFrame:
+    """ranks-dict engine for :func:`bpe_encode` (see its docstring)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    ranks = {(le, ri): i for i, (le, ri) in enumerate(merges)}
+    id_field = df.schema[id_col]
+
+    def encode_word(w: str, cache: dict) -> list[str]:
+        got = cache.get(w)
+        if got is not None:
+            return got
+        word = list(w)
+        while len(word) >= 2:
+            best_rank, best = None, None
+            for i in range(len(word) - 1):
+                rk = ranks.get((word[i], word[i + 1]))
+                if rk is not None and (best_rank is None or rk < best_rank):
+                    best_rank, best = rk, (word[i], word[i + 1])
+            if best is None:
+                break
+            le, ri = best
+            out: list[str] = []
+            i = 0
+            while i < len(word):
+                if i < len(word) - 1 and word[i] == le and word[i + 1] == ri:
+                    out.append(le + ri)
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            word = out
+        cache[w] = word
+        return word
+
+    def run(batches):
+        import pandas as pd
+
+        cache: dict = {}
+        for pdf in batches:
+            toks = [
+                [t for w in (s or "").split() for t in encode_word(w, cache)]
+                for s in pdf[text_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_tokens": [len(t) for t in toks],
+                    "tokens_str": [" ".join(t) for t in toks],
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField(id_col, id_field.dataType, id_field.nullable),
+            StructField("n_tokens", LongType(), False),
+            StructField("tokens_str", StringType(), False),
+        ]
+    )
+    return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
 def bm25_batch_topk(
     docs: DataFrame,
     queries: DataFrame,

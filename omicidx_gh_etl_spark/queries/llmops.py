@@ -2351,6 +2351,65 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_learn_merges(d, "text", n_merges=8)
 
 
+# Fixed merge table for the encode query — rank order, and every
+# operand is a single char or an earlier rule's output (the training
+# invariant bpe_encode's rank-order pass requires). Includes an l==r
+# rule (g,g) — the run edge the double-separator framing exists for —
+# and two full-word chains (t→a→b→l→e = "table", v→a→l→u→e = "value").
+_BPE_ENC_MERGES = [
+    ("g", "g"), ("a", "gg"),
+    ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"),
+    ("s", "c"), ("sc", "a"), ("sca", "n"),
+    ("v", "a"), ("va", "l"), ("val", "u"), ("valu", "e"),
+    ("r", "o"), ("ro", "w"),
+]
+
+
+def _bpe_enc_oracle(merges: list[tuple[str, str]]) -> str:
+    """DuckDB replay of bpe_encode's sql engine: same double-separator
+    framing, same literal replace chain (operators/text.py::bpe_encode
+    documents why leftmost non-overlapping replace over the doubled
+    separator IS Sennrich's single pass)."""
+    us, wb = "\x1f", "\x1e"
+    enc = (
+        f"'{us}{us}' || array_to_string(list_transform("
+        f"list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> ''),"
+        f" w -> regexp_replace(w, '(.)', '\\1{us}{us}', 'g')),"
+        f" '{wb}{us}{us}')"
+    )
+    for le, ri in merges:
+        pat = f"{us}{le}{us}{us}{ri}{us}".replace("'", "''")
+        rep = f"{us}{le}{ri}{us}".replace("'", "''")
+        enc = f"replace({enc}, '{pat}', '{rep}')"
+    toks = (
+        f"list_filter(string_split({enc}, '{us}{us}'),"
+        f" x -> x <> '' AND x <> '{wb}')"
+    )
+    return f"""
+    SELECT doc_id,
+           CAST(len({toks}) AS BIGINT) AS n_tokens,
+           array_to_string({toks}, ' ') AS tokens_str
+    FROM documents
+    """
+
+
+@register(
+    "text_bpe_encode",
+    _bpe_enc_oracle(_BPE_ENC_MERGES),
+    tags=("text", "llm", "tokenizer"),
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer ENCODING with a trained merge table — the
+    corpus-wide tokenization pass an LLM-data pipeline runs over every
+    shipped document (train with text_bpe_learn_merges, encode here).
+    Map-only: |merges| codegen'd literal replaces per document, no
+    shuffle, no Python (operators/text.py::bpe_encode; the pandas
+    ranks-dict engine is the production path for 32k-merge vocabs,
+    pinned identical by pytest)."""
+    d = load_spread(spark, sf_dir, "documents", "doc_id")
+    return text.bpe_encode(d, "text", _BPE_ENC_MERGES, "doc_id")
+
+
 @register(
     "sample_weighted_per_source",
     """

@@ -4,6 +4,7 @@ fixture-test style — SURVEY.md §5)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from omicidx_gh_etl_spark.operators import dedup, multimodal, similarity, text
@@ -1716,6 +1717,114 @@ def test_bpe_batched_conflict_degrades_to_single(spark):
         for r in T.bpe_learn_merges(df, "text", n_merges=3, batch=4).collect()
     ]
     assert bat == seq
+
+
+def _sennrich_encode(text, merges):
+    """Reference subword-nmt encode: lowest-rank pair present, merged
+    in one left-to-right pass, repeated to fixpoint."""
+    ranks = {m: i for i, m in enumerate(merges)}
+    out = []
+    for w in (text or "").split():
+        word = list(w)
+        while len(word) >= 2:
+            best = min(
+                (ranks.get((word[i], word[i + 1]), 1 << 30)
+                 for i in range(len(word) - 1)),
+            )
+            if best == 1 << 30:
+                break
+            le, ri = merges[best]
+            nw, i = [], 0
+            while i < len(word):
+                if i < len(word) - 1 and word[i] == le and word[i + 1] == ri:
+                    nw.append(le + ri)
+                    i += 2
+                else:
+                    nw.append(word[i])
+                    i += 1
+            word = nw
+        out.extend(word)
+    return out
+
+
+_BPE_ENC_CORPUS = [
+    (1, "aaaa"), (2, "aaa"), (3, "aaaaa"), (4, "a"), (5, ""),
+    (6, "banana banaa"), (7, "the theer ther"), (8, "value val a aa"),
+    (9, "aaaaaaaa"), (10, "a a aa aaa the"), (11, "  spaced   out  "),
+    (12, None), (13, "aabaa ba baaa"),
+]
+_BPE_ENC_TABLE = [
+    ("a", "a"), ("aa", "aa"), ("b", "a"), ("ba", "n"), ("ban", "aa"),
+    ("t", "h"), ("th", "e"), ("e", "r"), ("v", "a"), ("va", "l"),
+]
+
+
+@pytest.mark.parametrize("engine", ["sql", "pandas"])
+def test_bpe_encode_matches_reference_sennrich(spark, engine):
+    """Both engines == the reference subword-nmt encoder, on the
+    pathological corpus: runs of a repeated symbol ('aaaa' must give
+    [aaaa] via (a,a)→(aa,aa), 'aaa'→[aa,a], 'aaaaa'→[aaaa,a] — the
+    double-separator framing's reason to exist), chained merges,
+    multi-space text, empty and NULL documents."""
+    from omicidx_gh_etl_spark.operators import text as T
+
+    df = spark.createDataFrame(_BPE_ENC_CORPUS, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["tokens_str"])
+        for r in T.bpe_encode(
+            df, "text", _BPE_ENC_TABLE, "doc_id", engine=engine
+        ).collect()
+    }
+    for i, t in _BPE_ENC_CORPUS:
+        want = _sennrich_encode(t, _BPE_ENC_TABLE)
+        assert got[i] == (len(want), " ".join(want)), (i, t)
+
+
+def test_bpe_encode_train_then_encode_engines_agree(spark):
+    """The tokenizer lifecycle: encode the corpus with a table LEARNED
+    from it (bpe_learn_merges → bpe_encode). Pins (a) sql ≡ pandas on
+    a trained table, (b) losslessness — per-document token
+    concatenation reproduces the whitespace-normalized text."""
+    from omicidx_gh_etl_spark.operators import text as T
+
+    df = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quiet queue the quick aaaa aaa"),
+            (3, "brown bag bound by the brook"),
+            (4, ""),
+        ],
+    )
+    merges = [
+        (r["left"], r["right"])
+        for r in T.bpe_learn_merges(df, "text", n_merges=12)
+        .orderBy("merge_order").collect()
+    ]
+    assert merges, "training produced no merges"
+    rows = {}
+    for eng in ("sql", "pandas"):
+        rows[eng] = sorted(
+            (r["doc_id"], r["n_tokens"], r["tokens_str"])
+            for r in T.bpe_encode(
+                df, "text", merges, "doc_id", engine=eng
+            ).collect()
+        )
+    assert rows["sql"] == rows["pandas"]
+    texts = {r["doc_id"]: r["text"] for r in df.collect()}
+    for doc_id, _n, toks in rows["sql"]:
+        assert toks.replace(" ", "") == " ".join(texts[doc_id].split()).replace(" ", "")
+
+
+def test_bpe_encode_rejects_illegal_symbols(spark):
+    from omicidx_gh_etl_spark.operators import text as T
+
+    df = _docs(spark, [(1, "ab")])
+    for bad in [("a", "b c")], [("", "b")], [("a", "b\x1f")]:
+        with pytest.raises(ValueError):
+            T.bpe_encode(df, "text", bad, "doc_id")
+    with pytest.raises(ValueError):
+        T.bpe_encode(df, "text", [("a", "b")], "doc_id", engine="nope")
 
 
 def test_weighted_sample_per_group_quotas_and_small_groups(spark):
