@@ -1253,6 +1253,271 @@ def ivfpq_search(
 # --------------------------------------------------------------------------
 
 
+def covariance_matrix(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    ddof: int = 1,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Sample covariance of the embedding columns → ``(i, j, cov)``,
+    1-based indices — the distributed heavy half of PCA/whitening
+    (:func:`pca_fit` eigendecomposes this on the driver).
+
+    Plan: ONE corpus pass. Each task folds its Arrow batches into a
+    single (n, Σx, ΣxxT) partial — the xxT partial is one BLAS gemm
+    per batch, the state is dim + dim² doubles regardless of input
+    size (the sketch shape: fixed-size mergeable partials). Partials
+    then explode to (pos, val) and a groupBy(pos) finishes the sums —
+    ≤ dim² exploded rows per task, map-side combined before the
+    shuffle, so shuffle volume is O(tasks · dim²) partial aggregates
+    and never data-proportional. cov = (ΣxxT − ΣxΣxᵀ/n)/(n−ddof),
+    assembled with two broadcast joins of the dim-row Σx frame.
+
+    Nulls are skipped; a vector whose length disagrees with its
+    batch's first row raises (fixed-dim contract). ``round_to`` exists
+    for the cross-engine oracle (float sums associate differently
+    across engines); pass ``None`` for full precision (what
+    :func:`pca_fit` uses).
+    """
+    import numpy as np
+
+    def _partials(batches):
+        import pyarrow as pa
+
+        n = 0
+        s = None
+        ss = None
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            vecs = b.column(0)
+            if isinstance(vecs, pa.ChunkedArray):
+                vecs = vecs.combine_chunks()
+            if vecs.null_count:
+                vecs = vecs.drop_null()
+            rows = len(vecs)
+            if rows == 0:
+                continue
+            flat = vecs.flatten().to_numpy(zero_copy_only=False).astype(
+                np.float64, copy=False
+            )
+            if s is None:
+                dim = flat.size // rows
+            else:
+                dim = s.size
+            if flat.size != rows * dim:
+                raise ValueError(
+                    f"ragged {vec_col}: {flat.size} values / {rows} rows "
+                    f"with dim {dim}"
+                )
+            arr = flat.reshape(rows, dim)
+            n += rows
+            if s is None:
+                s = arr.sum(axis=0)
+                ss = arr.T @ arr
+            else:
+                s += arr.sum(axis=0)
+                ss += arr.T @ arr
+        if n:
+            yield pa.record_batch(
+                [
+                    pa.array([n], type=pa.int64()),
+                    pa.array([s.size], type=pa.int32()),
+                    pa.array([s.tolist()]),
+                    pa.array([ss.reshape(-1).tolist()]),
+                ],
+                names=["n", "dim", "s", "ss"],
+            )
+
+    partials = emb.filter(F.col(vec_col).isNotNull()).select(
+        F.col(vec_col)
+    ).mapInArrow(
+        _partials,
+        "n long, dim int, s array<double>, ss array<double>",
+    )
+    ssum = (
+        partials.select(F.posexplode("s").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.sum("val").alias("sv"))
+        .selectExpr("pos + 1 AS i", "sv")
+    )
+    sssum = (
+        partials.select("dim", F.posexplode("ss").alias("pos", "val"))
+        .selectExpr(
+            "CAST(pos DIV dim AS INT) + 1 AS i",
+            "CAST(pos % dim AS INT) + 1 AS j",
+            "val",
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("val").alias("ssv"))
+    )
+    cnt = partials.agg(F.sum("n").alias("c"))
+    cov = (
+        f"(ssv - a_sv * b_sv / c) / (c - {int(ddof)})"
+        if ddof
+        else "(ssv - a_sv * b_sv / c) / c"
+    )
+    if round_to is not None:
+        # + 0.0 normalizes IEEE -0.0 (a tiny negative rounds to -0.0,
+        # which value-hashes differently from the other engine's 0.0)
+        cov = f"round({cov}, {int(round_to)}) + 0.0d"
+    return (
+        sssum.join(
+            F.broadcast(ssum.selectExpr("i", "sv AS a_sv")), "i"
+        )
+        .join(
+            F.broadcast(ssum.selectExpr("i AS j", "sv AS b_sv")), "j"
+        )
+        .crossJoin(F.broadcast(cnt))
+        .selectExpr("i", "j", f"{cov} AS cov")
+    )
+
+
+def pca_fit(
+    emb: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PCA model over the embedding column → one ``component`` row per
+    principal axis (1..k: ``eigenvalue`` + unit ``loading`` vector)
+    plus the ``component = 0`` row holding the column means (NULL
+    eigenvalue) — a self-contained model table
+    (:func:`pca_transform` consumes it), mirroring how
+    :func:`kmeans_fit` ships centroids.
+
+    The corpus never leaves the cluster: :func:`covariance_matrix`
+    reduces it to dim² covariance entries (full precision), and only
+    that matrix is collected — driver state and eigendecomposition
+    cost are O(dim²)/O(dim³), corpus-size-independent (dim is 64-4096
+    in practice; numpy eigh on ≤4096² is sub-minute). Deterministic:
+    eigh of a fixed matrix, descending eigenvalue order with index
+    tiebreak, and each loading's sign is fixed so its
+    largest-magnitude coordinate (lowest index on ties) is positive —
+    reproducible model artifacts for training-data lineage.
+    """
+    import numpy as np
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    rows = covariance_matrix(emb, vec_col, round_to=None).collect()
+    if not rows:
+        raise ValueError("no vectors to fit")
+    dim = max(r["i"] for r in rows)
+    cov = np.zeros((dim, dim))
+    for r in rows:
+        cov[r["i"] - 1, r["j"] - 1] = r["cov"]
+    # means: one tiny extra aggregate (the covariance pass does not
+    # expose them rounded-free per column) — posexplode + groupBy(pos),
+    # dim output rows
+    mean_rows = (
+        emb.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                "pos", "x"
+            )
+        )
+        .groupBy("pos")
+        .agg(F.avg("x").alias("mu"))
+        .collect()
+    )
+    mu = np.zeros(dim)
+    for r in mean_rows:
+        mu[r["pos"]] = r["mu"]
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(-evals, kind="stable")[: int(k)]
+    out = [(0, None, mu.tolist())]
+    for rank, idx in enumerate(order, start=1):
+        v = evecs[:, idx]
+        pivot = int(np.argmax(np.abs(v)))
+        if v[pivot] < 0:
+            v = -v
+        out.append((rank, float(evals[idx]), v.tolist()))
+    return emb.sparkSession.createDataFrame(
+        out, "component int, eigenvalue double, loading array<double>"
+    )
+
+
+def pca_transform(
+    emb: DataFrame,
+    model: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    whiten: bool = False,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Project embeddings onto a :func:`pca_fit` model → ``(id,
+    proj array<double>)`` (k entries, component order). ``whiten=True``
+    scales each coordinate by 1/√eigenvalue — unit-covariance output,
+    the preconditioning step retrieval/clustering pipelines run before
+    cosine/L2 so no axis dominates.
+
+    Map-only: the k×dim model is driver-materialized (same bound as
+    broadcast centroids) and closed over; each Arrow batch is one
+    BLAS gemm (X − μ) @ Vᵀ. No shuffle, no corpus collect.
+    """
+    import numpy as np
+
+    rows = model.collect()
+    mu = None
+    comps: list[tuple[int, float | None, list[float]]] = []
+    for r in rows:
+        if r["component"] == 0:
+            mu = np.asarray(r["loading"], dtype=np.float64)
+        else:
+            comps.append((r["component"], r["eigenvalue"], r["loading"]))
+    if mu is None or not comps:
+        raise ValueError("model must hold component 0 (mean) and >= 1 axis")
+    comps.sort()
+    V = np.asarray([c[2] for c in comps], dtype=np.float64)
+    if whiten:
+        scale = np.asarray(
+            [1.0 / np.sqrt(c[1]) if c[1] and c[1] > 0 else 0.0
+             for c in comps]
+        )
+        V = V * scale[:, None]
+    dim = mu.size
+    id_field = emb.schema[id_col]
+
+    def _project(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            ids = b.column(0)
+            vecs = b.column(1)
+            if isinstance(vecs, pa.ChunkedArray):
+                vecs = vecs.combine_chunks()
+            flat = vecs.flatten().to_numpy(zero_copy_only=False).astype(
+                np.float64, copy=False
+            )
+            if vecs.null_count or flat.size != n * dim:
+                raise ValueError("null or ragged vectors in pca_transform")
+            proj = (flat.reshape(n, dim) - mu) @ V.T
+            if round_to is not None:
+                proj = np.round(proj, round_to)
+            yield pa.record_batch(
+                [ids, pa.array(proj.tolist())], names=[id_col, "proj"]
+            )
+
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    return (
+        emb.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), F.col(vec_col))
+        .mapInArrow(
+            _project,
+            StructType(
+                [
+                    StructField(id_col, id_field.dataType, id_field.nullable),
+                    StructField("proj", ArrayType(DoubleType()), False),
+                ]
+            ),
+        )
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     k: int = 8,

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..operators import similarity
 from .base import register
 from .tables import load_events, load_spread, load_table
 
@@ -245,6 +246,40 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("v").cast("decimal(20,10)")).cast("double") / F.count("*"), 6
         ).alias("mean_val")
     )
+
+
+@register(
+    "embedding_covariance",
+    """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE embedding IS NOT NULL),
+    n AS (SELECT count(*) AS c FROM v),
+    el AS (
+      SELECT vec_id, generate_subscripts(e, 1) AS i, unnest(e) AS x
+      FROM v)
+    SELECT a.i AS i, b.i AS j,
+           round((sum(a.x * b.x) - sum(a.x) * sum(b.x) / c) / (c - 1), 4)
+             + 0.0 AS cov
+    FROM el a JOIN el b USING (vec_id) CROSS JOIN n
+    GROUP BY a.i, b.i, c
+    """,
+    tags=("similarity", "ml", "pca"),
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding covariance matrix — the distributed half of
+    PCA/whitening (operators/similarity.py::covariance_matrix;
+    pca_fit eigendecomposes it driver-side, O(dim²) state). One corpus
+    pass: per-task (n, Σx, ΣxxT) partials — each Arrow batch is one
+    BLAS gemm, partial state dim+dim² doubles — then a map-side-
+    combined groupBy over exploded partial entries; shuffle volume is
+    O(tasks · dim²), never data-proportional. The oracle replays the
+    identical (ΣxxT − ΣxΣxᵀ/n)/(n−1) formula; embeddings are
+    zero-centered-ish so the one-pass form has no cancellation risk,
+    and round(·,4) absorbs cross-engine summation-order float drift
+    (sums of ~10³ terms agree to ~1e-13)."""
+    e = load_spread(spark, sf_dir, "embeddings", "vec_id")
+    return similarity.covariance_matrix(e, "embedding")
 
 
 # --------------------------------------------------------------------------

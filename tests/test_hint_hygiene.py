@@ -69,7 +69,11 @@ _UNIQUE_KEYS = ("vec_id", "doc_id", "o_orderkey", "c_custkey")
 #              the modulus constant (queries/llmops.py DSIR buckets);
 # - j, bucket: Count-Min sketch coordinates, ≤ depth × width constants
 #              (operators/sketch.py).
-_BOUNDED_GROUP_KEYS = {"event_type", "source", "__qb", "bkt", "j", "bucket"}
+# - pos:       posexplode ordinal of a fixed-dim embedding array, ≤ dim
+#              (operators/similarity.py::covariance_matrix Σx frame).
+_BOUNDED_GROUP_KEYS = {
+    "event_type", "source", "__qb", "bkt", "j", "bucket", "pos",
+}
 
 # (query name → allowed broadcast-hint count) for hints whose
 # boundedness none of the structural rules can see. Every entry needs

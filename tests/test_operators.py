@@ -1827,6 +1827,141 @@ def test_bpe_encode_rejects_illegal_symbols(spark):
         T.bpe_encode(df, "text", [("a", "b")], "doc_id", engine="nope")
 
 
+def _pca_frame(spark, n=48, dim=6, seed=7):
+    import random
+
+    rng = random.Random(seed)
+    # anisotropic: coordinate c has scale (c+1), plus a nonzero mean
+    rows = [
+        (
+            i,
+            [
+                round(rng.gauss(0.5 * (c + 1), 1.0 + c), 6)
+                for c in range(dim)
+            ],
+        )
+        for i in range(n)
+    ]
+    return rows, spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def test_covariance_matrix_matches_numpy(spark):
+    import numpy as np
+
+    from omicidx_gh_etl_spark.operators.similarity import covariance_matrix
+
+    rows, df = _pca_frame(spark)
+    x = np.array([r[1] for r in rows])
+    want = np.cov(x, rowvar=False, ddof=1)
+    got = np.zeros_like(want)
+    for r in covariance_matrix(df, "embedding", round_to=None).collect():
+        got[r["i"] - 1, r["j"] - 1] = r["cov"]
+    assert np.allclose(got, want, atol=1e-9)
+    # partitioning must not change the (full-precision) result beyond
+    # float-sum association noise
+    got2 = np.zeros_like(want)
+    for r in covariance_matrix(
+        df.repartition(7), "embedding", round_to=None
+    ).collect():
+        got2[r["i"] - 1, r["j"] - 1] = r["cov"]
+    assert np.allclose(got2, want, atol=1e-9)
+
+
+def test_covariance_matrix_skips_nulls(spark):
+    import numpy as np
+
+    from omicidx_gh_etl_spark.operators.similarity import covariance_matrix
+
+    rows, _ = _pca_frame(spark, n=10)
+    with_null = rows + [(99, None)]
+    df = spark.createDataFrame(
+        with_null, "vec_id long, embedding array<double>"
+    )
+    x = np.array([r[1] for r in rows])
+    want = np.cov(x, rowvar=False, ddof=1)
+    got = np.zeros_like(want)
+    for r in covariance_matrix(df, "embedding", round_to=None).collect():
+        got[r["i"] - 1, r["j"] - 1] = r["cov"]
+    assert np.allclose(got, want, atol=1e-9)
+
+
+def test_pca_fit_model_properties(spark):
+    import numpy as np
+
+    from omicidx_gh_etl_spark.operators.similarity import pca_fit
+
+    rows, df = _pca_frame(spark)
+    x = np.array([r[1] for r in rows])
+    model = pca_fit(df, k=4, vec_col="embedding").collect()
+    mean = next(r for r in model if r["component"] == 0)
+    assert mean["eigenvalue"] is None
+    assert np.allclose(mean["loading"], x.mean(axis=0), atol=1e-9)
+    comps = sorted(
+        (r for r in model if r["component"] > 0),
+        key=lambda r: r["component"],
+    )
+    evs = [r["eigenvalue"] for r in comps]
+    assert evs == sorted(evs, reverse=True)
+    V = np.array([r["loading"] for r in comps])
+    assert np.allclose(V @ V.T, np.eye(4), atol=1e-9)  # orthonormal
+    # sign contract: each loading's largest-|coord| entry is positive
+    for v in V:
+        assert v[int(np.argmax(np.abs(v)))] > 0
+    # eigenvalues = top of numpy's, on the same covariance
+    want = np.sort(np.linalg.eigvalsh(np.cov(x, rowvar=False)))[::-1][:4]
+    assert np.allclose(evs, want, atol=1e-9)
+
+
+def test_pca_transform_variance_and_whitening(spark):
+    import numpy as np
+
+    from omicidx_gh_etl_spark.operators.similarity import (
+        pca_fit,
+        pca_transform,
+    )
+
+    rows, df = _pca_frame(spark)
+    model = pca_fit(df, k=3, vec_col="embedding")
+    proj = {
+        r["vec_id"]: r["proj"]
+        for r in pca_transform(
+            df, model, round_to=None
+        ).collect()
+    }
+    P = np.array([proj[i] for i, _ in rows])
+    evs = [
+        r["eigenvalue"]
+        for r in sorted(
+            model.filter("component > 0").collect(),
+            key=lambda r: r["component"],
+        )
+    ]
+    # projection covariance is diag(eigenvalues); whitened, identity
+    assert np.allclose(np.cov(P, rowvar=False, ddof=1),
+                       np.diag(evs), atol=1e-8)
+    W = {
+        r["vec_id"]: r["proj"]
+        for r in pca_transform(
+            df, model, whiten=True, round_to=None
+        ).collect()
+    }
+    Wm = np.array([W[i] for i, _ in rows])
+    assert np.allclose(np.cov(Wm, rowvar=False, ddof=1),
+                       np.eye(3), atol=1e-8)
+    # determinism across partitionings (rounded output path)
+    a = sorted(
+        (r["vec_id"], tuple(r["proj"]))
+        for r in pca_transform(df, model).collect()
+    )
+    b = sorted(
+        (r["vec_id"], tuple(r["proj"]))
+        for r in pca_transform(df.repartition(5), model).collect()
+    )
+    assert a == b
+
+
 def test_weighted_sample_per_group_quotas_and_small_groups(spark):
     from omicidx_gh_etl_spark.operators.samplers import (
         weighted_sample_per_group,
