@@ -1253,32 +1253,14 @@ def ivfpq_search(
 # --------------------------------------------------------------------------
 
 
-def covariance_matrix(
-    emb: DataFrame,
-    vec_col: str = "embedding",
-    ddof: int = 1,
-    round_to: int | None = 4,
-) -> DataFrame:
-    """Sample covariance of the embedding columns → ``(i, j, cov)``,
-    1-based indices — the distributed heavy half of PCA/whitening
-    (:func:`pca_fit` eigendecomposes this on the driver).
-
-    Plan: ONE corpus pass. Each task folds its Arrow batches into a
-    single (n, Σx, ΣxxT) partial — the xxT partial is one BLAS gemm
-    per batch, the state is dim + dim² doubles regardless of input
-    size (the sketch shape: fixed-size mergeable partials). Partials
-    then explode to (pos, val) and a groupBy(pos) finishes the sums —
-    ≤ dim² exploded rows per task, map-side combined before the
-    shuffle, so shuffle volume is O(tasks · dim²) partial aggregates
-    and never data-proportional. cov = (ΣxxT − ΣxΣxᵀ/n)/(n−ddof),
-    assembled with two broadcast joins of the dim-row Σx frame.
-
-    Nulls are skipped; a vector whose length disagrees with its
-    batch's first row raises (fixed-dim contract). ``round_to`` exists
-    for the cross-engine oracle (float sums associate differently
-    across engines); pass ``None`` for full precision (what
-    :func:`pca_fit` uses).
-    """
+def _moment_partials(emb: DataFrame, vec_col: str) -> DataFrame:
+    """Per-task (n, Σx, ΣxxT) moment partials of the embedding column
+    — ONE corpus pass, each Arrow batch folded with one BLAS gemm,
+    task state dim + dim² doubles regardless of input size (the
+    sketch shape: fixed-size mergeable partials). Nulls are skipped;
+    a vector whose length disagrees with its batch raises (fixed-dim
+    contract). Shared by :func:`covariance_matrix` (one-shot) and
+    :func:`covariance_state` (persistable/incremental)."""
     import numpy as np
 
     def _partials(batches):
@@ -1329,12 +1311,40 @@ def covariance_matrix(
                 names=["n", "dim", "s", "ss"],
             )
 
-    partials = emb.filter(F.col(vec_col).isNotNull()).select(
+    return emb.filter(F.col(vec_col).isNotNull()).select(
         F.col(vec_col)
     ).mapInArrow(
         _partials,
         "n long, dim int, s array<double>, ss array<double>",
     )
+
+
+def covariance_matrix(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    ddof: int = 1,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Sample covariance of the embedding columns → ``(i, j, cov)``,
+    1-based indices — the distributed heavy half of PCA/whitening
+    (:func:`pca_fit` eigendecomposes this on the driver).
+
+    Plan: :func:`_moment_partials` (one pass, one gemm per batch),
+    then the partials explode to (pos, val) and a groupBy(pos)
+    finishes the sums — ≤ dim² exploded rows per task, map-side
+    combined before the shuffle, so shuffle volume is O(tasks · dim²)
+    partial aggregates and never data-proportional.
+    cov = (ΣxxT − ΣxΣxᵀ/n)/(n−ddof), assembled with two broadcast
+    joins of the dim-row Σx frame.
+
+    ``round_to`` exists for the cross-engine oracle (float sums
+    associate differently across engines); pass ``None`` for full
+    precision (what :func:`pca_fit` uses). For an INCREMENTALLY
+    maintained covariance over a growing corpus, persist
+    :func:`covariance_state` and refresh per delta instead of calling
+    this over the whole history.
+    """
+    partials = _moment_partials(emb, vec_col)
     ssum = (
         partials.select(F.posexplode("s").alias("pos", "val"))
         .groupBy("pos")
@@ -1352,6 +1362,16 @@ def covariance_matrix(
         .agg(F.sum("val").alias("ssv"))
     )
     cnt = partials.agg(F.sum("n").alias("c"))
+    return _assemble_cov(sssum, ssum, cnt, ddof, round_to)
+
+
+def _assemble_cov(
+    sssum: DataFrame,
+    ssum: DataFrame,
+    cnt: DataFrame,
+    ddof: int,
+    round_to: int | None,
+) -> DataFrame:
     cov = (
         f"(ssv - a_sv * b_sv / c) / (c - {int(ddof)})"
         if ddof
@@ -1371,6 +1391,60 @@ def covariance_matrix(
         .crossJoin(F.broadcast(cnt))
         .selectExpr("i", "j", f"{cov} AS cov")
     )
+
+
+def covariance_state(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Mergeable covariance MOMENT STATE of a batch → long-form
+    ``(i, j, v)``: ``(0,0)`` holds n, ``(i,0)`` holds Σxᵢ, ``(i,j)``
+    (both ≥ 1) holds Σxᵢxⱼ — dim² + dim + 1 rows total, one uniform
+    schema that persists as a tiny table.
+
+    This is the O(delta) maintenance path for PCA over a growing
+    corpus (the incremental-aggregate pattern of
+    ``engine/incr_agg.py``, applied to second moments): moments are
+    plain sums, so states MERGE by union + re-sum —
+    ``covariance_from_state(stored.unionByName(covariance_state(
+    delta)))`` refreshes the model reading only the delta and the
+    O(dim²) state, never rescanning history. Disjoint-batch contract
+    as in incr_agg (each row contributes to exactly one state).
+    """
+    partials = _moment_partials(emb, vec_col)
+    ss_rows = (
+        partials.select("dim", F.posexplode("ss").alias("pos", "val"))
+        .selectExpr(
+            "CAST(pos DIV dim AS INT) + 1 AS i",
+            "CAST(pos % dim AS INT) + 1 AS j",
+            "val AS v",
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("v").alias("v"))
+    )
+    s_rows = (
+        partials.select(F.posexplode("s").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.sum("val").alias("v"))
+        .selectExpr("pos + 1 AS i", "CAST(0 AS INT) AS j", "v")
+    )
+    n_row = partials.agg(F.sum("n").alias("v")).selectExpr(
+        "CAST(0 AS INT) AS i", "CAST(0 AS INT) AS j", "CAST(v AS DOUBLE) AS v"
+    )
+    return ss_rows.unionByName(s_rows).unionByName(n_row)
+
+
+def covariance_from_state(
+    state: DataFrame,
+    ddof: int = 1,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Covariance ``(i, j, cov)`` from one or more unioned
+    :func:`covariance_state` frames. The leading groupBy re-sums, so
+    passing ``stored.unionByName(delta_state)`` IS the merge — cost is
+    O(state rows) = O(dim²), corpus-size-independent."""
+    st = state.groupBy("i", "j").agg(F.sum("v").alias("v"))
+    sssum = st.filter("i > 0 AND j > 0").selectExpr("i", "j", "v AS ssv")
+    ssum = st.filter("i > 0 AND j = 0").selectExpr("i", "v AS sv")
+    cnt = st.filter("i = 0 AND j = 0").selectExpr("CAST(v AS BIGINT) AS c")
+    return _assemble_cov(sssum, ssum, cnt, ddof, round_to)
 
 
 def pca_fit(

@@ -1887,6 +1887,42 @@ def test_covariance_matrix_skips_nulls(spark):
     assert np.allclose(got, want, atol=1e-9)
 
 
+def test_covariance_state_incremental_equals_one_shot(spark):
+    """The O(delta) maintenance contract: union of three disjoint
+    batches' moment states → covariance identical (to float-sum
+    association noise) to the one-shot pass over everything, and to
+    numpy."""
+    import numpy as np
+
+    from omicidx_gh_etl_spark.operators.similarity import (
+        covariance_from_state,
+        covariance_matrix,
+        covariance_state,
+    )
+
+    rows, df = _pca_frame(spark, n=45)
+    parts = [rows[:10], rows[10:27], rows[27:]]
+    state = None
+    for chunk in parts:
+        st = covariance_state(
+            spark.createDataFrame(
+                chunk, "vec_id long, embedding array<double>"
+            )
+        )
+        state = st if state is None else state.unionByName(st)
+    got = np.zeros((6, 6))
+    for r in covariance_from_state(state, round_to=None).collect():
+        got[r["i"] - 1, r["j"] - 1] = r["cov"]
+    x = np.array([r[1] for r in rows])
+    assert np.allclose(got, np.cov(x, rowvar=False, ddof=1), atol=1e-9)
+    one = np.zeros((6, 6))
+    for r in covariance_matrix(df, round_to=None).collect():
+        one[r["i"] - 1, r["j"] - 1] = r["cov"]
+    assert np.allclose(got, one, atol=1e-9)
+    # state size contract: dim^2 + dim + 1 rows
+    assert state.groupBy("i", "j").count().count() == 36 + 6 + 1
+
+
 def test_pca_fit_model_properties(spark):
     import numpy as np
 
