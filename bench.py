@@ -766,6 +766,71 @@ def scale_section(spark, sf_dir: str, rep: int = 100) -> dict:
         out["join_bloom_pruned_semi"]["duckdb_sec"] = round(ctl, 3)
         out["join_bloom_pruned_semi"]["ratio_vs_duckdb"] = round(sec / ctl, 2)
 
+    # 3c2. Embedding covariance at 500k vectors (the PCA/whitening
+    # reduce): one BLAS-gemm moment partial per Arrow batch vs
+    # DuckDB's best SQL formulation — dim² native covar_samp
+    # aggregates over projected element columns in one scan (the el
+    # self-join alternative is dim× MORE work: 500k×64 unnest rows
+    # joined ×64). The claim this measures: reducing dim² pair sums
+    # through a gemm costs ~one corpus scan, while per-pair aggregate
+    # updates cost dim²·rows updates whoever runs them — quiet-host
+    # measurement @1M: Spark 2.9 s vs DuckDB 40.2 s (0.07).
+    from omicidx_gh_etl_spark.operators.similarity import covariance_matrix
+
+    rep_cv = rep * 5 // 2
+    n_cv = e.count() * rep_cv
+    repc = F.explode(F.sequence(F.lit(1), F.lit(rep_cv))).alias("__rep")
+    e_cov = e.repartition(
+        spark.sparkContext.defaultParallelism
+    ).select("vec_id", "embedding", repc).select(
+        (F.col("vec_id") * rep_cv + F.col("__rep")).alias("vec_id"),
+        "embedding",
+    )
+    cov_df = covariance_matrix(e_cov, "embedding")
+    cov_sql = None
+    if con is not None:
+        try:
+            con.execute(
+                "CREATE VIEW embeddings_cov_rep AS "
+                f"SELECT e.vec_id * {rep_cv} + r.range + 1 AS vec_id, "
+                "embedding "
+                f"FROM embeddings e CROSS JOIN range({rep_cv}) r"
+            )
+            cov_sql = "ok"
+        except Exception:
+            cov_sql = None
+    if cov_sql:
+        _cv_cols = ", ".join(
+            f"CAST(embedding[{i}] AS DOUBLE) AS c{i}" for i in range(1, 65)
+        )
+        _cv_aggs = ", ".join(
+            f"covar_samp(c{i}, c{j})"
+            for i in range(1, 65)
+            for j in range(1, 65)
+        )
+        cov_sql = (
+            f"WITH p AS (SELECT {_cv_cols} FROM embeddings_cov_rep) "
+            f"SELECT {_cv_aggs} FROM p"
+        )
+    sec = ctl = float("inf")
+    for it in range(2):
+        t0 = time.perf_counter()
+        cov_df.count()
+        sec = min(sec, time.perf_counter() - t0)
+        if con is not None and cov_sql is not None and it == 1:
+            try:
+                t0 = time.perf_counter()
+                con.execute(cov_sql).fetchone()
+                ctl = time.perf_counter() - t0
+            except Exception:
+                pass
+    out["embedding_covariance"] = {
+        "rows": n_cv, "sec": round(sec, 3), "rows_per_sec": round(n_cv / sec)
+    }
+    if ctl < float("inf"):
+        out["embedding_covariance"]["duckdb_sec"] = round(ctl, 3)
+        out["embedding_covariance"]["ratio_vs_duckdb"] = round(sec / ctl, 2)
+
     # 3d. PageRank on a prep× event graph (re-salted property buckets
     # → prep disjoint bipartite graphs, like the LSH replicas): the
     # iterative-join throughput number — edges×iterations per second.
