@@ -439,6 +439,57 @@ def minhash_lsh_candidates(
     return lsh_pairs_from_bands(band_sig, id_col, max_bucket_size)
 
 
+def lsh_eval(
+    shingle_df: DataFrame,
+    id_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """Measure the LSH banding gate against exact Jaccard ground truth
+    → ONE row ``(n_true, n_candidates, n_hit, recall,
+    precision_at_threshold)`` — the tuning step that turns the (bands,
+    rows) S-curve from theory into a measured number before a corpus
+    run commits to it.
+
+    ``recall`` = fraction of true pairs (exact Jaccard ≥ threshold)
+    the banding surfaced — LSH's only silent failure mode (a missed
+    candidate is never revisited; false candidates just cost verify
+    work, captured by ``precision_at_threshold``).
+
+    Plan: both sides reuse the SAME shingle frame — exact truth via
+    the inverted-index :func:`jaccard_pairs` (pairs sharing ≥1
+    shingle; exhaustive for any threshold > 0), candidates via
+    :func:`minhash_lsh_candidates` — then one full-outer join on the
+    (d1, d2) pair keys and a single-row aggregate. Pair frames are
+    output-sized (near-dup pairs, not the corpus), so the eval costs
+    roughly one exact-dedup pass; run it on a SAMPLE at 100 TB (the
+    S-curve is a property of the banding parameters, not the corpus
+    size — a hash-stratified sample estimates it).
+    """
+    true_pairs = jaccard_pairs(shingle_df, id_col, threshold=threshold)
+    cand = minhash_lsh_candidates(shingle_df, id_col, num_hashes, bands)
+    t = true_pairs.select("d1", "d2", F.lit(1).alias("t"))
+    c = cand.select("d1", "d2", F.lit(1).alias("c"))
+    return (
+        t.join(c, ["d1", "d2"], "full_outer")
+        .agg(
+            F.sum("t").alias("n_true"),
+            F.sum("c").alias("n_candidates"),
+            F.sum(F.col("t") * F.col("c")).alias("n_hit"),
+        )
+        .selectExpr(
+            "coalesce(n_true, 0) AS n_true",
+            "coalesce(n_candidates, 0) AS n_candidates",
+            "coalesce(n_hit, 0) AS n_hit",
+            "CASE WHEN n_true > 0 THEN round(CAST(n_hit AS DOUBLE)"
+            " / n_true, 4) END AS recall",
+            "CASE WHEN n_candidates > 0 THEN round(CAST(n_hit AS DOUBLE)"
+            " / n_candidates, 4) END AS precision_at_threshold",
+        )
+    )
+
+
 def minhash_band_signatures(
     shingle_df: DataFrame,
     id_col: str,

@@ -177,6 +177,54 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_lsh_recall",
+    _SHINGLE_CTE
+    + _MINHASH_BANDS_CTE
+    + """,
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+truep AS (
+  SELECT d1, d2 FROM inter
+  JOIN sizes sa ON sa.doc_id = d1
+  JOIN sizes sb ON sb.doc_id = d2
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+              AND a.doc_id < b.doc_id),
+m AS (
+  SELECT coalesce(t.d1, c.d1) AS d1, coalesce(t.d2, c.d2) AS d2,
+         (t.d1 IS NOT NULL)::INT AS t, (c.d1 IS NOT NULL)::INT AS c
+  FROM truep t FULL OUTER JOIN cand c USING (d1, d2))
+SELECT CAST(sum(t) AS BIGINT) AS n_true,
+       CAST(sum(c) AS BIGINT) AS n_candidates,
+       CAST(sum(t * c) AS BIGINT) AS n_hit,
+       CASE WHEN sum(t) > 0
+            THEN round(CAST(sum(t * c) AS DOUBLE) / sum(t), 4) END
+         AS recall,
+       CASE WHEN sum(c) > 0
+            THEN round(CAST(sum(t * c) AS DOUBLE) / sum(c), 4) END
+         AS precision_at_threshold
+FROM m
+    """,
+    tags=("dedup", "eval"),
+)
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding recall/precision vs exact-Jaccard ground truth
+    (operators/dedup.py::lsh_eval) — the measured S-curve check run
+    before committing banding parameters to a corpus pass; at 100 TB
+    this runs on a hash-stratified sample (the curve is a property of
+    the parameters, not the corpus size)."""
+    d = load_spread(spark, sf_dir, "documents", "doc_id")
+    sh = dedup.shingles(d, "text", "doc_id", n=3)
+    return dedup.lsh_eval(sh, "doc_id", threshold=0.5)
+
+
+@register(
     "dedup_containment",
     _SHINGLE_CTE
     + """,

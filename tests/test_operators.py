@@ -1719,6 +1719,36 @@ def test_bpe_batched_conflict_degrades_to_single(spark):
     assert bat == seq
 
 
+def test_lsh_eval_counts_and_edges(spark):
+    """lsh_eval's count algebra on a controlled corpus: exact copies
+    are both true pairs and candidates (recall = 1 on them); fully
+    disjoint docs produce zero true pairs → NULL recall (not a 0/0
+    crash); and the single-row invariants n_hit ≤ min(n_true,
+    n_candidates), recall = n_hit/n_true hold."""
+    from omicidx_gh_etl_spark.operators import dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        (1, base), (2, base),  # exact pair -> jaccard 1.0
+        (3, "one two three four five six seven eight nine ten"),
+        (4, "uno dos tres cuatro cinco seis siete ocho nueve diez"),
+    ]
+    sh = dedup.shingles(_docs(spark, docs), "text", "doc_id", n=3)
+    row = dedup.lsh_eval(sh, "doc_id", threshold=0.5).head()
+    assert row["n_true"] >= 1 and row["n_hit"] <= row["n_true"]
+    assert row["n_hit"] <= row["n_candidates"]
+    assert row["recall"] == round(row["n_hit"] / row["n_true"], 4)
+    # the exact pair is guaranteed caught: identical shingle sets give
+    # identical signatures in every band
+    assert row["n_hit"] >= 1
+
+    disjoint = [(1, "a b c d e"), (2, "f g h i j"), (3, "k l m n o")]
+    sh2 = dedup.shingles(_docs(spark, disjoint), "text", "doc_id", n=3)
+    row2 = dedup.lsh_eval(sh2, "doc_id", threshold=0.5).head()
+    assert row2["n_true"] == 0 and row2["n_hit"] == 0
+    assert row2["recall"] is None
+
+
 def _sennrich_encode(text, merges):
     """Reference subword-nmt encode: lowest-rank pair present, merged
     in one left-to-right pass, repeated to fixpoint."""
