@@ -248,9 +248,10 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "embedding_covariance",
-    """
+# Shared by the batch query below and streaming_covariance
+# (queries/streaming_ops.py): moment additivity makes the streamed
+# state equal the one-shot covariance, so one oracle string pins both.
+COV_ORACLE_SQL = """
     WITH v AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
       FROM embeddings WHERE embedding IS NOT NULL),
@@ -263,7 +264,12 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
              + 0.0 AS cov
     FROM el a JOIN el b USING (vec_id) CROSS JOIN n
     GROUP BY a.i, b.i, c
-    """,
+    """
+
+
+@register(
+    "embedding_covariance",
+    COV_ORACLE_SQL,
     tags=("similarity", "ml", "pca"),
 )
 def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:

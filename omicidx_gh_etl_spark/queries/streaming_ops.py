@@ -238,6 +238,47 @@ def streaming_count_min_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_probe_compare(spark, sf_dir, counters)
 
 
+def _cov_oracle():
+    from .advanced import COV_ORACLE_SQL
+
+    return COV_ORACLE_SQL
+
+
+@register(
+    "streaming_covariance",
+    # moment additivity: the streamed state must equal the one-shot
+    # covariance over the whole table — the SAME oracle string as the
+    # batch embedding_covariance pins both (queries/advanced.py)
+    _cov_oracle(),
+    tags=("streaming", "similarity", "pca"),
+)
+def streaming_covariance_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance moment state maintained INCREMENTALLY over an
+    embedding stream (foreachBatch: per-batch gemm-partial moment rows
+    merged by addition — driver state is dim²+dim+1 floats, never
+    data-sized; streaming/moments.py), then derived to (i, j, cov)
+    exactly like the batch embedding_covariance. The PCA/whitening
+    model can be re-fit after any batch without rescanning history —
+    the streaming face of covariance_from_state's O(delta) refresh."""
+    import shutil
+    import tempfile
+
+    from ..streaming.moments import run_streaming_covariance
+    from .tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="cov_stream_q_")
+    try:
+        e.repartition(4).write.mode("overwrite").parquet(tmp)
+        # the returned frame is built from driver-held state
+        # (createDataFrame), so nothing lazy pins the tmp dir
+        return run_streaming_covariance(
+            spark, tmp, e.schema, "embedding", max_files_per_trigger=1
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @register(
     "streaming_heavy_hitters",
     """

@@ -1953,6 +1953,31 @@ def test_covariance_state_incremental_equals_one_shot(spark):
     assert state.groupBy("i", "j").count().count() == 36 + 6 + 1
 
 
+def test_streaming_covariance_equals_one_shot(spark, tmp_path):
+    """Moment additivity under micro-batching: the foreachBatch-merged
+    state over a 3-file stream derives the same rounded covariance as
+    the one-shot pass (streaming/moments.py)."""
+    from omicidx_gh_etl_spark.operators.similarity import covariance_matrix
+    from omicidx_gh_etl_spark.streaming.moments import (
+        run_streaming_covariance,
+    )
+
+    rows, df = _pca_frame(spark, n=33)
+    src = str(tmp_path / "cov_src")
+    df.repartition(3).write.parquet(src)
+    streamed = sorted(
+        (r["i"], r["j"], r["cov"])
+        for r in run_streaming_covariance(
+            spark, src, df.schema, "embedding"
+        ).collect()
+    )
+    oneshot = sorted(
+        (r["i"], r["j"], r["cov"])
+        for r in covariance_matrix(df, "embedding").collect()
+    )
+    assert streamed == oneshot
+
+
 def test_pca_fit_model_properties(spark):
     import numpy as np
 
