@@ -517,6 +517,72 @@ def scale_section(spark, sf_dir: str, rep: int = 100) -> dict:
         out["dedup_paragraphs_rewrite"]["duckdb_sec"] = round(ctl, 3)
         out["dedup_paragraphs_rewrite"]["ratio_vs_duckdb"] = round(sec / ctl, 2)
 
+    # 2a2. BPE tokenizer application at rep× docs — THE per-shipped-
+    # document hot path of LLM data prep. Primary = the pandas
+    # ranks-dict engine (the production path for real vocabularies);
+    # the codegen'd replace-chain sql engine is a sub-row; control =
+    # the committed oracle formulation (chained literal replaces) over
+    # the identical salted corpus. count(*) prunes the encode on BOTH
+    # engines, so each side is forced through sum(n_tokens) +
+    # sum(length(tokens_str)) — the checksums also double as a
+    # cross-engine value check at scale (quiet-host @500k unsalted:
+    # pandas 0.96 s / sql 2.59 s / DuckDB 58.3 s, identical sums).
+    from omicidx_gh_etl_spark.operators import text as text_ops
+    from omicidx_gh_etl_spark.queries.llmops import _BPE_ENC_MERGES
+
+    def _force_bpe(df):
+        return df.agg(
+            F.sum("n_tokens").alias("s"),
+            F.sum(F.length("tokens_str")).alias("l"),
+        )
+
+    bpe_sql = None
+    if con is not None:
+        bpe_sql = _must_replace(
+            REGISTRY["text_bpe_encode"].oracle,
+            "FROM documents", "FROM documents_rep",
+        )
+    sec = ctl = float("inf")
+    sql_sec = float("inf")
+    spark_sums = duck_sums = None
+    for it in range(2):
+        t0 = time.perf_counter()
+        row_p = _force_bpe(
+            text_ops.bpe_encode(
+                d_rep, "text", _BPE_ENC_MERGES, "doc_id", engine="pandas"
+            )
+        ).head()
+        sec = min(sec, time.perf_counter() - t0)
+        spark_sums = (row_p["s"], row_p["l"])
+        t0 = time.perf_counter()
+        _force_bpe(
+            text_ops.bpe_encode(d_rep, "text", _BPE_ENC_MERGES, "doc_id")
+        ).head()
+        sql_sec = min(sql_sec, time.perf_counter() - t0)
+        if con is not None and it == 1:
+            try:
+                t0 = time.perf_counter()
+                duck_sums = con.execute(
+                    "SELECT CAST(sum(n_tokens) AS BIGINT), "
+                    "CAST(sum(length(tokens_str)) AS BIGINT) "
+                    f"FROM ({bpe_sql})"
+                ).fetchone()
+                ctl = time.perf_counter() - t0
+            except Exception:
+                pass
+    out["text_bpe_encode"] = {
+        "rows": n_docs, "sec": round(sec, 3),
+        "rows_per_sec": round(n_docs / sec),
+        "sql_engine_sec": round(sql_sec, 3),
+    }
+    if ctl < float("inf"):
+        out["text_bpe_encode"]["duckdb_sec"] = round(ctl, 3)
+        out["text_bpe_encode"]["ratio_vs_duckdb"] = round(sec / ctl, 2)
+        out["text_bpe_encode"]["sums_match"] = bool(
+            duck_sums is not None
+            and tuple(duck_sums) == tuple(spark_sums)
+        )
+
     # 2b. Incremental LSH: the daily-batch-vs-corpus shape. The corpus
     # band index is PRECOMPUTED (the persisted-index contract —
     # minhash_band_signatures written once per corpus); timed work is
