@@ -866,13 +866,18 @@ def scale_section(spark, sf_dir: str, rep: int = 100) -> dict:
         except Exception:
             cov_sql = None
     if cov_sql:
+        # dim derived from the data, like the Spark side (a hardcoded
+        # 64 would silently benchmark a different workload if the
+        # fixture dim ever changed)
+        dim_cv = e.selectExpr("size(embedding) AS d").head()["d"]
         _cv_cols = ", ".join(
-            f"CAST(embedding[{i}] AS DOUBLE) AS c{i}" for i in range(1, 65)
+            f"CAST(embedding[{i}] AS DOUBLE) AS c{i}"
+            for i in range(1, dim_cv + 1)
         )
         _cv_aggs = ", ".join(
             f"covar_samp(c{i}, c{j})"
-            for i in range(1, 65)
-            for j in range(1, 65)
+            for i in range(1, dim_cv + 1)
+            for j in range(1, dim_cv + 1)
         )
         cov_sql = (
             f"WITH p AS (SELECT {_cv_cols} FROM embeddings_cov_rep) "

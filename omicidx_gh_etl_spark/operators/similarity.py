@@ -1253,18 +1253,40 @@ def ivfpq_search(
 # --------------------------------------------------------------------------
 
 
-def _moment_partials(emb: DataFrame, vec_col: str) -> DataFrame:
-    """Per-task (n, Σx, ΣxxT) moment partials of the embedding column
-    — ONE corpus pass, each Arrow batch folded with one BLAS gemm,
-    task state dim + dim² doubles regardless of input size (the
-    sketch shape: fixed-size mergeable partials). Nulls are skipped;
-    a vector whose length disagrees with its batch raises (fixed-dim
-    contract). Shared by :func:`covariance_matrix` (one-shot) and
-    :func:`covariance_state` (persistable/incremental)."""
+def covariance_state(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Mergeable covariance MOMENT STATE → long-form ``(i, j, v)``:
+    ``(0, dim)`` holds n (the count marker is keyed by the producing
+    task's dim — see the in-function comment), ``(i,0)`` holds Σxᵢ,
+    ``(i,j)`` (both ≥ 1) holds Σxᵢxⱼ — dim² + dim + 1 rows total, one
+    uniform schema that persists as a tiny table.
+
+    ONE corpus pass: each task folds its Arrow batches with one BLAS
+    gemm per batch into a (n, Σx, ΣxxT) accumulator — dim + dim²
+    doubles regardless of input size (the sketch shape) — and emits it
+    already in long form; a single groupBy(i, j) merges the per-task
+    rows (map-side combined: ≤ dim²+dim+1 rows per task reach the
+    shuffle). There is exactly one mapInArrow subtree, so no consumer
+    ever re-scans the corpus.
+
+    Contract: NULL vectors are skipped; a vector whose LENGTH differs
+    from the others, or containing NULL elements, raises (checked per
+    batch via Arrow value_lengths / element null counts — a silently
+    reshaped ragged batch or a NaN-poisoned sum never escapes).
+
+    This is the O(delta) maintenance path for PCA over a growing
+    corpus (the incremental-aggregate pattern of
+    ``engine/incr_agg.py``, applied to second moments): moments are
+    plain sums, so states MERGE by union + re-sum —
+    ``covariance_from_state(stored.unionByName(covariance_state(
+    delta)))`` refreshes the model reading only the delta and the
+    O(dim²) state, never rescanning history. Disjoint-batch contract
+    as in incr_agg (each row contributes to exactly one state).
+    """
     import numpy as np
 
     def _partials(batches):
         import pyarrow as pa
+        import pyarrow.compute as pc
 
         n = 0
         s = None
@@ -1280,18 +1302,21 @@ def _moment_partials(emb: DataFrame, vec_col: str) -> DataFrame:
             rows = len(vecs)
             if rows == 0:
                 continue
-            flat = vecs.flatten().to_numpy(zero_copy_only=False).astype(
+            lens = pc.min_max(pc.list_value_length(vecs))
+            lo, hi = lens["min"].as_py(), lens["max"].as_py()
+            dim = s.size if s is not None else lo
+            if lo != hi or lo != dim:
+                raise ValueError(
+                    f"ragged {vec_col}: lengths {lo}..{hi}, expected {dim}"
+                )
+            flat_arrow = vecs.flatten()
+            if flat_arrow.null_count:
+                raise ValueError(
+                    f"{vec_col} contains NULL elements inside vectors"
+                )
+            flat = flat_arrow.to_numpy(zero_copy_only=False).astype(
                 np.float64, copy=False
             )
-            if s is None:
-                dim = flat.size // rows
-            else:
-                dim = s.size
-            if flat.size != rows * dim:
-                raise ValueError(
-                    f"ragged {vec_col}: {flat.size} values / {rows} rows "
-                    f"with dim {dim}"
-                )
             arr = flat.reshape(rows, dim)
             n += rows
             if s is None:
@@ -1301,22 +1326,33 @@ def _moment_partials(emb: DataFrame, vec_col: str) -> DataFrame:
                 s += arr.sum(axis=0)
                 ss += arr.T @ arr
         if n:
+            d = s.size
+            ii = np.repeat(np.arange(1, d + 1), d)
+            jj = np.tile(np.arange(1, d + 1), d)
+            # count marker keyed by the TASK'S dim — (0, d, n), not
+            # (0, 0, n): two tasks (or two incremental deltas) that
+            # each saw internally-consistent but DIFFERENT dims merge
+            # into two distinct (0, d) rows, which the state consumers
+            # reject — cross-task raggedness a per-batch check cannot
+            # see is caught at derivation instead of corrupting sums
+            i_out = np.concatenate([ii, np.arange(1, d + 1), [0]])
+            j_out = np.concatenate([jj, np.zeros(d, dtype=np.int64), [d]])
+            v_out = np.concatenate([ss.reshape(-1), s, [float(n)]])
             yield pa.record_batch(
                 [
-                    pa.array([n], type=pa.int64()),
-                    pa.array([s.size], type=pa.int32()),
-                    pa.array([s.tolist()]),
-                    pa.array([ss.reshape(-1).tolist()]),
+                    pa.array(i_out.astype(np.int32)),
+                    pa.array(j_out.astype(np.int32)),
+                    pa.array(v_out),
                 ],
-                names=["n", "dim", "s", "ss"],
+                names=["i", "j", "v"],
             )
 
-    return emb.filter(F.col(vec_col).isNotNull()).select(
-        F.col(vec_col)
-    ).mapInArrow(
-        _partials,
-        "n long, dim int, s array<double>, ss array<double>",
+    partials = (
+        emb.filter(F.col(vec_col).isNotNull())
+        .select(F.col(vec_col))
+        .mapInArrow(_partials, "i int, j int, v double")
     )
+    return partials.groupBy("i", "j").agg(F.sum("v").alias("v"))
 
 
 def covariance_matrix(
@@ -1327,15 +1363,18 @@ def covariance_matrix(
 ) -> DataFrame:
     """Sample covariance of the embedding columns → ``(i, j, cov)``,
     1-based indices — the distributed heavy half of PCA/whitening
-    (:func:`pca_fit` eigendecomposes this on the driver).
+    (:func:`pca_fit` eigendecomposes it on the driver).
 
-    Plan: :func:`_moment_partials` (one pass, one gemm per batch),
-    then the partials explode to (pos, val) and a groupBy(pos)
-    finishes the sums — ≤ dim² exploded rows per task, map-side
-    combined before the shuffle, so shuffle volume is O(tasks · dim²)
-    partial aggregates and never data-proportional.
-    cov = (ΣxxT − ΣxΣxᵀ/n)/(n−ddof), assembled with two broadcast
-    joins of the dim-row Σx frame.
+    Plan: :func:`covariance_state` (ONE corpus pass: gemm partials in
+    long form, one map-side-combined groupBy — shuffle volume
+    O(tasks · dim²), never data-proportional), then
+    :func:`covariance_from_state` derives
+    cov = (ΣxxT − ΣxΣxᵀ/n)/(n−ddof) in a single one-group pandas
+    finisher over the dim²-row state — exactly ONE consumer of the
+    aggregate, so the corpus pass and the gemms run once per action
+    (pinned by pytest; a join-based assembly measured 3× the arrow
+    work because the marker-row filters pushed below the aggregate and
+    split the exchange into three non-reusable subtrees).
 
     ``round_to`` exists for the cross-engine oracle (float sums
     associate differently across engines); pass ``None`` for full
@@ -1344,91 +1383,68 @@ def covariance_matrix(
     :func:`covariance_state` and refresh per delta instead of calling
     this over the whole history.
     """
-    partials = _moment_partials(emb, vec_col)
-    ssum = (
-        partials.select(F.posexplode("s").alias("pos", "val"))
-        .groupBy("pos")
-        .agg(F.sum("val").alias("sv"))
-        .selectExpr("pos + 1 AS i", "sv")
+    return covariance_from_state(
+        covariance_state(emb, vec_col), ddof=ddof, round_to=round_to
     )
-    sssum = (
-        partials.select("dim", F.posexplode("ss").alias("pos", "val"))
-        .selectExpr(
-            "CAST(pos DIV dim AS INT) + 1 AS i",
-            "CAST(pos % dim AS INT) + 1 AS j",
-            "val",
+
+
+def _finish_cov(state_grouped: DataFrame, ddof: int,
+                round_to: int | None) -> DataFrame:
+    """(i, j, cov) from the AGGREGATED moment state, as ONE one-group
+    applyInPandas task over ≤ dim²+dim+1 rows. A single consumer of
+    the aggregate keeps the corpus pass unique in the plan (marker-row
+    filters on three join branches push below the aggregate and split
+    the exchange — measured 3× the arrow work). The scalar arithmetic
+    — (ssv − sᵢ·sⱼ/n)/(n−ddof), decimal HALF_UP round, −0.0
+    normalization — is op-for-op the SQL expression the DuckDB oracle
+    runs, so the value hash is unchanged. n ≤ ddof yields NULL cov
+    (the SQL division-by-zero semantics)."""
+    dd = int(ddof)
+    rt = None if round_to is None else int(round_to)
+
+    def _finish(pdf):
+        import numpy as np
+        import pandas as pd
+
+        if pdf.empty:
+            return pd.DataFrame({"i": [], "j": [], "cov": []})
+        nrows = pdf[pdf["i"] == 0]
+        if len(nrows) > 1:
+            raise ValueError(
+                "covariance state mixes dims "
+                f"{sorted(nrows['j'].tolist())} — ragged input"
+            )
+        n = float(nrows["v"].sum())
+        s = pdf[(pdf["i"] > 0) & (pdf["j"] == 0)].set_index("i")["v"]
+        m = pdf[(pdf["i"] > 0) & (pdf["j"] > 0)]
+        if m.empty or n <= 0:
+            return pd.DataFrame({"i": [], "j": [], "cov": []})
+        si = m["i"].map(s).to_numpy(dtype=np.float64)
+        sj = m["j"].map(s).to_numpy(dtype=np.float64)
+        ssv = m["v"].to_numpy(dtype=np.float64)
+        denom = n - dd
+        if denom == 0:
+            cov = np.full(len(m), np.nan)
+        else:
+            cov = (ssv - si * sj / n) / denom
+            if rt is not None:
+                # Spark/DuckDB round() is decimal HALF_UP; + 0.0
+                # normalizes IEEE -0.0
+                p = 10.0 ** rt
+                cov = np.sign(cov) * np.floor(np.abs(cov) * p + 0.5) / p
+                cov = cov + 0.0
+        out = pd.DataFrame(
+            {"i": m["i"].to_numpy(), "j": m["j"].to_numpy(), "cov": cov}
         )
-        .groupBy("i", "j")
-        .agg(F.sum("val").alias("ssv"))
-    )
-    cnt = partials.agg(F.sum("n").alias("c"))
-    return _assemble_cov(sssum, ssum, cnt, ddof, round_to)
+        out["cov"] = out["cov"].where(np.isfinite(out["cov"]), None)
+        return out
 
-
-def _assemble_cov(
-    sssum: DataFrame,
-    ssum: DataFrame,
-    cnt: DataFrame,
-    ddof: int,
-    round_to: int | None,
-) -> DataFrame:
-    cov = (
-        f"(ssv - a_sv * b_sv / c) / (c - {int(ddof)})"
-        if ddof
-        else "(ssv - a_sv * b_sv / c) / c"
-    )
-    if round_to is not None:
-        # + 0.0 normalizes IEEE -0.0 (a tiny negative rounds to -0.0,
-        # which value-hashes differently from the other engine's 0.0)
-        cov = f"round({cov}, {int(round_to)}) + 0.0d"
     return (
-        sssum.join(
-            F.broadcast(ssum.selectExpr("i", "sv AS a_sv")), "i"
+        state_grouped.groupBy(F.lit(1).alias("__g"))
+        .applyInPandas(
+            lambda pdf: _finish(pdf), "i int, j int, cov double"
         )
-        .join(
-            F.broadcast(ssum.selectExpr("i AS j", "sv AS b_sv")), "j"
-        )
-        .crossJoin(F.broadcast(cnt))
-        .selectExpr("i", "j", f"{cov} AS cov")
     )
-
-
-def covariance_state(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """Mergeable covariance MOMENT STATE of a batch → long-form
-    ``(i, j, v)``: ``(0,0)`` holds n, ``(i,0)`` holds Σxᵢ, ``(i,j)``
-    (both ≥ 1) holds Σxᵢxⱼ — dim² + dim + 1 rows total, one uniform
-    schema that persists as a tiny table.
-
-    This is the O(delta) maintenance path for PCA over a growing
-    corpus (the incremental-aggregate pattern of
-    ``engine/incr_agg.py``, applied to second moments): moments are
-    plain sums, so states MERGE by union + re-sum —
-    ``covariance_from_state(stored.unionByName(covariance_state(
-    delta)))`` refreshes the model reading only the delta and the
-    O(dim²) state, never rescanning history. Disjoint-batch contract
-    as in incr_agg (each row contributes to exactly one state).
-    """
-    partials = _moment_partials(emb, vec_col)
-    ss_rows = (
-        partials.select("dim", F.posexplode("ss").alias("pos", "val"))
-        .selectExpr(
-            "CAST(pos DIV dim AS INT) + 1 AS i",
-            "CAST(pos % dim AS INT) + 1 AS j",
-            "val AS v",
-        )
-        .groupBy("i", "j")
-        .agg(F.sum("v").alias("v"))
-    )
-    s_rows = (
-        partials.select(F.posexplode("s").alias("pos", "val"))
-        .groupBy("pos")
-        .agg(F.sum("val").alias("v"))
-        .selectExpr("pos + 1 AS i", "CAST(0 AS INT) AS j", "v")
-    )
-    n_row = partials.agg(F.sum("n").alias("v")).selectExpr(
-        "CAST(0 AS INT) AS i", "CAST(0 AS INT) AS j", "CAST(v AS DOUBLE) AS v"
-    )
-    return ss_rows.unionByName(s_rows).unionByName(n_row)
 
 
 def covariance_from_state(
@@ -1439,12 +1455,11 @@ def covariance_from_state(
     """Covariance ``(i, j, cov)`` from one or more unioned
     :func:`covariance_state` frames. The leading groupBy re-sums, so
     passing ``stored.unionByName(delta_state)`` IS the merge — cost is
-    O(state rows) = O(dim²), corpus-size-independent."""
+    O(state rows) = O(dim²), corpus-size-independent; the derivation
+    is one one-group pandas task (see :func:`_finish_cov` for why a
+    join assembly is avoided)."""
     st = state.groupBy("i", "j").agg(F.sum("v").alias("v"))
-    sssum = st.filter("i > 0 AND j > 0").selectExpr("i", "j", "v AS ssv")
-    ssum = st.filter("i > 0 AND j = 0").selectExpr("i", "v AS sv")
-    cnt = st.filter("i = 0 AND j = 0").selectExpr("CAST(v AS BIGINT) AS c")
-    return _assemble_cov(sssum, ssum, cnt, ddof, round_to)
+    return _finish_cov(st, ddof, round_to)
 
 
 def pca_fit(
@@ -1459,44 +1474,49 @@ def pca_fit(
     (:func:`pca_transform` consumes it), mirroring how
     :func:`kmeans_fit` ships centroids.
 
-    The corpus never leaves the cluster: :func:`covariance_matrix`
-    reduces it to dim² covariance entries (full precision), and only
-    that matrix is collected — driver state and eigendecomposition
-    cost are O(dim²)/O(dim³), corpus-size-independent (dim is 64-4096
-    in practice; numpy eigh on ≤4096² is sub-minute). Deterministic:
-    eigh of a fixed matrix, descending eigenvalue order with index
-    tiebreak, and each loading's sign is fixed so its
-    largest-magnitude coordinate (lowest index on ties) is positive —
-    reproducible model artifacts for training-data lineage.
+    The corpus never leaves the cluster: ONE :func:`covariance_state`
+    pass reduces it to dim² + dim + 1 moment rows, and only that state
+    is collected — the covariance AND the means derive from it
+    driver-side (full precision; the formula is the same
+    (ΣxxT − ΣxΣxᵀ/n)/(n−1) :func:`covariance_from_state` runs), so
+    driver state and eigendecomposition cost are O(dim²)/O(dim³),
+    corpus-size-independent (dim is 64-4096 in practice; numpy eigh on
+    ≤4096² is sub-minute). Deterministic: eigh of a fixed matrix,
+    descending eigenvalue order with index tiebreak, and each
+    loading's sign is fixed so its largest-magnitude coordinate
+    (lowest index on ties) is positive — reproducible model artifacts
+    for training-data lineage.
     """
     import numpy as np
 
     if k < 1:
         raise ValueError("k must be >= 1")
-    rows = covariance_matrix(emb, vec_col, round_to=None).collect()
+    rows = covariance_state(emb, vec_col).collect()
     if not rows:
         raise ValueError("no vectors to fit")
-    dim = max(r["i"] for r in rows)
-    cov = np.zeros((dim, dim))
-    for r in rows:
-        cov[r["i"] - 1, r["j"] - 1] = r["cov"]
-    # means: one tiny extra aggregate (the covariance pass does not
-    # expose them rounded-free per column) — posexplode + groupBy(pos),
-    # dim output rows
-    mean_rows = (
-        emb.filter(F.col(vec_col).isNotNull())
-        .select(
-            F.posexplode(F.col(vec_col).cast("array<double>")).alias(
-                "pos", "x"
-            )
+    markers = [r for r in rows if r["i"] == 0]
+    if len(markers) != 1:
+        raise ValueError(
+            "covariance state mixes dims "
+            f"{sorted(r['j'] for r in markers)} — ragged input"
         )
-        .groupBy("pos")
-        .agg(F.avg("x").alias("mu"))
-        .collect()
-    )
-    mu = np.zeros(dim)
-    for r in mean_rows:
-        mu[r["pos"]] = r["mu"]
+    dim = markers[0]["j"]
+    n = markers[0]["v"] or 0.0
+    s = np.zeros(dim)
+    ss = np.zeros((dim, dim))
+    for r in rows:
+        if r["i"] == 0:
+            continue
+        elif r["j"] == 0:
+            s[r["i"] - 1] = r["v"]
+        else:
+            ss[r["i"] - 1, r["j"] - 1] = r["v"]
+    if n < 2:
+        raise ValueError(
+            f"pca_fit needs >= 2 non-null vectors, got {int(n)}"
+        )
+    mu = s / n
+    cov = (ss - np.outer(s, s) / n) / (n - 1)
     evals, evecs = np.linalg.eigh(cov)
     order = np.argsort(-evals, kind="stable")[: int(k)]
     out = [(0, None, mu.tolist())]

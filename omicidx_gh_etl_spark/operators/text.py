@@ -804,17 +804,25 @@ def bpe_encode(
         raise ValueError(f"engine must be 'sql' or 'pandas', got {engine!r}")
     for le, ri in merges:
         for s in (le, ri):
-            if not s or any(c in s for c in (" ", "\t", _BPE_US, _BPE_WB)):
+            # spaces can never appear in symbols (words are space-split)
+            # and the two framing control chars would corrupt the sql
+            # engine's string encoding; anything else — including tabs
+            # and newlines, which space-only tokenization leaves inside
+            # words — is a legal symbol ('(?s)(.)' frames them too)
+            if not s or any(c in s for c in (" ", _BPE_US, _BPE_WB)):
                 raise ValueError(f"illegal merge symbol {s!r}")
     if engine == "pandas":
         return _bpe_encode_pandas(df, text_col, merges, id_col)
     us, wb = _BPE_US, _BPE_WB
     # word → "c1␟␟c2␟␟…cn␟␟"; doc → "␟␟" + pieces joined by "␞␟␟"
     # (each piece carries its trailing boundary, so the join inserts
-    # exactly one word-boundary symbol between full boundaries)
+    # exactly one word-boundary symbol between full boundaries).
+    # (?s): '.' must match EVERY char incl. \n (a line terminator is
+    # otherwise skipped, corrupting the framing of newline-bearing
+    # words — space-only tokenization keeps \t/\n inside words)
     pieces = (
         f"transform({tokens_sql(text_col)},"
-        f" w -> regexp_replace(w, '(.)', '$1{us}{us}'))"
+        f" w -> regexp_replace(w, '(?s)(.)', '$1{us}{us}'))"
     )
     enc = f"concat('{us}{us}', concat_ws('{wb}{us}{us}', {pieces}))"
     for le, ri in merges:
@@ -867,13 +875,27 @@ def _bpe_encode_pandas(
         cache[w] = word
         return word
 
+    import re
+
+    def _words(s: str) -> list[str]:
+        # EXACTLY tokens_sql's split: trim spaces (0x20 only — Spark's
+        # trim), split on space runs, drop empties. str.split() would
+        # split on \t/\n too and diverge from the sql engine on
+        # whitespace-bearing text (pinned by pytest).
+        return [w for w in re.split(" +", (s or "").strip(" ")) if w]
+
     def run(batches):
         import pandas as pd
 
+        # distinct-word memo, task-lifetime but size-capped: on heavy-
+        # tailed corpora (IDs, typos, salted tokens) an unbounded dict
+        # would grow with every distinct word the task ever sees
         cache: dict = {}
         for pdf in batches:
+            if len(cache) > 500_000:
+                cache.clear()
             toks = [
-                [t for w in (s or "").split() for t in encode_word(w, cache)]
+                [t for w in _words(s) for t in encode_word(w, cache)]
                 for s in pdf[text_col]
             ]
             yield pd.DataFrame(

@@ -276,14 +276,15 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding covariance matrix — the distributed half of
     PCA/whitening (operators/similarity.py::covariance_matrix;
     pca_fit eigendecomposes it driver-side, O(dim²) state). One corpus
-    pass: per-task (n, Σx, ΣxxT) partials — each Arrow batch is one
-    BLAS gemm, partial state dim+dim² doubles — then a map-side-
-    combined groupBy over exploded partial entries; shuffle volume is
-    O(tasks · dim²), never data-proportional. The oracle replays the
-    identical (ΣxxT − ΣxΣxᵀ/n)/(n−1) formula; embeddings are
-    zero-centered-ish so the one-pass form has no cancellation risk,
-    and round(·,4) absorbs cross-engine summation-order float drift
-    (sums of ~10³ terms agree to ~1e-13)."""
+    pass: per-task long-form moment partials — each Arrow batch is one
+    BLAS gemm, partial state dim+dim² doubles — then ONE map-side-
+    combined groupBy (shuffle volume O(tasks · dim²), never
+    data-proportional) and a one-group pandas finisher, so the plan
+    has exactly one corpus consumer (pytest-pinned). The oracle
+    replays the identical (ΣxxT − ΣxΣxᵀ/n)/(n−1) formula; embeddings
+    are zero-centered-ish so the one-pass form has no cancellation
+    risk, and round(·,4) absorbs cross-engine summation-order float
+    drift (sums of ~10³ terms agree to ~1e-13)."""
     e = load_spread(spark, sf_dir, "embeddings", "vec_id")
     return similarity.covariance_matrix(e, "embedding")
 

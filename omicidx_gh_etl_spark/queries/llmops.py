@@ -2422,7 +2422,8 @@ def _bpe_enc_oracle(merges: list[tuple[str, str]]) -> str:
     enc = (
         f"'{us}{us}' || array_to_string(list_transform("
         f"list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> ''),"
-        f" w -> regexp_replace(w, '(.)', '\\1{us}{us}', 'g')),"
+        # (?s) in lockstep with the Spark engine: '.' must frame \n too
+        f" w -> regexp_replace(w, '(?s)(.)', '\\1{us}{us}', 'g')),"
         f" '{wb}{us}{us}')"
     )
     for le, ri in merges:

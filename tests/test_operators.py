@@ -1751,10 +1751,14 @@ def test_lsh_eval_counts_and_edges(spark):
 
 def _sennrich_encode(text, merges):
     """Reference subword-nmt encode: lowest-rank pair present, merged
-    in one left-to-right pass, repeated to fixpoint."""
+    in one left-to-right pass, repeated to fixpoint. Words are
+    SPACE-split (tokens_sql semantics — tabs/newlines stay inside
+    words), matching both bpe_encode engines."""
+    import re
+
     ranks = {m: i for i, m in enumerate(merges)}
     out = []
-    for w in (text or "").split():
+    for w in [x for x in re.split(" +", (text or "").strip(" ")) if x]:
         word = list(w)
         while len(word) >= 2:
             best = min(
@@ -1782,6 +1786,10 @@ _BPE_ENC_CORPUS = [
     (6, "banana banaa"), (7, "the theer ther"), (8, "value val a aa"),
     (9, "aaaaaaaa"), (10, "a a aa aaa the"), (11, "  spaced   out  "),
     (12, None), (13, "aabaa ba baaa"),
+    # whitespace edges: space-only tokenization keeps \t and \n INSIDE
+    # words — both engines must agree ('(?s)(.)' framing, space-split
+    # pandas words); merges still apply around the control chars
+    (14, "a\ta aa\naa the\tthe"), (15, "\taaaa\n aa\t\naa"),
 ]
 _BPE_ENC_TABLE = [
     ("a", "a"), ("aa", "aa"), ("b", "a"), ("ba", "n"), ("ban", "aa"),
@@ -1855,6 +1863,22 @@ def test_bpe_encode_rejects_illegal_symbols(spark):
             T.bpe_encode(df, "text", bad, "doc_id")
     with pytest.raises(ValueError):
         T.bpe_encode(df, "text", [("a", "b")], "doc_id", engine="nope")
+    # tab-bearing symbols are LEGAL (space-only tokenization keeps \t
+    # inside words, so a trained table can contain them) and both
+    # engines agree on them
+    tab_df = _docs(spark, [(1, "x\ty x\ty z")])
+    merges = [("x", "\t"), ("x\t", "y")]
+    got = {
+        eng: sorted(
+            (r["doc_id"], r["n_tokens"], r["tokens_str"])
+            for r in T.bpe_encode(
+                tab_df, "text", merges, "doc_id", engine=eng
+            ).collect()
+        )
+        for eng in ("sql", "pandas")
+    }
+    assert got["sql"] == got["pandas"]
+    assert got["sql"][0][1] == 3  # [x\ty, x\ty, z]
 
 
 def _pca_frame(spark, n=48, dim=6, seed=7):
@@ -1917,6 +1941,57 @@ def test_covariance_matrix_skips_nulls(spark):
     assert np.allclose(got, want, atol=1e-9)
 
 
+def test_covariance_single_scan_and_bad_input_raises(spark):
+    """The 'ONE corpus pass' claim, pinned: covariance_matrix's
+    executed plan contains exactly one scan of the input (the three
+    state consumers reuse the aggregate exchange). Ragged vectors and
+    NULL elements raise instead of silently corrupting the moments."""
+    import pytest as _pytest
+
+    from omicidx_gh_etl_spark.operators.similarity import covariance_matrix
+
+    rows, df = _pca_frame(spark, n=20)
+    src = df.repartition(3)
+    cov = covariance_matrix(src, "embedding")
+    cov.collect()
+    plan = cov._jdf.queryExecution().executedPlan().toString()
+    # AQE's toString appends the pre-adaptive plan after a marker —
+    # audit only the FINAL plan section
+    final = plan.split("== Initial Plan ==")[0]
+    n_arrow = final.count("MapInArrow")
+    n_reused = final.count("ReusedExchange") + final.count(
+        "ReusedQueryStage"
+    )
+    assert n_arrow - n_reused <= 1, (n_arrow, n_reused, final)
+
+    # ragged vectors raise on EITHER path: same batch (per-batch
+    # length check) or split across tasks (mixed-dim count markers
+    # rejected at derivation)
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0, 4.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(Exception, match="ragged"):
+        covariance_matrix(ragged, "embedding").collect()
+    with _pytest.raises(Exception, match="ragged"):
+        covariance_matrix(ragged.repartition(2), "embedding").collect()
+
+    holey = spark.createDataFrame(
+        [(1, [1.0, None, 3.0]), (2, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(Exception, match="NULL elements"):
+        covariance_matrix(holey, "embedding").collect()
+
+    single = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    from omicidx_gh_etl_spark.operators.similarity import pca_fit
+
+    with _pytest.raises(ValueError, match=">= 2 non-null"):
+        pca_fit(single, k=1)
+
+
 def test_covariance_state_incremental_equals_one_shot(spark):
     """The O(delta) maintenance contract: union of three disjoint
     batches' moment states → covariance identical (to float-sum
@@ -1965,6 +2040,9 @@ def test_streaming_covariance_equals_one_shot(spark, tmp_path):
     rows, df = _pca_frame(spark, n=33)
     src = str(tmp_path / "cov_src")
     df.repartition(3).write.parquet(src)
+    # an EMPTY micro-batch (zero-row file) must be a no-op, not a
+    # crash — the state producer emits no rows for it
+    df.limit(0).coalesce(1).write.mode("append").parquet(src)
     streamed = sorted(
         (r["i"], r["j"], r["cov"])
         for r in run_streaming_covariance(
