@@ -517,18 +517,33 @@ def scale_section(spark, sf_dir: str, rep: int = 100) -> dict:
         out["dedup_paragraphs_rewrite"]["duckdb_sec"] = round(ctl, 3)
         out["dedup_paragraphs_rewrite"]["ratio_vs_duckdb"] = round(sec / ctl, 2)
 
-    # 2a2. BPE tokenizer application at rep× docs — THE per-shipped-
-    # document hot path of LLM data prep. Primary = the pandas
-    # ranks-dict engine (the production path for real vocabularies);
-    # the codegen'd replace-chain sql engine is a sub-row; control =
-    # the committed oracle formulation (chained literal replaces) over
-    # the identical salted corpus. count(*) prunes the encode on BOTH
-    # engines, so each side is forced through sum(n_tokens) +
-    # sum(length(tokens_str)) — the checksums also double as a
-    # cross-engine value check at scale (quiet-host @500k unsalted:
-    # pandas 0.96 s / sql 2.59 s / DuckDB 58.3 s, identical sums).
+    # 2a2. BPE tokenizer application — THE per-shipped-document hot
+    # path of LLM data prep. Primary = the pandas ranks-dict engine
+    # (the production path for real vocabularies); the codegen'd
+    # replace-chain sql engine is a sub-row; control = the committed
+    # oracle formulation (chained literal replaces) over the identical
+    # salted corpus. Runs at rep/5 (~100k docs): the 0.07× ratio is
+    # already compute-dominated there, and the full-rep control alone
+    # cost ~110 s of per-round bench budget for no extra signal.
+    # count(*) prunes the encode on BOTH engines, so each side is
+    # forced through sum(n_tokens) + sum(length(tokens_str)) — the
+    # checksums also double as a cross-engine value check at scale
+    # (quiet-host @500k unsalted: pandas 0.96 s / sql 2.59 s / DuckDB
+    # 58.3 s, identical sums).
     from omicidx_gh_etl_spark.operators import text as text_ops
     from omicidx_gh_etl_spark.queries.llmops import _BPE_ENC_MERGES
+
+    rep_bpe = max(1, rep // 5)
+    n_bpe = d.count() * rep_bpe
+    repb = F.explode(F.sequence(F.lit(1), F.lit(rep_bpe))).alias("__rep")
+    d_bpe = d.select("doc_id", "text", repb).select(
+        (F.col("doc_id") * rep_bpe + F.col("__rep")).alias("doc_id"),
+        F.expr(
+            "CASE WHEN trim(text) = '' THEN '' ELSE"
+            " concat(regexp_replace(trim(regexp_replace(text, ' +', ' ')),"
+            " ' ', concat('_', __rep, ' ')), '_', __rep) END"
+        ).alias("text"),
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
 
     def _force_bpe(df):
         return df.agg(
@@ -538,10 +553,22 @@ def scale_section(spark, sf_dir: str, rep: int = 100) -> dict:
 
     bpe_sql = None
     if con is not None:
-        bpe_sql = _must_replace(
-            REGISTRY["text_bpe_encode"].oracle,
-            "FROM documents", "FROM documents_rep",
-        )
+        try:
+            con.execute(
+                "CREATE VIEW documents_bpe_rep AS "
+                f"SELECT d.doc_id * {rep_bpe} + r.range + 1 AS doc_id, "
+                "array_to_string(list_transform("
+                "  list_filter(string_split(d.text, ' '), x -> x <> ''), "
+                "  x -> x || '_' || CAST(r.range + 1 AS VARCHAR)), ' ') "
+                "AS text "
+                f"FROM documents d CROSS JOIN range({rep_bpe}) r"
+            )
+            bpe_sql = _must_replace(
+                REGISTRY["text_bpe_encode"].oracle,
+                "FROM documents", "FROM documents_bpe_rep",
+            )
+        except Exception:
+            bpe_sql = None
     sec = ctl = float("inf")
     sql_sec = float("inf")
     spark_sums = duck_sums = None
@@ -549,17 +576,17 @@ def scale_section(spark, sf_dir: str, rep: int = 100) -> dict:
         t0 = time.perf_counter()
         row_p = _force_bpe(
             text_ops.bpe_encode(
-                d_rep, "text", _BPE_ENC_MERGES, "doc_id", engine="pandas"
+                d_bpe, "text", _BPE_ENC_MERGES, "doc_id", engine="pandas"
             )
         ).head()
         sec = min(sec, time.perf_counter() - t0)
         spark_sums = (row_p["s"], row_p["l"])
         t0 = time.perf_counter()
         _force_bpe(
-            text_ops.bpe_encode(d_rep, "text", _BPE_ENC_MERGES, "doc_id")
+            text_ops.bpe_encode(d_bpe, "text", _BPE_ENC_MERGES, "doc_id")
         ).head()
         sql_sec = min(sql_sec, time.perf_counter() - t0)
-        if con is not None and it == 1:
+        if con is not None and bpe_sql is not None and it == 1:
             try:
                 t0 = time.perf_counter()
                 duck_sums = con.execute(
@@ -571,8 +598,8 @@ def scale_section(spark, sf_dir: str, rep: int = 100) -> dict:
             except Exception:
                 pass
     out["text_bpe_encode"] = {
-        "rows": n_docs, "sec": round(sec, 3),
-        "rows_per_sec": round(n_docs / sec),
+        "rows": n_bpe, "sec": round(sec, 3),
+        "rows_per_sec": round(n_bpe / sec),
         "sql_engine_sec": round(sql_sec, 3),
     }
     if ctl < float("inf"):
