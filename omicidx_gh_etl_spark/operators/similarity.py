@@ -647,6 +647,98 @@ def lsh_bucket_pairs(
     )
 
 
+def lsh_multiprobe_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    hyperplanes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "qv",
+    hp_id_col: str = "hp_id",
+    hp_vec_col: str = "hv",
+) -> DataFrame:
+    """Multi-probe LSH search (Lv et al. 2007) → ``(q_id, vec_id,
+    cos_sim, rk)`` top-k per query: each query probes its OWN sign-bit
+    bucket plus every 1-bit-flip neighbor, recovering most of the
+    recall a vector lost by landing just across one hyperplane —
+    WITHOUT the classic fix of maintaining more hash tables (each
+    extra table re-hashes and re-stores the whole corpus; extra probes
+    cost only (nbits+1)× more bucket lookups on the query side).
+
+    Plan: corpus bucketing is the same broadcast-hyperplane map-only
+    pass :func:`lsh_bucket_pairs` uses (one groupBy(id) to assemble
+    bit strings); the query side — queries × (nbits+1) probe buckets —
+    is driver-bounded and broadcast, so candidate generation is one
+    hash join on the bucket string touching only probed buckets
+    (corpus × (nbits+1)/2^nbits of the data in expectation), then an
+    exact-cosine re-rank with a per-query WindowGroupLimit. No corpus
+    self-join, no full scan of unprobed buckets.
+
+    Probe buckets per query are DISTINCT (exact + nbits single flips),
+    so no candidate dedup pass is needed. Deterministic: fixed
+    hyperplanes (callers pass persisted ones), round(·,4) + id
+    tiebreaks — the same total order the DuckDB oracle produces.
+    """
+    e = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    h = hyperplanes.select(
+        F.col(hp_id_col), _as_double(hp_vec_col).alias("hvd")
+    )
+    bit = F.when(dot_expr(F.col("v"), F.col("hvd")) >= 0, "1").otherwise("0")
+
+    def _buckets(frame, idc):
+        return (
+            frame.crossJoin(F.broadcast(h))
+            .groupBy(idc)
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(F.col(hp_id_col), bit.alias("b"))
+                            )
+                        ),
+                        lambda x: x["b"],
+                    ),
+                    "",
+                ).alias("bucket"),
+                F.first("v").alias("v"),
+            )
+        )
+
+    cb = _buckets(e, id_col)
+    q = queries.select(
+        F.col(q_id_col), _as_double(q_vec_col).alias("v")
+    )
+    qb = _buckets(q, q_id_col).withColumnRenamed("v", "qv")
+    # exact bucket + every 1-bit flip — all distinct by construction
+    probes = qb.selectExpr(
+        q_id_col,
+        "qv",
+        "explode(concat(array(bucket),"
+        " transform(sequence(1, length(bucket)),"
+        " p -> concat(substring(bucket, 1, p - 1),"
+        " CASE substring(bucket, p, 1) WHEN '1' THEN '0' ELSE '1' END,"
+        " substring(bucket, p + 1))))) AS probe",
+    ).selectExpr(q_id_col, "qv", f"{_norm_sql('qv')} AS qn", "probe")
+    cand = cb.join(
+        F.broadcast(probes), cb["bucket"] == probes["probe"]
+    )
+    cos = _cos_pre_sql("v", "qv", _norm_sql("v"), "qn")
+    scored = cand.selectExpr(
+        q_id_col, id_col, f"round({cos}, 4) AS cos_sim"
+    )
+    w = W.partitionBy(q_id_col).orderBy(
+        F.desc("cos_sim"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= int(k))
+        .select(q_id_col, id_col, "cos_sim", "rk")
+    )
+
+
 def kmeans_pp_init(
     emb: DataFrame,
     k: int,

@@ -862,6 +862,64 @@ def similarity_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_multiprobe_topk",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    h AS (SELECT vec_id AS hp_id, v AS hv FROM e WHERE vec_id < 8),
+    bits AS (
+      SELECT e.vec_id, h.hp_id,
+             CASE WHEN list_dot_product(v, hv) >= 0 THEN '1' ELSE '0' END AS b
+      FROM e CROSS JOIN h),
+    buckets AS (
+      SELECT vec_id, string_agg(b, '' ORDER BY hp_id) AS bucket
+      FROM bits GROUP BY vec_id),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 3),
+    qb AS (SELECT q_id, bucket FROM buckets JOIN q ON buckets.vec_id = q.q_id),
+    probes AS (
+      SELECT q_id, bucket AS probe FROM qb
+      UNION ALL
+      SELECT q_id,
+             substr(bucket, 1, p - 1)
+             || (CASE substr(bucket, p, 1) WHEN '1' THEN '0' ELSE '1' END)
+             || substr(bucket, p + 1)
+      FROM qb CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS p)),
+    cand AS (
+      SELECT p.q_id, b.vec_id
+      FROM probes p JOIN buckets b ON b.bucket = p.probe),
+    scored AS (
+      SELECT c.q_id, c.vec_id,
+             round({_COS.format(a='e.v', b='q.qv')}, 4) AS cos_sim
+      FROM cand c
+      JOIN e ON e.vec_id = c.vec_id
+      JOIN q ON q.q_id = c.q_id)
+    SELECT q_id, vec_id, cos_sim, CAST(rk AS INT) AS rk FROM (
+      SELECT q_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos_sim DESC, vec_id) AS rk
+      FROM scored)
+    WHERE rk <= 5
+    """,
+    tags=("similarity", "ann"),
+)
+def similarity_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k (Lv 2007): each query probes its 8-bit
+    sign bucket PLUS all 1-bit-flip neighbors — recall recovered on
+    the query side for (nbits+1) bucket lookups instead of the
+    classic fix of re-hashing/re-storing the corpus into more tables
+    (operators/similarity.py::lsh_multiprobe_topk; candidates = probed
+    buckets only, exact-cosine re-rank, WindowGroupLimit top-k)."""
+    e = load_spread(spark, sf_dir, "embeddings", "vec_id")
+    base = load_table(spark, sf_dir, "embeddings")
+    hyper = base.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("hp_id"), F.col("embedding").alias("hv")
+    )
+    probes = base.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    return similarity.lsh_multiprobe_topk(e, probes, hyper, k=5)
+
+
+@register(
     "similarity_ivf_assign",
     f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

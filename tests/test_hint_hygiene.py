@@ -163,7 +163,17 @@ def _path_ok(node, any_filter_above: bool, key_bound_above: bool) -> bool:
             return True
         if all(k in _BOUNDED_GROUP_KEYS for k in keys):
             return True
-        return _semi_bounded_agg(node, keys)
+        if _semi_bounded_agg(node, keys):
+            return True
+        # bounded-INPUT aggregate: grouping never grows rows, so an
+        # Aggregate whose every path below is itself bounded (e.g. a
+        # groupBy(q_id) over a `vec_id < 3` unique-key filter — the
+        # multi-probe query-bucket shape) is bounded regardless of its
+        # group keys
+        kids = _jlist(node.children())
+        return bool(kids) and all(
+            _path_ok(k, any_filter_above, key_bound_above) for k in kids
+        )
     kids = _jlist(node.children())
     if not kids:
         return _leaf_ok(node) or key_bound_above

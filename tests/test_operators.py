@@ -1719,6 +1719,48 @@ def test_bpe_batched_conflict_degrades_to_single(spark):
     assert bat == seq
 
 
+def test_lsh_multiprobe_recovers_one_bit_neighbors(spark):
+    """The multi-probe contract: a near neighbor that landed across
+    exactly ONE hyperplane (missed by the query's own bucket) is
+    recovered by the 1-bit-flip probes; the query finds itself at
+    rank 1; results are partitioning-invariant."""
+    from omicidx_gh_etl_spark.operators.similarity import (
+        lsh_multiprobe_topk,
+    )
+
+    # hyperplanes = 4-dim standard basis -> bucket bit p = sign(v[p])
+    hyper = spark.createDataFrame(
+        [(i, [1.0 if j == i else 0.0 for j in range(4)]) for i in range(4)],
+        "hp_id long, hv array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 1.0, 1.0, 1.0]),      # bucket 1111 (the query)
+            (2, [-0.1, 1.0, 1.0, 1.0]),     # bucket 0111 — one flip away
+            (3, [1.0, 0.9, 1.0, 0.8]),      # bucket 1111 — same bucket
+            (4, [-1.0, -1.0, -1.0, -1.0]),  # bucket 0000 — >1 flip away
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(1, [1.0, 1.0, 1.0, 1.0])], "q_id long, qv array<double>"
+    )
+    got = {
+        r["vec_id"]: (r["rk"], r["cos_sim"])
+        for r in lsh_multiprobe_topk(corpus, q, hyper, k=4).collect()
+    }
+    assert got[1] == (1, 1.0)        # self at rank 1
+    assert 2 in got and 3 in got    # one-flip neighbor recovered
+    assert 4 not in got             # 4 flips away — never probed
+    b = {
+        r["vec_id"]: (r["rk"], r["cos_sim"])
+        for r in lsh_multiprobe_topk(
+            corpus.repartition(3), q, hyper, k=4
+        ).collect()
+    }
+    assert b == got
+
+
 def test_lsh_eval_counts_and_edges(spark):
     """lsh_eval's count algebra on a controlled corpus: exact copies
     are both true pairs and candidates (recall = 1 on them); fully
