@@ -441,6 +441,33 @@ def _brute_topk_arrow(
     )
 
 
+def cosine_batch_topk(
+    emb: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "qv",
+    engine: str = "sql",
+) -> DataFrame:
+    """Public multi-query brute-force cosine top-k → ``(q_id, vec_id,
+    cos_sim, rk)`` with the per-query rank materialized — the ranked
+    form retrieval compositions consume (:func:`~.text.rrf_fuse`
+    hybrid fusion, eval harnesses). Thin wrapper over
+    :func:`_brute_topk` (same determinism contract and engines); the
+    rank window runs over ≤ k rows per query."""
+    corpus = emb.selectExpr(
+        f"`{id_col}`", f"cast(`{vec_col}` as array<double>) AS v"
+    )
+    p = probes.selectExpr(
+        f"`{q_id_col}`", f"cast(`{q_vec_col}` as array<double>) AS qvd"
+    )
+    out = _brute_topk(corpus, p, int(k), id_col, q_id_col, engine=engine)
+    w = W.partitionBy(q_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return out.withColumn("rk", F.row_number().over(w))
+
+
 def knn_label_vote(
     corpus: DataFrame,
     probes: DataFrame,

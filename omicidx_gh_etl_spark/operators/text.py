@@ -916,6 +916,51 @@ def _bpe_encode_pandas(
     return df.select(id_col, text_col).mapInPandas(run, schema)
 
 
+def rrf_fuse(
+    rankings: list[DataFrame],
+    q_col: str = "q_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rk",
+    k_const: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N per-query
+    rankings → ``(q_id, doc_id, rrf_score, rk)``: score =
+    Σ_lists 1/(k_const + rank), missing entries contribute 0 — the
+    standard score-free way to combine lexical (BM25) and vector
+    rankings into one hybrid retrieval list (ranks are comparable
+    across scorers where raw scores are not; k_const=60 is the
+    published default damping the head).
+
+    Plan: each ranking projects its reciprocal contribution map-side,
+    a unionByName + groupBy(q, id) sums them (inputs are top-k lists —
+    N·k rows per query, never corpus-sized), and a per-query
+    WindowGroupLimit emits the fused top-k. round(·,6) keeps the
+    cross-engine hash stable if N grows past the 2-term
+    order-invariant case.
+    """
+    contribs = None
+    for r in rankings:
+        c = r.selectExpr(
+            f"`{q_col}`",
+            f"`{id_col}`",
+            f"cast(1.0 as double) / ({int(k_const)} + `{rank_col}`) AS __c",
+        )
+        contribs = c if contribs is None else contribs.unionByName(c)
+    if contribs is None:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    w_sql = (
+        f"row_number() OVER (PARTITION BY `{q_col}`"
+        f" ORDER BY rrf_score DESC, `{id_col}`)"
+    )
+    return (
+        contribs.groupBy(q_col, id_col)
+        .agg(F.round(F.sum("__c"), 6).alias("rrf_score"))
+        .selectExpr(q_col, id_col, "rrf_score", f"{w_sql} AS rk")
+        .filter(f"rk <= {int(topk)}")
+    )
+
+
 def bm25_batch_topk(
     docs: DataFrame,
     queries: DataFrame,

@@ -2599,3 +2599,89 @@ def text_bm25_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_spread(spark, sf_dir, "documents", "doc_id")
     q = spark.createDataFrame(_BM25_BATCH_Q, "q_id int, term string")
     return text.bm25_batch_topk(d, q, "text", "doc_id", k=10)
+
+
+@register(
+    "retrieval_rrf_hybrid",
+    f"""
+    WITH q(q_id, term) AS (VALUES
+      {', '.join(f"({i}, '{t}')" for i, t in _BM25_BATCH_Q)}),
+    sized AS (
+      SELECT doc_id, {_BM25_TOKS} AS t FROM documents),
+    stats AS (SELECT count(*) AS n, avg(len(t)) AS avgdl FROM sized),
+    postings AS (
+      SELECT doc_id, term, dl, count(*) AS tf FROM (
+        SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM sized)
+      WHERE term IN (SELECT DISTINCT term FROM q)
+      GROUP BY 1, 2, 3),
+    dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+    contrib AS (
+      SELECT q.q_id, p.doc_id,
+             ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * (p.tf * (1.2 + 1.0))
+             / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / s.avgdl)) AS part
+      FROM postings p
+      JOIN q ON p.term = q.term
+      JOIN dfreq ON p.term = dfreq.term
+      CROSS JOIN stats s),
+    tscored AS (
+      SELECT q_id, doc_id, round(sum(part), 4) AS score
+      FROM contrib GROUP BY 1, 2),
+    trank AS (
+      SELECT q_id, doc_id, rk FROM (
+        SELECT q_id, doc_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY score DESC, doc_id) AS rk
+        FROM tscored WHERE score > 0)
+      WHERE rk <= 20),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    qv AS (SELECT vec_id AS q_id, v AS qvd FROM e WHERE vec_id < 3),
+    vscored AS (
+      SELECT qv.q_id, e.vec_id AS doc_id,
+             round({_COS.format(a='e.v', b='qv.qvd')}, 4) AS cos_sim
+      FROM e CROSS JOIN qv),
+    vrank AS (
+      SELECT q_id, doc_id, rk FROM (
+        SELECT q_id, doc_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos_sim DESC, doc_id) AS rk
+        FROM vscored)
+      WHERE rk <= 20),
+    contribs AS (
+      SELECT q_id, doc_id, CAST(1.0 AS DOUBLE) / (60 + rk) AS c FROM trank
+      UNION ALL
+      SELECT q_id, doc_id, CAST(1.0 AS DOUBLE) / (60 + rk) AS c FROM vrank),
+    fused AS (
+      SELECT q_id, doc_id, round(sum(c), 6) AS rrf_score
+      FROM contribs GROUP BY 1, 2)
+    SELECT q_id, doc_id, rrf_score, CAST(rk AS INT) AS rk FROM (
+      SELECT q_id, doc_id, rrf_score,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY rrf_score DESC, doc_id) AS rk
+      FROM fused)
+    WHERE rk <= 10
+    """,
+    tags=("text", "llm", "retrieval", "similarity"),
+)
+def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-20 (lexical) and brute-cosine top-20
+    (vector; query embeddings = the docs' own vec_id 1/2 — the 1:1
+    doc↔vector linkage the synthetic tables provide) fused by
+    reciprocal-rank fusion (operators/text.py::rrf_fuse, k=60) into
+    one top-10 per query — the standard score-free lexical+vector
+    combination retrieval pipelines ship. Both input rankings are
+    top-k lists, so fusion cost is N·k rows per query regardless of
+    corpus size."""
+    d = load_spread(spark, sf_dir, "documents", "doc_id")
+    q_terms = spark.createDataFrame(_BM25_BATCH_Q, "q_id int, term string")
+    trank = text.bm25_batch_topk(
+        d, q_terms, "text", "doc_id", k=20
+    ).select("q_id", "doc_id", "rk")
+    e = load_spread(spark, sf_dir, "embeddings", "vec_id")
+    probes = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 3
+    ).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
+    vrank = similarity.cosine_batch_topk(e, probes, k=20).selectExpr(
+        "q_id", "vec_id AS doc_id", "rk"
+    )
+    return text.rrf_fuse([trank, vrank], topk=10)

@@ -1719,6 +1719,35 @@ def test_bpe_batched_conflict_degrades_to_single(spark):
     assert bat == seq
 
 
+def test_rrf_fuse_score_algebra(spark):
+    """RRF contract: a doc in both lists scores 1/(60+r1)+1/(60+r2),
+    single-list docs score one term, ordering is (score desc, id asc),
+    topk caps the output."""
+    from omicidx_gh_etl_spark.operators.text import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2), (1, 30, 3)], "q_id int, doc_id int, rk int"
+    )
+    b = spark.createDataFrame(
+        [(1, 20, 1), (1, 40, 2)], "q_id int, doc_id int, rk int"
+    )
+    got = {
+        r["doc_id"]: (r["rrf_score"], r["rk"])
+        for r in rrf_fuse([a, b], topk=3).collect()
+    }
+    # doc 20: both lists (rk 2 and 1) -> top; doc 10: 1/(61); doc 40:
+    # 1/(62); doc 30 (1/63) cut by topk=3
+    assert set(got) == {20, 10, 40}
+    assert got[20][1] == 1
+    assert got[20][0] == round(1 / 62 + 1 / 61, 6)
+    assert got[10] == (round(1 / 61, 6), 2)
+    assert got[40] == (round(1 / 62, 6), 3)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rrf_fuse([])
+
+
 def test_lsh_multiprobe_recovers_one_bit_neighbors(spark):
     """The multi-probe contract: a near neighbor that landed across
     exactly ONE hyperplane (missed by the query's own bucket) is
