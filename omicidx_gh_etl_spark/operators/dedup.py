@@ -474,11 +474,21 @@ def lsh_eval(
     return (
         t.join(c, ["d1", "d2"], "full_outer")
         .agg(
-            F.sum("t").alias("n_true"),
-            F.sum("c").alias("n_candidates"),
-            F.sum(F.col("t") * F.col("c")).alias("n_hit"),
+            # coalesce INSIDE the sums: after the full-outer join every
+            # one-sided row has a NULL factor, so in the zero-hit regime
+            # sum(t*c) would be NULL and the ratio CASEs below would
+            # yield NULL where the oracle (which coalesces first) yields
+            # 0.0 — exactly the total-miss case this eval exists to flag.
+            F.sum(F.coalesce(F.col("t"), F.lit(0))).alias("n_true"),
+            F.sum(F.coalesce(F.col("c"), F.lit(0))).alias("n_candidates"),
+            F.sum(
+                F.coalesce(F.col("t"), F.lit(0))
+                * F.coalesce(F.col("c"), F.lit(0))
+            ).alias("n_hit"),
         )
         .selectExpr(
+            # outer coalesce only for the empty-frame case (agg over
+            # zero rows is NULL-summed regardless of the inner coalesce)
             "coalesce(n_true, 0) AS n_true",
             "coalesce(n_candidates, 0) AS n_candidates",
             "coalesce(n_hit, 0) AS n_hit",

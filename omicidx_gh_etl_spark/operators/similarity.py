@@ -712,6 +712,17 @@ def lsh_multiprobe_topk(
     h = hyperplanes.select(
         F.col(hp_id_col), _as_double(hp_vec_col).alias("hvd")
     )
+    # Guard the degenerate nbits=0 input: with zero hyperplanes every
+    # bucket is '' and sequence(1, 0) yields a DESCENDING [1, 0] whose
+    # flip transform emits garbage probes — the query would silently
+    # degrade to an accidental (and unindexed) brute-force pass. The
+    # hyperplane frame is probe-table-sized by contract, so this
+    # limit(1) pre-check is a trivial job.
+    if not h.limit(1).count():
+        raise ValueError(
+            "lsh_multiprobe_topk requires >= 1 hyperplane; got an empty"
+            " hyperplanes frame (use brute_topk for exact search)"
+        )
     bit = F.when(dot_expr(F.col("v"), F.col("hvd")) >= 0, "1").otherwise("0")
 
     def _buckets(frame, idc):
@@ -1709,7 +1720,13 @@ def pca_transform(
                 raise ValueError("null or ragged vectors in pca_transform")
             proj = (flat.reshape(n, dim) - mu) @ V.T
             if round_to is not None:
-                proj = np.round(proj, round_to)
+                # Spark/DuckDB round() is decimal HALF_UP (away from
+                # zero), NOT np.round's banker's HALF_EVEN — emulate it
+                # like _finish_cov so the surface stays oracle-pinnable;
+                # + 0.0 normalizes IEEE -0.0 for value-hash stability.
+                p = 10.0 ** int(round_to)
+                proj = np.sign(proj) * np.floor(np.abs(proj) * p + 0.5) / p
+                proj = proj + 0.0
             yield pa.record_batch(
                 [ids, pa.array(proj.tolist())], names=[id_col, "proj"]
             )

@@ -799,6 +799,10 @@ def bpe_encode(
     must not contain whitespace or the two framing control chars
     (guaranteed for tables learned by :func:`bpe_learn_merges`, whose
     symbols come from whitespace tokens of text; raises otherwise).
+    Corpus TEXT needs no precondition: the two framing control chars
+    are stripped from documents up front, identically in both engines
+    (and in the DuckDB oracle), so adversarial input can't corrupt
+    the sql engine's separator framing.
     """
     if engine not in ("sql", "pandas"):
         raise ValueError(f"engine must be 'sql' or 'pandas', got {engine!r}")
@@ -819,9 +823,13 @@ def bpe_encode(
     # exactly one word-boundary symbol between full boundaries).
     # (?s): '.' must match EVERY char incl. \n (a line terminator is
     # otherwise skipped, corrupting the framing of newline-bearing
-    # words — space-only tokenization keeps \t/\n inside words)
+    # words — space-only tokenization keeps \t/\n inside words).
+    # translate() strips the two framing control chars from the TEXT
+    # first (both engines + the DuckDB oracle do the same), so a
+    # document containing ␟/␞ can't corrupt the separator framing.
+    clean = f"translate(`{text_col}`, '{us}{wb}', '')"
     pieces = (
-        f"transform({tokens_sql(text_col)},"
+        f"transform({tokens_sql(clean)},"
         f" w -> regexp_replace(w, '(?s)(.)', '$1{us}{us}'))"
     )
     enc = f"concat('{us}{us}', concat_ws('{wb}{us}{us}', {pieces}))"
@@ -881,8 +889,11 @@ def _bpe_encode_pandas(
         # EXACTLY tokens_sql's split: trim spaces (0x20 only — Spark's
         # trim), split on space runs, drop empties. str.split() would
         # split on \t/\n too and diverge from the sql engine on
-        # whitespace-bearing text (pinned by pytest).
-        return [w for w in re.split(" +", (s or "").strip(" ")) if w]
+        # whitespace-bearing text (pinned by pytest). The framing
+        # control chars are stripped FIRST, in lockstep with the sql
+        # engine's translate() (see bpe_encode).
+        s = (s or "").replace(_BPE_US, "").replace(_BPE_WB, "")
+        return [w for w in re.split(" +", s.strip(" ")) if w]
 
     def run(batches):
         import pandas as pd

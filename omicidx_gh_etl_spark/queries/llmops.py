@@ -2477,9 +2477,13 @@ def _bpe_enc_oracle(merges: list[tuple[str, str]]) -> str:
     documents why leftmost non-overlapping replace over the doubled
     separator IS Sennrich's single pass)."""
     us, wb = "\x1f", "\x1e"
+    # translate() strips the framing chars from TEXT first, in
+    # lockstep with both Spark engines (operators/text.py::bpe_encode)
     enc = (
         f"'{us}{us}' || array_to_string(list_transform("
-        f"list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> ''),"
+        f"list_filter(string_split("
+        f"translate(COALESCE(text, ''), '{us}{wb}', ''), ' '),"
+        f" x -> x <> ''),"
         # (?s) in lockstep with the Spark engine: '.' must frame \n too
         f" w -> regexp_replace(w, '(?s)(.)', '\\1{us}{us}', 'g')),"
         f" '{wb}{us}{us}')"

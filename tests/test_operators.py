@@ -1788,6 +1788,11 @@ def test_lsh_multiprobe_recovers_one_bit_neighbors(spark):
         ).collect()
     }
     assert b == got
+    # degenerate nbits=0 input is rejected, not silently brute-forced
+    # (sequence(1, 0) is DESCENDING in Spark — the flip transform
+    # would emit garbage probes)
+    with pytest.raises(ValueError, match="hyperplane"):
+        lsh_multiprobe_topk(corpus, q, hyper.filter("hp_id < 0"), k=4)
 
 
 def test_lsh_eval_counts_and_edges(spark):
@@ -1818,6 +1823,26 @@ def test_lsh_eval_counts_and_edges(spark):
     row2 = dedup.lsh_eval(sh2, "doc_id", threshold=0.5).head()
     assert row2["n_true"] == 0 and row2["n_hit"] == 0
     assert row2["recall"] is None
+
+    # total-miss regime (the one lsh_eval exists to flag): true pairs
+    # exist but banding catches NONE — recall must be 0.0, not NULL.
+    # Docs share exactly one trigram ("a b c") → jaccard 1/15 ≥ 0.05
+    # threshold, while bands=1 over 12 hashes needs ALL 12 minhashes
+    # equal to surface a candidate (deterministically false here).
+    # Before the fix, sum(t*c) over the full-outer join was NULL
+    # (every product had a NULL side) and recall came back NULL.
+    miss = [
+        (1, "a b c d e f g h i j"),
+        (2, "a b c u v w x y z q"),
+    ]
+    sh3 = dedup.shingles(_docs(spark, miss), "text", "doc_id", n=3)
+    row3 = dedup.lsh_eval(
+        sh3, "doc_id", threshold=0.05, num_hashes=12, bands=1
+    ).head()
+    assert row3["n_true"] == 1
+    assert row3["n_candidates"] == 0 and row3["n_hit"] == 0
+    assert row3["recall"] == 0.0
+    assert row3["precision_at_threshold"] is None
 
 
 def _sennrich_encode(text, merges):
@@ -1923,6 +1948,41 @@ def test_bpe_encode_train_then_encode_engines_agree(spark):
     texts = {r["doc_id"]: r["text"] for r in df.collect()}
     for doc_id, _n, toks in rows["sql"]:
         assert toks.replace(" ", "") == " ".join(texts[doc_id].split()).replace(" ", "")
+
+
+def test_bpe_encode_strips_framing_chars_from_text(spark):
+    """A document containing the \\x1f/\\x1e framing control chars
+    must not corrupt the sql engine's separator encoding: both engines
+    strip them from TEXT up front (in lockstep with the DuckDB
+    oracle), so engine outputs stay identical and equal the
+    clean-text encoding."""
+    from omicidx_gh_etl_spark.operators import text as T
+
+    dirty = _docs(
+        spark,
+        [
+            (1, "ta\x1fble va\x1elue"),   # chars inside words
+            (2, "\x1f\x1e table \x1f"),    # chars as stray tokens
+            (3, "table value"),            # control row
+        ],
+    )
+    clean = _docs(
+        spark, [(1, "table value"), (2, "table"), (3, "table value")]
+    )
+    merges = [("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"),
+              ("v", "a"), ("va", "l"), ("val", "u"), ("valu", "e")]
+    want = sorted(
+        (r["doc_id"], r["n_tokens"], r["tokens_str"])
+        for r in T.bpe_encode(clean, "text", merges, "doc_id").collect()
+    )
+    for eng in ("sql", "pandas"):
+        got = sorted(
+            (r["doc_id"], r["n_tokens"], r["tokens_str"])
+            for r in T.bpe_encode(
+                dirty, "text", merges, "doc_id", engine=eng
+            ).collect()
+        )
+        assert got == want, eng
 
 
 def test_bpe_encode_rejects_illegal_symbols(spark):
@@ -2200,6 +2260,28 @@ def test_pca_transform_variance_and_whitening(spark):
         for r in pca_transform(df.repartition(5), model).collect()
     )
     assert a == b
+
+
+def test_pca_transform_rounds_half_up(spark):
+    """pca_transform's rounding is Spark/DuckDB decimal HALF_UP (away
+    from zero), like every other rounded surface in the repo — NOT
+    np.round's banker's HALF_EVEN. 0.125 is binary-exact, so round_to=2
+    distinguishes the modes deterministically: HALF_UP → ±0.13,
+    HALF_EVEN → ±0.12."""
+    from omicidx_gh_etl_spark.operators.similarity import pca_transform
+
+    # hand-built model: mean 0, identity axes → proj == embedding
+    model = spark.createDataFrame(
+        [(0, None, [0.0, 0.0]), (1, 1.0, [1.0, 0.0]), (2, 1.0, [0.0, 1.0])],
+        "component int, eigenvalue double, loading array<double>",
+    )
+    df = spark.createDataFrame(
+        [(1, [0.125, -0.125])], "vec_id long, embedding array<double>"
+    )
+    [(got,)] = (
+        pca_transform(df, model, round_to=2).select("proj").collect()
+    )
+    assert list(got) == [0.13, -0.13]
 
 
 def test_weighted_sample_per_group_quotas_and_small_groups(spark):
