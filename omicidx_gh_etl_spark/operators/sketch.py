@@ -127,7 +127,30 @@ def exact_recount(keyed: DataFrame, candidates: DataFrame,
     )
 
 
-def heavy_hitters(df: DataFrame, key: str | Column, k: int) -> DataFrame:
+def exact_heavy_hitters(keyed: DataFrame, k: int) -> DataFrame:
+    """Plain exact plan: full ``groupBy(key)`` + broadcast grand total,
+    ``n > total/k``. Two scans of the input (counts + total), one
+    shuffle whose size is the FULL distinct-key cardinality — the right
+    plan when that cardinality is modest (it beats the MG path's
+    second scan + Python summary work), and exactly the plan the
+    DuckDB oracle runs."""
+    tot = keyed.agg(F.expr("count(*)").alias("__total"))
+    return (
+        keyed.groupBy("key")
+        .agg(F.expr("count(*)").alias("n"))
+        .join(F.broadcast(tot))
+        .filter(f"n > __total / {int(k)}")
+        .drop("__total")
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key: str | Column,
+    k: int,
+    engine: str = "auto",
+    ndv_hint: int | None = None,
+) -> DataFrame:
     """Exact keys with count > n/k, found without a full-cardinality
     shuffle.
 
@@ -135,6 +158,26 @@ def heavy_hitters(df: DataFrame, key: str | Column, k: int) -> DataFrame:
     ``total_rows / k``. Candidate pruning is per-partition Misra-Gries
     (≤ k counters each); the exact recount shuffles only rows matching
     a broadcast candidate set of ≤ k × num_partitions keys.
+
+    ``engine`` selects the plan (both produce the identical exact
+    result — MG only prunes candidates):
+
+    - ``"mg"``    — the sketch path above. Pays a second scan + the
+      per-partition summary work; wins when the distinct-key
+      cardinality is far too large to shuffle/hash in full (the
+      unbounded-key / web-token regime the sketch exists for).
+    - ``"exact"`` — plain groupBy + broadcast total
+      (:func:`exact_heavy_hitters`). Wins whenever the full key
+      shuffle is affordable; at bounded key counts the MG prune saves
+      nothing and its second scan is pure overhead.
+    - ``"auto"``  — a planning-time stats decision, the CBO pattern:
+      use ``ndv_hint`` (caller-known distinct count — catalog stats)
+      if given, else run one ``approx_count_distinct`` job at plan
+      time; pick MG only when the estimated cardinality exceeds
+      ``16 × k × defaultParallelism`` — i.e. when the candidate prune
+      shrinks the shuffled key set by more than an order of
+      magnitude. Below that the exact plan's single hash shuffle is
+      as small as the MG candidate recount itself.
 
     The MG pass runs over xxhash64(key) int64s, not the key strings:
     the Arrow transfer ships 8 fixed bytes/row instead of a varlen
@@ -146,7 +189,21 @@ def heavy_hitters(df: DataFrame, key: str | Column, k: int) -> DataFrame:
     false positives survive, because the final filter is on exact
     per-KEY counts.
     """
+    if engine not in ("auto", "mg", "exact"):
+        raise ValueError(
+            f"engine must be 'auto', 'mg' or 'exact', got {engine!r}"
+        )
     keyed = _keyed(df, key)
+    if engine == "auto":
+        ndv = ndv_hint
+        if ndv is None:
+            ndv = keyed.agg(
+                F.approx_count_distinct("key").alias("d")
+            ).first()["d"]
+        parallelism = df.sparkSession.sparkContext.defaultParallelism
+        engine = "mg" if ndv > 16 * int(k) * parallelism else "exact"
+    if engine == "exact":
+        return exact_heavy_hitters(keyed, k)
     hashed = keyed.selectExpr("xxhash64(key) AS h")
     candidates = _mg_summaries(hashed, k).select("h").distinct()
     return exact_recount(keyed, candidates, k)

@@ -849,15 +849,18 @@ def event_bigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sketch", "scale"),
 )
 def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact keys with frequency > n/k (k=120) found via per-partition
-    Misra-Gries summaries + a broadcast-semi-join exact recount — never
-    a full distinct-key shuffle.
-
-    The sketch only prunes candidates (MG guarantees zero false
-    negatives above n/k), so the output is exact and the oracle is a
-    plain GROUP BY ... HAVING. At 100 TB this is the difference between
-    shuffling billions of distinct tokens and shuffling ≤ k × partitions
-    candidate keys. Operator: operators/sketch.py::heavy_hitters.
+    """Exact keys with frequency > n/k (k=120), engine chosen
+    ADAPTIVELY at plan time (operators/sketch.py::heavy_hitters,
+    engine="auto"): per-partition Misra-Gries summaries + a
+    broadcast-semi-join exact recount when the estimated distinct-key
+    cardinality dwarfs the ≤ k × partitions candidate set (the
+    unbounded-key regime the sketch exists for — at 100 TB the
+    difference between shuffling billions of distinct tokens and
+    shuffling the candidates); the plain groupBy + broadcast-total
+    plan when the full key shuffle is as cheap as the recount (the
+    bounded-key shape of this table). Both engines are exact — MG only
+    prunes candidates (zero false negatives above n/k) — so one
+    GROUP BY ... HAVING oracle pins either plan.
     """
     from ..operators.sketch import heavy_hitters
 

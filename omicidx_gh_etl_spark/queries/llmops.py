@@ -807,6 +807,37 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_topk_blocks",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+    SELECT vec_id,
+           round({_COS.format(a='v', b='qv')}, 4) AS cos_sim
+    FROM e CROSS JOIN q
+    WHERE vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+    tags=("similarity", "scale"),
+)
+def similarity_topk_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """similarity_topk over the BLOCK storage layout: vectors packed at
+    ingest into (n, ids, vecs) fixed-width f32 blocks
+    (operators/similarity.py::pack_vector_blocks), scanned with the
+    frombuffer-gemv kernel (cosine_topk_blocks). Same oracle as
+    similarity_topk — the layout changes transfer cost, never values.
+    This is the 100-TB brute-scan path: one contiguous buffer per
+    Arrow batch instead of 10M per-row blobs (the measured 10M×64
+    bottleneck was per-row Arrow bookkeeping, not math)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    query = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    blocks = similarity.pack_vector_blocks(
+        e.filter(F.col("vec_id") != 0), "embedding", "vec_id"
+    )
+    return similarity.cosine_topk_blocks(blocks, query, k=10)
+
+
+@register(
     "similarity_pairs_threshold",
     f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

@@ -726,9 +726,28 @@ def test_heavy_hitters_exact_above_threshold(spark):
 
     n = len(rows)  # 1400
     k = 10  # threshold 140 → hot_a, hot_b, hot_c qualify; eviction runs
-    got = {r["key"]: r["n"] for r in heavy_hitters(df, "k", k).collect()}
+    got = {r["key"]: r["n"]
+           for r in heavy_hitters(df, "k", k, engine="mg").collect()}
     assert got == {"hot_a": 400, "hot_b": 300, "hot_c": 200}
     assert all(v > n / k for v in got.values())
+
+    # the exact engine and the auto decision return the identical set
+    exact = {r["key"]: r["n"]
+             for r in heavy_hitters(df, "k", k, engine="exact").collect()}
+    assert exact == got
+    auto = {r["key"]: r["n"]
+            for r in heavy_hitters(df, "k", k).collect()}
+    assert auto == got
+    # ndv_hint drives the auto decision without a stats job: a huge
+    # hinted cardinality must select the MG path, a tiny one exact
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        heavy_hitters(df, "k", k, engine="duck")
+    hinted_mg = {r["key"]: r["n"] for r in heavy_hitters(
+        df, "k", k, ndv_hint=10**9).collect()}
+    hinted_ex = {r["key"]: r["n"] for r in heavy_hitters(
+        df, "k", k, ndv_hint=3).collect()}
+    assert hinted_mg == got and hinted_ex == got
 
 
 def test_heavy_hitters_null_and_empty(spark):
@@ -973,6 +992,59 @@ def test_cosine_topk_engines_identical(spark, sf_dir):
     with _pytest.raises(ValueError):
         similarity.cosine_topk(e, e.limit(2).selectExpr(
             "embedding AS qv"), engine="arrow").collect()
+
+
+def test_cosine_topk_packed_engine_identical(spark, sf_dir):
+    """The packed-f32-binary engine (pack_vectors → frombuffer gemv)
+    returns exactly the sql engine's rows on the same corpus —
+    float32→float64 is exact, so the blob layout changes transfer
+    cost only, never values. Null and ragged blobs rank as
+    null-cosine rows like the sql engine's zero-norm vectors."""
+    from omicidx_gh_etl_spark.operators import similarity
+    from omicidx_gh_etl_spark.queries.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    packed = similarity.pack_vectors(e, "embedding", "vec_id")
+    a = similarity.cosine_topk(e, q, k=10, engine="sql").collect()
+    c = similarity.cosine_topk(
+        packed, q, k=10, vec_col="emb_f32", engine="packed"
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in c]
+
+    # tie stress (replicated identical vectors, distinct ids)
+    ties = e.filter(F.col("vec_id") < 3).selectExpr(
+        "explode(sequence(0, 19)) AS r", "vec_id", "embedding"
+    ).selectExpr("vec_id * 20 + r AS vec_id", "embedding")
+    at = similarity.cosine_topk(ties, q, k=7, engine="sql").collect()
+    ct = similarity.cosine_topk(
+        similarity.pack_vectors(ties, "embedding", "vec_id"),
+        q, k=7, vec_col="emb_f32", engine="packed",
+    ).collect()
+    assert [tuple(r) for r in at] == [tuple(r) for r in ct]
+
+    # degenerate blobs: NULL and wrong-width rows must sort last
+    # (null cosine), exactly like the sql engine's null/zero vectors
+    weird = spark.createDataFrame(
+        [(1, bytearray(b"\x00" * 12)), (2, None)],
+        "vec_id long, emb_f32 binary",
+    )
+    some = packed.filter(F.col("vec_id") < 3).unionByName(weird.filter(
+        F.col("vec_id") < 0).unionByName(weird))
+    got = similarity.cosine_topk(
+        some, q, k=5, vec_col="emb_f32", engine="packed"
+    ).collect()
+    assert len(got) == 5
+    tail = {r["vec_id"] for r in got if r["cos_sim"] is None}
+    assert tail == {1, 2}
+
+    # pack_vectors roundtrip: blob bytes == float32 of the source
+    import numpy as np
+    src = {r["vec_id"]: r["embedding"]
+           for r in e.limit(5).collect()}
+    for r in packed.filter(F.col("vec_id") < 5).collect():
+        want = np.asarray(src[r["vec_id"]], dtype="<f4").tobytes()
+        assert bytes(r["emb_f32"]) == want
 
 
 def test_brute_topk_engines_identical(spark, sf_dir):
@@ -1306,7 +1378,8 @@ def test_mg_batch_merge_retains_heavy_hitters_under_eviction(spark):
     n = 20_000
     rows = [((f"hh" if i % 9 == 0 else f"u{i}"),) for i in range(n)]
     df = spark.createDataFrame(rows, "k string").repartition(8)
-    got = {r["key"]: r["n"] for r in heavy_hitters(df, "k", k).collect()}
+    got = {r["key"]: r["n"]
+           for r in heavy_hitters(df, "k", k, engine="mg").collect()}
     # 'hh' has freq ~n/9 > n/10; everything else is unique (freq 1)
     assert set(got) == {"hh"}
     assert got["hh"] == len([1 for i in range(n) if i % 9 == 0])

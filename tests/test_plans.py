@@ -243,12 +243,31 @@ def test_percent_of_total_window_over_aggregated_frame(spark):
 
 
 def test_heavy_hitters_recount_is_broadcast_semi(spark):
-    """Candidates and the total-count scalar reach the recount via
-    broadcast — the only plain shuffle is the candidate-key groupBy."""
+    """Whichever engine the adaptive plan-time decision picks (exact
+    at this table's bounded key count; MG for unbounded keys), the
+    small side — candidates or the grand-total scalar — reaches the
+    big scan via broadcast; the key aggregate is the only plain
+    shuffle and nothing sort-merges."""
     plan = plan_of(spark, "sketch_heavy_hitters")
     tree = plan.split("\n\n")[0]
-    assert count_op(tree, "BroadcastHashJoin") >= 1  # semi join on candidates
+    # exact engine: the 1-row grand total broadcasts as a nested-loop
+    # build side; MG engine: candidates broadcast into a hash join
+    assert (count_op(tree, "BroadcastHashJoin")
+            + count_op(tree, "BroadcastNestedLoopJoin")) >= 1
     assert count_op(tree, "SortMergeJoin") == 0
+
+    # and the MG engine's plan keeps its shape when forced explicitly
+    from omicidx_gh_etl_spark.operators.sketch import heavy_hitters
+    from omicidx_gh_etl_spark.queries.tables import load_events
+
+    mg = heavy_hitters(load_events(spark, SF), "user_id", 120,
+                       engine="mg")
+    mg_plan = mg._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted")
+    ).split("\n\n")[0]
+    assert count_op(mg_plan, "BroadcastHashJoin") >= 1
+    assert count_op(mg_plan, "SortMergeJoin") == 0
 
 
 def test_timeseries_spine_join_broadcasts(spark):
