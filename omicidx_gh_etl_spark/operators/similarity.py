@@ -1340,6 +1340,82 @@ def kmeans_fit(
     )
 
 
+def kmeans_step(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "cv",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """ONE deterministic Lloyd refinement → ``(centroid_id, pos, v)``
+    long-form updated centroids.
+
+    The distributable unit of k-means training, exposed on its own:
+    :func:`kmeans_fit` is this step iterated with driver-held
+    centroids; with FROZEN seed centroids the single step is pure
+    deterministic scalar arithmetic that any engine replays — which is
+    what makes the registered ``similarity_kmeans_fit`` query
+    oracle-checkable (the DuckDB oracle runs this step verbatim),
+    where a free-running fit's float fixpoint is not.
+
+    Plan: assignment is :func:`ivf_assign`'s broadcast-centroid
+    rounded-cosine argmax, but the vector rides INSIDE the max-struct
+    (``max(struct(cos, -cid, cid, v))``) so no corpus self-join is
+    needed to recover it; the update is a per-(centroid, dim)
+    ``DECIMAL(20,10)`` sum mean (partial-aggregation-order-exact — the
+    ``embedding_centroids`` trick) rounded to ``round_decimals``.
+    Two shuffles total: the per-vector argmax partial-agg and the
+    (centroid, dim) mean — both uniform keys. Empty cells emit no rows
+    (standard Lloyd keeps the previous centroid; iterating callers
+    handle that).
+    """
+    e = emb.selectExpr(
+        f"`{id_col}`", f"cast(`{vec_col}` as array<double>) AS v"
+    ).filter("v IS NOT NULL").selectExpr(
+        "*", f"{_norm_sql('v')} AS __vn"
+    )
+    c = centroids.selectExpr(
+        f"`{centroid_id_col}`",
+        f"cast(`{centroid_vec_col}` as array<double>) AS cvd",
+    ).selectExpr("*", f"{_norm_sql('cvd')} AS __cn")
+    assigned = (
+        e.crossJoin(F.broadcast(c))
+        .selectExpr(
+            id_col,
+            centroid_id_col,
+            f"round({_cos_pre_sql('v', 'cvd', '__vn', '__cn')}, 4)"
+            " AS cos_sim",
+            "v",
+        )
+        .groupBy(id_col)
+        .agg(
+            F.expr(
+                f"max(struct(cos_sim, -`{centroid_id_col}` AS neg_cid, "
+                f"`{centroid_id_col}`, v))"
+            ).alias("best")
+        )
+        .selectExpr(
+            f"best.`{centroid_id_col}` AS `{centroid_id_col}`",
+            "best.v AS v",
+        )
+    )
+    return (
+        assigned.select(
+            centroid_id_col, F.posexplode("v").alias("pos", "x")
+        )
+        .groupBy(centroid_id_col, "pos")
+        .agg(
+            F.round(
+                F.sum(F.col("x").cast("decimal(20,10)")).cast("double")
+                / F.count("*"),
+                round_decimals,
+            ).alias("v")
+        )
+    )
+
+
 def ivf_search(
     emb: DataFrame,
     centroids: DataFrame,

@@ -1314,20 +1314,48 @@ def text_langid_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_kmeans_fit",
-    None,  # iterative fixpoint — not expressible as a single SQL query
-    tags=("similarity", "ml", "iterative"),
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE embedding IS NOT NULL),
+    c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+    assigned AS (
+      SELECT e.vec_id, c.centroid_id, e.v
+      FROM e CROSS JOIN c
+      QUALIFY row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY round({_COS.format(a='e.v', b='cv')}, 4) DESC,
+                 centroid_id) = 1),
+    el AS (
+      SELECT centroid_id, generate_subscripts(v, 1) - 1 AS pos,
+             unnest(v) AS x
+      FROM assigned)
+    SELECT centroid_id, CAST(pos AS INT) AS pos,
+           round(CAST(sum(CAST(x AS DECIMAL(20,10))) AS DOUBLE)
+                 / count(*), 6) AS v
+    FROM el GROUP BY 1, 2
+    """,
+    tags=("similarity", "ml"),
 )
 def similarity_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lloyd's k-means training over the embeddings (k=8,
-    deterministic first-k init, cosine assignment): the fit step of
-    the IVF fit→assign→search story. Iterative — driver-held centroids
-    rebroadcast each round — so it carries no SQL oracle; cluster
-    separation is pytest-pinned instead (tests/test_operators.py)."""
+    """One deterministic Lloyd refinement of FROZEN seeds (the 8
+    smallest vec_ids) — the distributable unit of k-means training
+    (operators/similarity.py::kmeans_step; kmeans_fit iterates it with
+    driver-held centroids, property-pinned in pytest). Freezing the
+    seeds makes the step pure scalar arithmetic — rounded-cosine
+    argmax assignment + DECIMAL-sum means — so the SQL oracle replays
+    it exactly, where the free-running fit's float fixpoint was
+    rows-only for the driver (r1-r7). Vector rides the argmax struct:
+    no corpus self-join, two uniform-key shuffles."""
     e = load_spread(spark, sf_dir, "embeddings", "vec_id")
-    cents = similarity.kmeans_fit(e, k=8, max_iter=5)
-    return cents.select(
-        "centroid_id", F.posexplode("cv").alias("pos", "v")
-    ).select("centroid_id", "pos", F.round("v", 6).alias("v"))
+    seeds = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter((F.col("vec_id") < 8) & F.col("embedding").isNotNull())
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("cv"),
+        )
+    )
+    return similarity.kmeans_step(e, seeds)
 
 
 @register(
@@ -1629,24 +1657,79 @@ def contamination_test_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_pq_search",
-    None,  # codebooks come from an iterative fit — no SQL oracle
-    tags=("similarity", "ml", "iterative"),
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE embedding IS NOT NULL),
+    books AS (
+      SELECT s.s AS subspace, vec_id AS centroid_id,
+             v.e[s.s*16+1 : s.s*16+16] AS cv
+      FROM v CROSS JOIN (SELECT unnest(range(4)) AS s) s
+      WHERE vec_id < 16),
+    codes AS (
+      SELECT vec_id, subspace, centroid_id AS code
+      FROM (
+        SELECT v.vec_id, b.subspace, b.centroid_id,
+               round(list_sum(list_transform(range(1, 17),
+                 i -> (v.e[b.subspace*16 + i] - b.cv[i])
+                    * (v.e[b.subspace*16 + i] - b.cv[i]))), 6) AS d2
+        FROM v CROSS JOIN books b)
+      QUALIFY row_number() OVER (
+        PARTITION BY vec_id, subspace ORDER BY d2, centroid_id) = 1),
+    q AS (SELECT vec_id AS q_id, e AS qv FROM v WHERE vec_id < 3),
+    lut AS (
+      SELECT q.q_id, b.subspace, b.centroid_id AS code,
+             round(list_sum(list_transform(range(1, 17),
+               i -> (q.qv[b.subspace*16 + i] - b.cv[i])
+                  * (q.qv[b.subspace*16 + i] - b.cv[i]))), 6) AS partial
+      FROM q CROSS JOIN books b),
+    scored AS (
+      SELECT l.q_id, c.vec_id, round(sum(l.partial), 6) AS adc_dist
+      FROM codes c JOIN lut l ON c.subspace = l.subspace AND c.code = l.code
+      GROUP BY 1, 2)
+    SELECT q_id, vec_id, adc_dist,
+           CAST(row_number() OVER (
+             PARTITION BY q_id ORDER BY adc_dist, vec_id) AS INT) AS rk
+    FROM scored
+    QUALIFY row_number() OVER (
+      PARTITION BY q_id ORDER BY adc_dist, vec_id) <= 5
+    """,
+    tags=("similarity", "ml"),
 )
 def similarity_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN over the embeddings table: per-subspace
-    L2 codebooks (m=4), codes, and asymmetric-distance top-5 for the
-    first three vectors as probes. Iterative fit ⇒ rows-only for the
-    driver; cluster recall and code determinism are pytest-pinned
-    (tests/test_operators.py)."""
-    e = load_spread(spark, sf_dir, "embeddings", "vec_id")
-    dims = len(e.select("embedding").first()["embedding"])
-    m = 4 if dims % 4 == 0 else 2
-    books = similarity.pq_fit(e, m=m, k=16, dims=dims, max_iter=3)
+    """Product-quantization ANN with a FROZEN codebook: per-subspace
+    centroids are the sliced vectors of the 16 smallest vec_ids (m=4
+    subspaces × 16 dims), so encode (rounded-L2 argmin, id tiebreak)
+    and ADC search (broadcast LUT join + partial-sum top-5) are pure
+    deterministic arithmetic the SQL oracle replays — the IVF family's
+    frozen-seed pattern applied to PQ. The ITERATIVE codebook training
+    (pq_fit — per-subspace k-means) stays property-pinned in pytest
+    (tests/test_operators.py): freezing moves the query into the
+    strict oracle gate without weakening what the operator library
+    supports. Plan unchanged from the trained-codebook form: codes
+    table joins a broadcast LUT map-side; raw vectors never move at
+    search time."""
+    e = load_spread(spark, sf_dir, "embeddings", "vec_id").filter(
+        F.col("embedding").isNotNull()
+    )
+    base = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    dims, m = 64, 4
+    sub = dims // m
+    seeds = base.filter(F.col("vec_id") < 16)
+    books = None
+    for s in range(m):
+        part = seeds.select(
+            F.lit(s).cast("long").alias("subspace"),
+            F.col("vec_id").alias("centroid_id"),
+            F.slice(
+                F.col("embedding").cast("array<double>"), s * sub + 1, sub
+            ).alias("cv"),
+        )
+        books = part if books is None else books.unionByName(part)
     codes = similarity.pq_encode(e, books, m=m, dims=dims)
-    queries = (
-        e.orderBy("vec_id")
-        .limit(3)
-        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
+    queries = base.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
     )
     return similarity.pq_search(codes, books, queries, m=m, dims=dims, k=5)
 

@@ -1,16 +1,22 @@
 """Per-round recorded evidence for the no-oracle tail.
 
-Four registered queries have no DuckDB oracle — float-iteration
-nondeterminism (`similarity_kmeans_fit`, `similarity_pq_search`,
-`dedup_semantic_clusters`) and non-SQL-expressible iteration
-(`text_bpe_learn_merges`, whose deterministic merge table is recorded
-verbatim) — and one operator is pinned only by a postcondition
-(`remove_duplicate_spans_fixpoint`). The driver records
+Two registered queries have no DuckDB oracle — float-iteration
+nondeterminism (`dedup_semantic_clusters`) and non-SQL-expressible
+iteration (`text_bpe_learn_merges`, whose deterministic merge table
+is recorded verbatim) — and one operator is pinned only by a
+postcondition (`remove_duplicate_spans_fixpoint`). The driver records
 a weaker rows-only check for them, so this test computes their
 DETERMINISTIC SUB-PROPERTIES at the driver's comparison scale each
 round, asserts the floors, and appends the measured values (keyed by
 round number) to ROWS_ONLY_EVIDENCE.json — recorded evidence every
 round, not a one-time pin.
+
+`similarity_kmeans_fit` and `similarity_pq_search` were converted to
+oracle-backed frozen-deterministic forms in round 8 (frozen seeds /
+frozen codebook — the strict gate now value-hashes them); their
+quality floors below (centroid separation, ADC recall vs exact L2)
+remain recorded evidence because a value hash can't express "the
+refinement didn't collapse" or "ADC recall clears the floor".
 """
 
 from __future__ import annotations
