@@ -75,6 +75,12 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
 
+    # Host-weather signature BEFORE any timing (What's-wrong #4 of the
+    # r7 verdict): loadavg + a fixed DuckDB calibration run, repeated
+    # at the end — a record whose calibration deviates >25% from the
+    # quiet anchor carries load_warning=true and should be re-run.
+    sig_start = _load_signature()
+
     # Warmup: JVM + parquet reader + codegen paths.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
@@ -136,6 +142,10 @@ def main() -> None:
         "queries": oracle_timings,
         "paired": "interleaved min-of-3, same moment as the Spark runs",
     }
+    sig_end = _load_signature()
+    load_warning = bool(
+        sig_start.get("load_warning") or sig_end.get("load_warning")
+    )
     detail = {
         "metric": "headline_queries_total",
         "value": total,
@@ -145,6 +155,10 @@ def main() -> None:
         "export": export,
         "scale": scale,
         "oracle_duckdb": oracle,
+        "host_signature": {
+            "start": sig_start, "end": sig_end,
+            "load_warning": load_warning,
+        },
     }
     # Two JSON lines, full detail FIRST and a compact contract line
     # LAST. The round driver keeps only the final ~2000 chars of stdout
@@ -174,6 +188,8 @@ def main() -> None:
         compact["oracle_duckdb_total"] = oracle["total"]
     if isinstance(export.get("ratio_vs_duckdb"), (int, float)):
         compact["export_ratio_vs_duckdb"] = export["ratio_vs_duckdb"]
+    if load_warning:
+        compact["load_warning"] = True
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) >= 1900:
         # explicit raise, not assert: asserts vanish under `python -O`
@@ -181,6 +197,117 @@ def main() -> None:
         # "parsed": null failure this guard exists to prevent
         raise RuntimeError(f"compact bench line {len(line)}B > tail window")
     print(line)
+
+
+# Fixed synthetic DuckDB aggregation (data-independent: 50M-row range
+# groupBy) measured min-of-3 on a QUIET host (loadavg ~1.0, round 8).
+# Every bench record stamps the same query's current time + loadavg so
+# a reader can tell a hot host from a regression without re-litigating;
+# deviation >25% from this anchor sets load_warning=true, and the
+# round's committed record should be re-run until the warning clears
+# (the r7 lesson: every headline query "slipped" 1-35% while the paired
+# oracle moved 3% — pure ambient load, previously uninstrumented).
+CALIB_ANCHOR_SEC = 0.73
+_CALIB_SQL = (
+    "SELECT count(*) FROM (SELECT range % 9973 AS k, count(*) AS c "
+    "FROM range(50000000) GROUP BY 1)"
+)
+
+
+def _burn_cpu(sec: float) -> None:
+    t0 = time.process_time()
+    while time.process_time() - t0 < sec:
+        pass
+
+
+def _cpu_slack() -> float:
+    """Wall/CPU ratio of DEFAULT_CPUS parallel 0.15 s busy-loops —
+    ~1.0 on an idle box, >1.4 when external tenants contend for the
+    cores. This probe feels what SPARK feels: a DuckDB calibration
+    query alone measured 1.02× under loadavg 14 (its morsel threads
+    still got scheduled) while the same moment slowed the Spark
+    python-worker pipeline 2.4× — CPU oversubscription is the
+    dominant weather term for a 32-thread JVM + 32 python workers."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    spin = 0.15
+    with ProcessPoolExecutor(DEFAULT_CPUS) as ex:
+        list(ex.map(_burn_cpu, [0.01] * DEFAULT_CPUS))  # pool warmup
+        t0 = time.perf_counter()
+        list(ex.map(_burn_cpu, [spin] * DEFAULT_CPUS))
+        wall = time.perf_counter() - t0
+    return wall / spin
+
+
+# Single-thread memcpy GB/s on a quiet host (round-8 measurement);
+# transfer-heavy Spark paths (Arrow socket + JVM copy chains) degrade
+# with ambient MEMORY-BANDWIDTH contention that the CPU-slack probe
+# cannot see (observed: loadavg 17 with cpu_slack 1.06 while the
+# 2.5 GB Arrow transfer ran 40% slow).
+MEMBW_ANCHOR_GBPS = 13.0
+
+
+def _mem_bw() -> float:
+    """Effective single-thread copy bandwidth in GB/s (256 MB numpy
+    copy, min-of-3 → read+write bytes / seconds)."""
+    import numpy as np
+
+    a = np.ones(32 * 1024 * 1024, dtype=np.float64)  # 256 MB
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        b = a.copy()
+        best = min(best, time.perf_counter() - t0)
+        del b
+    return (2 * a.nbytes) / best / 1e9
+
+
+def _load_signature() -> dict:
+    """Host-weather stamp: 1/5/15-min loadavg, the CPU-slack probe,
+    the memcpy-bandwidth probe, and the fixed DuckDB calibration query
+    vs the quiet-host anchor. load_warning means: do not treat this
+    record's raw seconds as comparable across rounds — re-run on a
+    quieter host."""
+    sig: dict = {}
+    warn = False
+    try:
+        la = os.getloadavg()
+        sig["loadavg"] = [round(x, 2) for x in la]
+    except OSError:
+        pass
+    try:
+        slack = _cpu_slack()
+        sig["cpu_slack"] = round(slack, 2)
+        warn = warn or slack > 1.4
+    except Exception:
+        pass
+    try:
+        bw = _mem_bw()
+        sig["membw_gbps"] = round(bw, 1)
+        sig["membw_anchor_gbps"] = MEMBW_ANCHOR_GBPS
+        warn = warn or bw < MEMBW_ANCHOR_GBPS * 0.7
+    except Exception:
+        pass
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(f"SET threads={DEFAULT_CPUS}")
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            con.execute(_CALIB_SQL).fetchall()
+            best = min(best, time.perf_counter() - t0)
+        sig["calib_duckdb_sec"] = round(best, 3)
+        sig["calib_anchor_sec"] = CALIB_ANCHOR_SEC
+        sig["calib_vs_anchor"] = round(best / CALIB_ANCHOR_SEC, 2)
+        warn = warn or bool(
+            best > CALIB_ANCHOR_SEC * 1.25 or best < CALIB_ANCHOR_SEC * 0.75
+        )
+    except Exception:
+        pass
+    sig["load_warning"] = warn
+    return sig
 
 
 def _run_child(sf_dir: str, flag: str) -> dict:
@@ -929,6 +1056,137 @@ def scale_section(spark, sf_dir: str, rep: int = 100) -> dict:
         out["embedding_covariance"]["duckdb_sec"] = round(ctl, 3)
         out["embedding_covariance"]["ratio_vs_duckdb"] = round(sec / ctl, 2)
 
+    # 3c3. Multi-probe LSH RECALL at 200k vectors — the Lv-2007 claim
+    # ((nbits+1) query-side probes recover the recall single-probe LSH
+    # loses) measured against exact brute-force truth (arrow gemm
+    # engine), not cited: top-5 recall for the SAME 8-hyperplane index
+    # probed single-bucket vs multi-probe. An eval row, so the numbers
+    # of record are the recalls; seconds are reported for both probe
+    # modes (same corpus scan + bucket join plan, candidate set
+    # (nbits+1)× on the query side only).
+    try:
+        hyper = e.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("hp_id"), F.col("embedding").alias("hv")
+        )
+        mp_probes = e.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+        )
+        mp = similarity.lsh_multiprobe_topk(e_rep, mp_probes, hyper, k=5)
+        sp = similarity.lsh_multiprobe_topk(
+            e_rep, mp_probes, hyper, k=5, flip_probes=False
+        )
+        truth_corpus = e_rep.selectExpr(
+            "vec_id", "cast(embedding as array<double>) AS v"
+        )
+        truth_probes = mp_probes.selectExpr(
+            "q_id", "cast(qv as array<double>) AS qvd"
+        )
+        truth = similarity._brute_topk(
+            truth_corpus, truth_probes, 5, "vec_id", "q_id", engine="arrow"
+        )
+
+        def _by_q(rows):
+            m: dict = {}
+            for r in rows:
+                m.setdefault(r["q_id"], set()).add(r["vec_id"])
+            return m
+
+        t_truth = _by_q(truth.collect())
+        sec_mp = sec_sp = float("inf")
+        mp_rows = sp_rows = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            mp_rows = mp.collect()
+            sec_mp = min(sec_mp, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            sp_rows = sp.collect()
+            sec_sp = min(sec_sp, time.perf_counter() - t0)
+        t_mp, t_sp = _by_q(mp_rows), _by_q(sp_rows)
+        rec = lambda got: round(sum(  # noqa: E731
+            len(got.get(q, set()) & t) / len(t) for q, t in t_truth.items()
+        ) / max(len(t_truth), 1), 3)
+        out["similarity_multiprobe_recall"] = {
+            "rows": n_vec, "n_hyperplanes": 8, "k": 5,
+            "recall_multiprobe": rec(t_mp),
+            "recall_single_probe": rec(t_sp),
+            "sec_multiprobe": round(sec_mp, 3),
+            "sec_single_probe": round(sec_sp, 3),
+        }
+    except Exception as exc:
+        out["similarity_multiprobe_recall"] = {"error": str(exc)[:200]}
+
+    # 3c4. RRF hybrid retrieval at rep× docs: BM25 top-20 over the
+    # 500k-doc salted corpus + brute-cosine top-20 over the 200k-vector
+    # corpus, reciprocal-rank-fused — the full lexical+vector serving
+    # pipeline at scale, paired against DuckDB running the committed
+    # oracle formulation over the identical replicated views. Query
+    # terms are salted to replica 1 (the salting puts each replica in
+    # a disjoint token space; the BM25 scan/posting cost is the whole
+    # corpus either way, which is the cost being measured).
+    try:
+        from omicidx_gh_etl_spark.operators import text as text_ops
+        from omicidx_gh_etl_spark.queries.llmops import _BM25_BATCH_Q
+
+        q_terms = spark.createDataFrame(
+            [(i, f"{t}_1") for i, t in _BM25_BATCH_Q], "q_id int, term string"
+        )
+        trank = text_ops.bm25_batch_topk(
+            d_rep, q_terms, "text", "doc_id", k=20
+        ).select("q_id", "doc_id", "rk")
+        vrank = similarity.cosine_batch_topk(
+            e_rep, mp_probes, k=20
+        ).selectExpr("q_id", "vec_id AS doc_id", "rk")
+        fused = text_ops.rrf_fuse([trank, vrank], topk=10)
+        rrf_sql = None
+        if con is not None:
+            orig_vals = ", ".join(
+                f"({i}, '{t}')" for i, t in _BM25_BATCH_Q
+            )
+            salt_vals = ", ".join(
+                f"({i}, '{t}_1')" for i, t in _BM25_BATCH_Q
+            )
+            rrf_sql = _must_replace(
+                REGISTRY["retrieval_rrf_hybrid"].oracle, orig_vals, salt_vals
+            )
+            rrf_sql = _must_replace(
+                rrf_sql, "AS t FROM documents)", "AS t FROM documents_rep)"
+            )
+            rrf_sql = _must_replace(
+                rrf_sql,
+                "AS v FROM embeddings)",
+                "AS v FROM embeddings_rep)",
+            )
+            rrf_sql = _must_replace(
+                rrf_sql,
+                "qv AS (SELECT vec_id AS q_id, v AS qvd FROM e "
+                "WHERE vec_id < 3)",
+                "qv AS (SELECT vec_id AS q_id, "
+                "CAST(embedding AS DOUBLE[]) AS qvd FROM embeddings "
+                "WHERE vec_id < 3)",
+            )
+        n_rrf = n_docs + n_vec
+        sec = ctl = float("inf")
+        for it in range(2):
+            t0 = time.perf_counter()
+            fused.count()
+            sec = min(sec, time.perf_counter() - t0)
+            if con is not None and rrf_sql is not None and it == 1:
+                try:
+                    ctl = _duckdb_count(con, rrf_sql, runs=1)
+                except Exception:
+                    pass
+        out["retrieval_rrf_hybrid"] = {
+            "rows": n_rrf, "sec": round(sec, 3),
+            "rows_per_sec": round(n_rrf / sec),
+        }
+        if ctl < float("inf"):
+            out["retrieval_rrf_hybrid"]["duckdb_sec"] = round(ctl, 3)
+            out["retrieval_rrf_hybrid"]["ratio_vs_duckdb"] = round(
+                sec / ctl, 2
+            )
+    except Exception as exc:
+        out["retrieval_rrf_hybrid"] = {"error": str(exc)[:200]}
+
     # 3d. PageRank on a prep× event graph (re-salted property buckets
     # → prep disjoint bipartite graphs, like the LSH replicas): the
     # iterative-join throughput number — edges×iterations per second.
@@ -1142,17 +1400,26 @@ def _floor_at_scale(spark, sf_dir: str, con) -> dict:
             return None
 
     def _paired_row(spark_df, n_rows: int, ctl_sql: str | None,
-                    ctl_runs: int = 1) -> dict:
+                    ctl_runs: int = 3) -> dict:
+        # min-of-3 INTERLEAVED, both engines, same as the headline
+        # harness (r7 verdict item 2: the committed heavy-hitters row
+        # caught ambient load that a same-moment min-of-3 would have
+        # absorbed). Budget guard: if one control run exceeds 30 s the
+        # remaining control runs are skipped (min-of-1 is still a
+        # same-moment pairing).
         sec = ctl = float("inf")
-        for it in range(2):
+        ctl_left = ctl_runs if (con is not None and ctl_sql) else 0
+        for _ in range(3):
             t0 = time.perf_counter()
             spark_df.count()
             sec = min(sec, time.perf_counter() - t0)
-            if con is not None and ctl_sql is not None and it == 1:
+            if ctl_left > 0:
                 try:
-                    ctl = _duckdb_count(con, ctl_sql, runs=ctl_runs)
+                    one = _duckdb_count(con, ctl_sql, runs=1)
+                    ctl = min(ctl, one)
+                    ctl_left = 0 if one > 30 else ctl_left - 1
                 except Exception:
-                    pass
+                    ctl_left = 0
         row = {"rows": n_rows, "sec": round(sec, 3),
                "rows_per_sec": round(n_rows / sec)}
         if ctl < float("inf"):
@@ -1198,11 +1465,22 @@ def _floor_at_scale(spark, sf_dir: str, con) -> dict:
     # similarity_topk @ 10M vectors (2000 × 5000): brute-force cosine
     # top-10 against the original query vector — map-only scan +
     # TakeOrdered vs DuckDB's cross-join + ORDER BY LIMIT. 10M, not
-    # 1M: at 1M the arrow engine's wall is ~50% task/python-worker
-    # orchestration (32 workers × ~20 ms of floor on ~15 ms of gemv),
-    # which is the price of the horizontally-scaling architecture, not
-    # of the operator — at 10M compute dominates and the ratio
-    # measures the kernel, not the floor.
+    # 1M: at 1M the wall is ~50% task/python-worker orchestration,
+    # at 10M compute+transfer dominate and the ratio measures the
+    # kernel. PRIMARY engine is the BLOCK storage layout
+    # (pack_vector_blocks → cosine_topk_blocks): r7's 2.6× paired row
+    # decomposed to ~2.4 s of PER-ROW Arrow bookkeeping on ~0.3 s of
+    # gemv; blocks ship the same 2.5 GB as ~10 k contiguous buffers
+    # (measured 2.4 s → ~1.5 s same moment as a 1.2 s DuckDB control).
+    # The per-row arrow engine stays as a sub-row so the layout win
+    # stays measured, not assumed. Replication: base vectors are
+    # packed driver-side into 1024-vector blocks (untimed, like every
+    # index build) whose ids are re-based per replica IN the kernel
+    # (global = local × rep + r — the merged-shards convention);
+    # spark.range(rep) × broadcast(blocks) spreads replicas across all
+    # cores. DuckDB's control replicates its list layout the same way
+    # (CROSS JOIN range — both engines replicate in-plan, neither
+    # pays extra IO).
     rep_e = 5000
     e = load_table(spark, sf_dir, "embeddings")
     n_vec = e.count() * rep_e
@@ -1229,18 +1507,53 @@ def _floor_at_scale(spark, sf_dir: str, con) -> dict:
         FROM e CROSS JOIN q
         ORDER BY cos_sim DESC, vec_id
         LIMIT 10"""
-    # primary = the Arrow/numpy gemv engine (the compute-dominated
-    # scale path; per-batch BLAS + local top-k, output pinned identical
-    # to the sql engine); the interpreted-HOF sql engine is kept as a
-    # sub-row so the kernel gap stays measured, not assumed
+    import numpy as np
+
+    base_rows = sorted(
+        e.select("vec_id", "embedding").collect(), key=lambda r: r["vec_id"]
+    )
+    dims = len(base_rows[0]["embedding"])
+    blk = []
+    for lo in range(0, len(base_rows), 2048):
+        chunk = base_rows[lo : lo + 2048]
+        blk.append((
+            bytearray(np.array(
+                [r["vec_id"] for r in chunk], dtype="<i8").tobytes()),
+            bytearray(np.array(
+                [r["embedding"] for r in chunk], dtype="<f4").tobytes()),
+        ))
+    bb = spark.createDataFrame(blk, "ids binary, vecs binary")
+    # range with EXPLICIT numPartitions, not .repartition(width): a
+    # repartition shuffle costs a stage barrier and (on a loaded host)
+    # measured up to 2× on this row; 2×width tasks smooth straggler
+    # skew from ambient load
+    bb_rep = (
+        spark.range(0, rep_e, 1, 2 * width)
+        .select((F.col("id") + 1).alias("__off"))
+        .crossJoin(F.broadcast(bb))
+    )
     out["similarity_topk"] = _paired_row(
-        similarity.cosine_topk(e_rep, query, k=10, engine="arrow"),
+        similarity.cosine_topk_blocks(
+            bb_rep, query, k=10, dims=dims,
+            id_scale=rep_e, id_offset_col="__off",
+        ),
         n_vec, topk_sql,
     )
-    sql_row = _paired_row(
-        similarity.cosine_topk(e_rep, query, k=10), n_vec, None
+    out["similarity_topk"]["engine"] = "blocks"
+    arrow_row = _paired_row(
+        similarity.cosine_topk(e_rep, query, k=10, engine="arrow"),
+        n_vec, None,
     )
-    out["similarity_topk"]["sql_engine_sec"] = sql_row["sec"]
+    out["similarity_topk"]["arrow_engine_sec"] = arrow_row["sec"]
+    # cross-engine value check: the layouts must agree row for row
+    blocks_rows = [tuple(r) for r in similarity.cosine_topk_blocks(
+        bb_rep, query, k=10, dims=dims,
+        id_scale=rep_e, id_offset_col="__off",
+    ).collect()]
+    arrow_rows = [tuple(r) for r in similarity.cosine_topk(
+        e_rep, query, k=10, engine="arrow"
+    ).collect()]
+    out["similarity_topk"]["engines_match"] = blocks_rows == arrow_rows
 
     # sketch_heavy_hitters at 25M rows / ~20M distinct keys: replicated
     # events (user_id unchanged — per-user counts and the n/k threshold
@@ -1282,29 +1595,37 @@ def _floor_at_scale(spark, sf_dir: str, con) -> dict:
             ),
             "/ 120.0", "/ 600.0",
         )
-    row = _paired_row(
-        heavy_hitters(ev_all, "user_id", 600), n_ev, hh_sql, ctl_runs=2
-    )
+    # PRIMARY row = what the registered query's adaptive engine
+    # (engine="auto") actually picks for this shape: the plan-time
+    # approx_count_distinct decision job runs at CONSTRUCTION (the
+    # stats-based-CBO pattern — its cost is recorded separately, not
+    # buried in the scan timing). On this local[32] master auto picks
+    # EXACT (the 20M-key "shuffle" never leaves the JVM, so the MG
+    # candidate prune saves no network and its second scan + python
+    # summary work is pure overhead — measured 4.6 s MG vs 1.8 s
+    # exact at this shape); on a cluster master the same stats pick
+    # MG, whose prune shrinks the keys crossing the network ~1000×.
+    # Both engines are timed as sub-rows so the crossover stays
+    # measured, not assumed.
+    t0 = time.perf_counter()
+    auto_df = heavy_hitters(ev_all, "user_id", 600)
+    auto_decision_sec = round(time.perf_counter() - t0, 3)
+    auto_choice = getattr(auto_df, "_hh_engine", "mg")
+    row = _paired_row(auto_df, n_ev, hh_sql)
     row["tail_unique_keys"] = n_tail
-    # the exact plan (identical to the DuckDB control) on Spark
-    keyed = ev_all.selectExpr("cast(user_id as string) AS key").filter(
-        "key IS NOT NULL"
+    row["engine"] = f"{auto_choice}(auto)"
+    row["auto_decision_sec"] = auto_decision_sec
+    # the other engine as a sub-row (exact = the identical plan DuckDB
+    # runs; mg = the sketch path) so the local crossover is visible
+    other = "exact" if auto_choice == "mg" else "mg"
+    other_row = _paired_row(
+        heavy_hitters(ev_all, "user_id", 600, engine=other), n_ev, None
     )
-    tot = keyed.agg(F.expr("count(*)").alias("__total"))
-    exact = (
-        keyed.groupBy("key").agg(F.expr("count(*)").alias("n"))
-        .join(F.broadcast(tot))
-        .filter("n > __total / 600")
-        .drop("__total")
-    )
-    sec = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        exact.count()
-        sec = min(sec, time.perf_counter() - t0)
-    row["spark_exact_sec"] = round(sec, 3)
+    row[f"spark_{other}_sec"] = other_row["sec"]
     if "duckdb_sec" in row:
-        row["exact_ratio_vs_duckdb"] = round(sec / row["duckdb_sec"], 2)
+        row[f"{other}_ratio_vs_duckdb"] = round(
+            other_row["sec"] / row["duckdb_sec"], 2
+        )
     out["sketch_heavy_hitters"] = row
     return out
 
@@ -1400,7 +1721,8 @@ def _sf1_file_backed(spark, sf_dir: str, rep: int = 10) -> dict:
                 f"read_parquet('{sf_dir}/embeddings.parquet')"
             )
 
-        def _paired(name: str, spark_df, n_rows: int, oracle_sql=None) -> dict:
+        def _paired(name: str, spark_df, n_rows: int, oracle_sql=None,
+                    at_scale_twin: str | None = None) -> dict:
             sec = float("inf")
             for _ in range(2):
                 t0 = time.perf_counter()
@@ -1412,6 +1734,16 @@ def _sf1_file_backed(spark, sf_dir: str, rep: int = 10) -> dict:
                 dsec = _duckdb_count(con, oracle_sql)
                 row["duckdb_sec"] = round(dsec, 3)
                 row["ratio_vs_duckdb"] = round(sec / dsec, 2)
+            # sub-second Spark walls at this SF are job-floor shapes
+            # (a 2-4 stage plan costs ~0.2-0.9 s on milliseconds of
+            # data); flag them EXPLICITLY so the ratio can't be read
+            # as a design verdict — the named at-scale twin row is
+            # the compute-dominated measurement of the same plan
+            # (r7 verdict What's-wrong #3).
+            if sec < 1.0:
+                row["floor_dominated"] = True
+                if at_scale_twin:
+                    row["at_scale_twin"] = at_scale_twin
             return row
 
         # mart: the reference's headline join shape at 10× facts+dims
@@ -1421,6 +1753,7 @@ def _sf1_file_backed(spark, sf_dir: str, rep: int = 10) -> dict:
             REGISTRY["mart_denormalized"].builder(spark, sf1_dir),
             n_orders,
             REGISTRY["mart_denormalized"].oracle,
+            at_scale_twin="scale.mart_export_parquet (15M rows, paired)",
         )
 
         # minhash LSH. The PRODUCTION row is the xxhash64 family (no
@@ -1498,6 +1831,7 @@ def _sf1_file_backed(spark, sf_dir: str, rep: int = 10) -> dict:
             similarity.ivf_search(e1, centroids, queries, k=5, nprobe=2),
             nv1,
             ivf_sql,
+            at_scale_twin="scale.similarity_ivf_search (200k vectors, paired)",
         )
         return sf1
     finally:

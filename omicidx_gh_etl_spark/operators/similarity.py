@@ -1087,6 +1087,7 @@ def lsh_multiprobe_topk(
     q_vec_col: str = "qv",
     hp_id_col: str = "hp_id",
     hp_vec_col: str = "hv",
+    flip_probes: bool = True,
 ) -> DataFrame:
     """Multi-probe LSH search (Lv et al. 2007) → ``(q_id, vec_id,
     cos_sim, rk)`` top-k per query: each query probes its OWN sign-bit
@@ -1095,6 +1096,9 @@ def lsh_multiprobe_topk(
     WITHOUT the classic fix of maintaining more hash tables (each
     extra table re-hashes and re-stores the whole corpus; extra probes
     cost only (nbits+1)× more bucket lookups on the query side).
+    ``flip_probes=False`` probes the exact bucket only — the classic
+    single-probe LSH baseline the multi-probe recall win is measured
+    against (bench recall row).
 
     Plan: corpus bucketing is the same broadcast-hyperplane map-only
     pass :func:`lsh_bucket_pairs` uses (one groupBy(id) to assemble
@@ -1153,15 +1157,18 @@ def lsh_multiprobe_topk(
     )
     qb = _buckets(q, q_id_col).withColumnRenamed("v", "qv")
     # exact bucket + every 1-bit flip — all distinct by construction
-    probes = qb.selectExpr(
-        q_id_col,
-        "qv",
+    # (or the exact bucket alone for the single-probe baseline)
+    probe_expr = (
         "explode(concat(array(bucket),"
         " transform(sequence(1, length(bucket)),"
         " p -> concat(substring(bucket, 1, p - 1),"
         " CASE substring(bucket, p, 1) WHEN '1' THEN '0' ELSE '1' END,"
-        " substring(bucket, p + 1))))) AS probe",
-    ).selectExpr(q_id_col, "qv", f"{_norm_sql('qv')} AS qn", "probe")
+        " substring(bucket, p + 1))))) AS probe"
+        if flip_probes else "bucket AS probe"
+    )
+    probes = qb.selectExpr(q_id_col, "qv", probe_expr).selectExpr(
+        q_id_col, "qv", f"{_norm_sql('qv')} AS qn", "probe"
+    )
     cand = cb.join(
         F.broadcast(probes), cb["bucket"] == probes["probe"]
     )

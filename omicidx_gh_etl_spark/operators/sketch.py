@@ -173,11 +173,16 @@ def heavy_hitters(
     - ``"auto"``  — a planning-time stats decision, the CBO pattern:
       use ``ndv_hint`` (caller-known distinct count — catalog stats)
       if given, else run one ``approx_count_distinct`` job at plan
-      time; pick MG only when the estimated cardinality exceeds
-      ``16 × k × defaultParallelism`` — i.e. when the candidate prune
-      shrinks the shuffled key set by more than an order of
-      magnitude. Below that the exact plan's single hash shuffle is
-      as small as the MG candidate recount itself.
+      time. On a CLUSTER master, pick MG when the estimated
+      cardinality exceeds ``16 × k × defaultParallelism`` — the
+      candidate prune then shrinks the key set crossing the NETWORK
+      by more than an order of magnitude, which is what MG buys. On
+      a ``local[*]`` master the "shuffle" never leaves the JVM, so
+      the prune saves no network and the MG pass's second scan +
+      per-partition summary work is pure overhead — exact wins until
+      the full key hash table itself stops fitting (≳5×10⁸ keys ×
+      ~40 B/entry ≈ 20 GB), which is the only local regime where MG
+      is still the answer.
 
     The MG pass runs over xxhash64(key) int64s, not the key strings:
     the Arrow transfer ships 8 fixed bytes/row instead of a varlen
@@ -200,13 +205,24 @@ def heavy_hitters(
             ndv = keyed.agg(
                 F.approx_count_distinct("key").alias("d")
             ).first()["d"]
-        parallelism = df.sparkSession.sparkContext.defaultParallelism
-        engine = "mg" if ndv > 16 * int(k) * parallelism else "exact"
+        sc = df.sparkSession.sparkContext
+        if sc.master.startswith("local"):
+            engine = "mg" if ndv > 500_000_000 else "exact"
+        else:
+            engine = (
+                "mg" if ndv > 16 * int(k) * sc.defaultParallelism
+                else "exact"
+            )
     if engine == "exact":
-        return exact_heavy_hitters(keyed, k)
-    hashed = keyed.selectExpr("xxhash64(key) AS h")
-    candidates = _mg_summaries(hashed, k).select("h").distinct()
-    return exact_recount(keyed, candidates, k)
+        out = exact_heavy_hitters(keyed, k)
+    else:
+        hashed = keyed.selectExpr("xxhash64(key) AS h")
+        candidates = _mg_summaries(hashed, k).select("h").distinct()
+        out = exact_recount(keyed, candidates, k)
+    # surface the resolved engine for benchmarks/diagnostics (plain
+    # python attribute — DataFrames allow it; never load-bearing)
+    out._hh_engine = engine
+    return out
 
 
 def _cms_bucket(j_col: Column, key_col: Column, width: int) -> Column:

@@ -1867,6 +1867,18 @@ def test_lsh_multiprobe_recovers_one_bit_neighbors(spark):
     with pytest.raises(ValueError, match="hyperplane"):
         lsh_multiprobe_topk(corpus, q, hyper.filter("hp_id < 0"), k=4)
 
+    # single-probe baseline (flip_probes=False): exact bucket only —
+    # finds the same-bucket neighbor, MISSES the one-flip neighbor
+    # (the recall gap the multi-probe exists to close, and what the
+    # bench recall row measures at 200k)
+    sp = {
+        r["vec_id"] for r in lsh_multiprobe_topk(
+            corpus, q, hyper, k=4, flip_probes=False
+        ).collect()
+    }
+    assert 1 in sp and 3 in sp
+    assert 2 not in sp and 4 not in sp
+
 
 def test_lsh_eval_counts_and_edges(spark):
     """lsh_eval's count algebra on a controlled corpus: exact copies
