@@ -2240,6 +2240,7 @@ def semantic_dedup(
     max_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding
     space, then compare pairs ONLY within a cluster and drop the
@@ -2263,8 +2264,16 @@ def semantic_dedup(
     Deterministic end-to-end (greedy farthest-point seeding + fixed
     rounds + id tiebreaks), so drop decisions are reproducible across
     runs — required for training-data lineage.
+
+    ``centroids`` (a ``(centroid_id, cv)`` frame) skips the iterative
+    fit and clusters against the provided centers — the frozen-seed
+    path that makes the registered ``dedup_semantic_clusters`` query
+    SQL-oracle-replayable (assignment + in-cluster pair dedup are
+    rounded deterministic arithmetic once the centers are pinned;
+    production pipelines likewise dedup against a PERSISTED trained
+    codebook rather than refitting per run).
     """
-    cent = kmeans_fit(
+    cent = centroids if centroids is not None else kmeans_fit(
         emb, k=k, max_iter=max_iter, id_col=id_col, vec_col=vec_col,
         init="farthest",
     )

@@ -2369,19 +2369,54 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_semantic_clusters",
-    None,  # k-means fixpoint is not SQL-expressible — rows-only check;
-           # drop quality pytest-pinned (tests/test_semantic_dedup.py)
-    tags=("dedup", "llm", "iterative"),
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE embedding IS NOT NULL),
+    c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+    assigned AS (
+      SELECT e.vec_id, c.centroid_id, e.v
+      FROM e CROSS JOIN c
+      QUALIFY row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY round({_COS.format(a='e.v', b='cv')}, 4) DESC,
+                 centroid_id) = 1),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM assigned a JOIN assigned b
+        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      WHERE round({_COS.format(a='a.v', b='b.v')}, 4) >= 0.9)
+    SELECT a.centroid_id, count(*) AS n_vectors,
+           CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped
+    FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+    GROUP BY 1
+    """,
+    tags=("dedup", "llm"),
 )
 def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup summary: k-means-cluster the embedding space, drop the
+    """SemDeDup summary against FROZEN cluster centers (the 8 smallest
+    vec_ids): assign each vector to its nearest center, drop the
     higher-id member of every within-cluster pair with cosine ≥ 0.9 →
     one row per cluster (n_vectors, n_dropped). The cluster blocking
     turns all-pairs dedup into Σ(cluster²) work — the IVF idea applied
-    to dedup (see operators/similarity.py::semantic_dedup for the
-    plan-shape discussion)."""
-    emb = load_spread(spark, sf_dir, "embeddings", "vec_id")
-    marked = similarity.semantic_dedup(emb, k=8, threshold=0.9, max_iter=5)
+    to dedup (operators/similarity.py::semantic_dedup, centroids=
+    provided). Freezing the centers — exactly how a production
+    pipeline dedups against a PERSISTED codebook — makes assignment +
+    pair dedup pure rounded arithmetic, so the query is
+    oracle-value-hashed since r8; the iterative farthest-point-seeded
+    fit variant stays quality-pinned in tests/test_operators.py."""
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id").filter(
+        F.col("embedding").isNotNull()
+    )
+    seeds = load_table(spark, sf_dir, "embeddings").filter(
+        (F.col("vec_id") < 8) & F.col("embedding").isNotNull()
+    ).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cv"),
+    )
+    marked = similarity.semantic_dedup(
+        emb, threshold=0.9, centroids=seeds
+    )
     return (
         marked.groupBy("centroid_id")
         .agg(
@@ -2554,11 +2589,54 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_bpe_learn_merges",
-    None,  # iterative re-tokenization is not expressible as
-    # non-recursive SQL; evidence = golden pytest (hand-checked merge
-    # order, run/tie semantics) + per-round recorded merge table in
-    # ROWS_ONLY_EVIDENCE.json (deterministic: exact integer counts,
-    # total-order argmax)
+    # The 8 training rounds UNROLLED as chained CTEs — each round is
+    # (pair counts over the current symbol strings) → (total-order
+    # argmax as a 1-row CTE) → (one framed replace applying it), the
+    # same double-separator framing bpe_encode's oracle replays (the
+    # replace's leftmost non-overlapping pass ≡ the Spark fold's run
+    # semantics: 'aaaa' + (a,a) → aa,aa). A fixed merge COUNT makes
+    # the "iterative" fixpoint a finite composition of deterministic
+    # integer-arithmetic steps, which plain SQL can state — the same
+    # freeze-the-iteration trick as the kmeans/PQ conversions.
+    """
+    WITH words AS (
+      SELECT w, count(*) AS c FROM (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        FROM documents)
+      GROUP BY 1),
+    w0 AS (
+      SELECT chr(31) || chr(31) ||
+             array_to_string(string_split(w, ''), chr(31) || chr(31)) ||
+             chr(31) || chr(31) AS ws, c
+      FROM words)"""
+    + "".join(
+        f""",
+    p{i} AS (
+      SELECT t[i] AS l, t[i+1] AS r, CAST(sum(c) AS BIGINT) AS n
+      FROM (SELECT list_filter(string_split(ws, chr(31) || chr(31)),
+                               x -> x <> '') AS t, c
+            FROM w{i - 1}),
+           LATERAL (SELECT unnest(range(1, len(t))) AS i) ix
+      GROUP BY 1, 2),
+    b{i} AS (SELECT {i} AS merge_order, l, r, n
+             FROM p{i} ORDER BY n DESC, l, r LIMIT 1)"""
+        + (
+            f""",
+    w{i} AS (
+      SELECT replace(ws,
+                     chr(31) || b.l || chr(31) || chr(31) || b.r || chr(31),
+                     chr(31) || b.l || b.r || chr(31)) AS ws, c
+      FROM w{i - 1} CROSS JOIN b{i} b)"""
+            if i < 8 else ""
+        )
+        for i in range(1, 9)
+    )
+    + """
+    SELECT merge_order, l AS left, r AS right, n AS pair_count
+    FROM ("""
+    + " UNION ALL ".join(f"SELECT * FROM b{i}" for i in range(1, 9))
+    + """)
+    """,
     tags=("text", "llm", "tokenizer", "iterative"),
 )
 def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2566,7 +2644,11 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     per round, corpus-wide adjacent-pair counts → deterministic
     argmax → fold-apply the merge (operators/text.py::bpe_learn_merges
     has the scale story — per-round cost is one scan of the current
-    symbols, driver state is the merge table only)."""
+    symbols, driver state is the merge table only). Oracle-backed
+    since r8: a FIXED merge count (8) unrolls the training loop into
+    chained SQL rounds whose per-round argmax and framed-replace
+    application DuckDB replays value-exactly (exact integer counts +
+    total order ⇒ no float drift across rounds, unlike k-means)."""
     d = load_spread(spark, sf_dir, "documents", "doc_id")
     return text.bpe_learn_merges(d, "text", n_merges=8)
 

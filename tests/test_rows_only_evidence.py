@@ -1,22 +1,18 @@
-"""Per-round recorded evidence for the no-oracle tail.
+"""Per-round recorded QUALITY evidence beyond the value-hash gate.
 
-Two registered queries have no DuckDB oracle — float-iteration
-nondeterminism (`dedup_semantic_clusters`) and non-SQL-expressible
-iteration (`text_bpe_learn_merges`, whose deterministic merge table
-is recorded verbatim) — and one operator is pinned only by a
-postcondition (`remove_duplicate_spans_fixpoint`). The driver records
-a weaker rows-only check for them, so this test computes their
-DETERMINISTIC SUB-PROPERTIES at the driver's comparison scale each
-round, asserts the floors, and appends the measured values (keyed by
-round number) to ROWS_ONLY_EVIDENCE.json — recorded evidence every
-round, not a one-time pin.
-
-`similarity_kmeans_fit` and `similarity_pq_search` were converted to
-oracle-backed frozen-deterministic forms in round 8 (frozen seeds /
-frozen codebook — the strict gate now value-hashes them); their
-quality floors below (centroid separation, ADC recall vs exact L2)
-remain recorded evidence because a value hash can't express "the
-refinement didn't collapse" or "ADC recall clears the floor".
+As of round 8 every registered query is oracle-backed (the last four
+rows-only queries were converted: frozen seeds for
+`similarity_kmeans_fit` / `dedup_semantic_clusters`, a frozen codebook
+for `similarity_pq_search`, and an unrolled fixed-round SQL replay for
+`text_bpe_learn_merges`). This test remains because a value hash can't
+express QUALITY floors — "the refinement didn't collapse", "ADC recall
+clears the floor", "the clusters partition the corpus", "the span
+fixpoint converged" — so it computes those deterministic
+sub-properties at the driver's comparison scale each round, asserts
+the floors, and appends the measured values (keyed by round number)
+to ROWS_ONLY_EVIDENCE.json — recorded evidence every round, not a
+one-time pin. (`remove_duplicate_spans_fixpoint` stays postcondition-
+pinned here; it is an operator, not a registered query.)
 """
 
 from __future__ import annotations
