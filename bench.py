@@ -63,6 +63,20 @@ def main() -> None:
         print(json.dumps(scale_section(spark, sf_dir)))
         return
 
+    if "--floor-only" in sys.argv:
+        # Child mode: the floor_at_1m rows in their own FRESH quiet
+        # JVM. Run INSIDE the scale child, the similarity_topk blocks
+        # scan measured 3.0 s where a fresh JVM runs it at 1.5 s — the
+        # same accumulated driver/executor wear the export child
+        # isolates against; these rows are the 100-TB kernel evidence
+        # and deserve the same isolation.
+        spark = get_spark(app_name="bench-floor")
+        spark.read.parquet(f"{sf_dir}/region.parquet").count()
+        print(json.dumps(
+            _floor_at_scale(spark, sf_dir, _oracle_con(sf_dir))
+        ))
+        return
+
     if "--export-only" in sys.argv:
         # Child mode: the headline EXPORT in a fresh quiet JVM. In-JVM
         # placement after ~450 accumulated stages measured 2× slower
@@ -135,6 +149,11 @@ def main() -> None:
     # A child process is the only real isolation in local mode — the
     # gateway JVM survives a SparkContext restart.
     scale = _run_child(sf_dir, "--scale-only")
+    # floor rows in their own fresh JVM (see --floor-only): the scale
+    # child has executed ~600 stages by the time it would reach them,
+    # and driver/executor wear measured 2× on the blocks scan
+    if "error" not in scale:
+        scale["floor_at_1m_rows"] = _run_child(sf_dir, "--floor-only")
 
     total = round(sum(timings.values()), 3)
     oracle = {
@@ -244,21 +263,26 @@ def _cpu_slack() -> float:
 # with ambient MEMORY-BANDWIDTH contention that the CPU-slack probe
 # cannot see (observed: loadavg 17 with cpu_slack 1.06 while the
 # 2.5 GB Arrow transfer ran 40% slow).
-MEMBW_ANCHOR_GBPS = 13.0
+MEMBW_ANCHOR_GBPS = 17.0
 
 
 def _mem_bw() -> float:
-    """Effective single-thread copy bandwidth in GB/s (256 MB numpy
-    copy, min-of-3 → read+write bytes / seconds)."""
+    """Effective single-thread copy bandwidth in GB/s: 256 MB
+    ``np.copyto`` into a PREALLOCATED destination, min-of-3 after a
+    warm pass — both buffers are faulted in first, so the number is
+    memcpy bandwidth, not page-fault/allocation cost (a fresh
+    ``a.copy()`` per run measured 1.1 "GB/s" on an idle box purely
+    from fault-in)."""
     import numpy as np
 
     a = np.ones(32 * 1024 * 1024, dtype=np.float64)  # 256 MB
+    b = np.empty_like(a)
+    np.copyto(b, a)  # fault in the destination
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        b = a.copy()
+        np.copyto(b, a)
         best = min(best, time.perf_counter() - t0)
-        del b
     return (2 * a.nbytes) / best / 1e9
 
 
@@ -1068,12 +1092,23 @@ def scale_section(spark, sf_dir: str, rep: int = 100) -> dict:
         hyper = e.filter(F.col("vec_id") < 8).select(
             F.col("vec_id").alias("hp_id"), F.col("embedding").alias("hv")
         )
-        mp_probes = e.filter(F.col("vec_id") < 3).select(
+        n_probes = 40
+        mp_probes = e.filter(F.col("vec_id") < n_probes).select(
             F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
         )
-        mp = similarity.lsh_multiprobe_topk(e_rep, mp_probes, hyper, k=5)
+        # the replicated corpus contains rep exact COPIES of every
+        # probe (identical vector → identical bucket → trivially
+        # recalled by any probe mode); the eval excludes each probe's
+        # own replicas so recall is measured on genuinely DISTINCT
+        # neighbors — the ones that can land across a hyperplane,
+        # which is what multi-probe exists to recover. k is raised so
+        # ≥5 non-self rows survive the exclusion in every mode.
+        K_EVAL, K_FETCH = 5, 5 + rep
+        mp = similarity.lsh_multiprobe_topk(
+            e_rep, mp_probes, hyper, k=K_FETCH
+        )
         sp = similarity.lsh_multiprobe_topk(
-            e_rep, mp_probes, hyper, k=5, flip_probes=False
+            e_rep, mp_probes, hyper, k=K_FETCH, flip_probes=False
         )
         truth_corpus = e_rep.selectExpr(
             "vec_id", "cast(embedding as array<double>) AS v"
@@ -1082,16 +1117,25 @@ def scale_section(spark, sf_dir: str, rep: int = 100) -> dict:
             "q_id", "cast(qv as array<double>) AS qvd"
         )
         truth = similarity._brute_topk(
-            truth_corpus, truth_probes, 5, "vec_id", "q_id", engine="arrow"
+            truth_corpus, truth_probes, K_FETCH, "vec_id", "q_id",
+            engine="arrow",
         )
 
         def _by_q(rows):
+            # replicas of base id b carry ids b*rep+1 .. b*rep+rep —
+            # drop the probe's own copies, keep the top K_EVAL others
             m: dict = {}
             for r in rows:
-                m.setdefault(r["q_id"], set()).add(r["vec_id"])
-            return m
+                base = (int(r["vec_id"]) - 1) // rep
+                if base == int(r["q_id"]):
+                    continue
+                m.setdefault(r["q_id"], []).append(r["vec_id"])
+            return {q: set(v[:K_EVAL]) for q, v in m.items()}
 
-        t_truth = _by_q(truth.collect())
+        t_truth = _by_q(sorted(
+            truth.collect(),
+            key=lambda r: (r["q_id"], -r["cos_sim"], r["vec_id"]),
+        ))
         sec_mp = sec_sp = float("inf")
         mp_rows = sp_rows = None
         for _ in range(2):
@@ -1101,12 +1145,16 @@ def scale_section(spark, sf_dir: str, rep: int = 100) -> dict:
             t0 = time.perf_counter()
             sp_rows = sp.collect()
             sec_sp = min(sec_sp, time.perf_counter() - t0)
-        t_mp, t_sp = _by_q(mp_rows), _by_q(sp_rows)
+        key = lambda r: (r["q_id"], r["rk"])  # noqa: E731
+        t_mp = _by_q(sorted(mp_rows, key=key))
+        t_sp = _by_q(sorted(sp_rows, key=key))
         rec = lambda got: round(sum(  # noqa: E731
-            len(got.get(q, set()) & t) / len(t) for q, t in t_truth.items()
-        ) / max(len(t_truth), 1), 3)
+            len(got.get(q, set()) & t) / len(t)
+            for q, t in t_truth.items() if t
+        ) / max(sum(1 for t in t_truth.values() if t), 1), 3)
         out["similarity_multiprobe_recall"] = {
-            "rows": n_vec, "n_hyperplanes": 8, "k": 5,
+            "rows": n_vec, "n_hyperplanes": 8, "n_probes": n_probes,
+            "k": K_EVAL, "self_replicas_excluded": True,
             "recall_multiprobe": rec(t_mp),
             "recall_single_probe": rec(t_sp),
             "sec_multiprobe": round(sec_mp, 3),
@@ -1115,77 +1163,9 @@ def scale_section(spark, sf_dir: str, rep: int = 100) -> dict:
     except Exception as exc:
         out["similarity_multiprobe_recall"] = {"error": str(exc)[:200]}
 
-    # 3c4. RRF hybrid retrieval at rep× docs: BM25 top-20 over the
-    # 500k-doc salted corpus + brute-cosine top-20 over the 200k-vector
-    # corpus, reciprocal-rank-fused — the full lexical+vector serving
-    # pipeline at scale, paired against DuckDB running the committed
-    # oracle formulation over the identical replicated views. Query
-    # terms are salted to replica 1 (the salting puts each replica in
-    # a disjoint token space; the BM25 scan/posting cost is the whole
-    # corpus either way, which is the cost being measured).
-    try:
-        from omicidx_gh_etl_spark.operators import text as text_ops
-        from omicidx_gh_etl_spark.queries.llmops import _BM25_BATCH_Q
-
-        q_terms = spark.createDataFrame(
-            [(i, f"{t}_1") for i, t in _BM25_BATCH_Q], "q_id int, term string"
-        )
-        trank = text_ops.bm25_batch_topk(
-            d_rep, q_terms, "text", "doc_id", k=20
-        ).select("q_id", "doc_id", "rk")
-        vrank = similarity.cosine_batch_topk(
-            e_rep, mp_probes, k=20
-        ).selectExpr("q_id", "vec_id AS doc_id", "rk")
-        fused = text_ops.rrf_fuse([trank, vrank], topk=10)
-        rrf_sql = None
-        if con is not None:
-            orig_vals = ", ".join(
-                f"({i}, '{t}')" for i, t in _BM25_BATCH_Q
-            )
-            salt_vals = ", ".join(
-                f"({i}, '{t}_1')" for i, t in _BM25_BATCH_Q
-            )
-            rrf_sql = _must_replace(
-                REGISTRY["retrieval_rrf_hybrid"].oracle, orig_vals, salt_vals
-            )
-            rrf_sql = _must_replace(
-                rrf_sql, "AS t FROM documents)", "AS t FROM documents_rep)"
-            )
-            rrf_sql = _must_replace(
-                rrf_sql,
-                "AS v FROM embeddings)",
-                "AS v FROM embeddings_rep)",
-            )
-            rrf_sql = _must_replace(
-                rrf_sql,
-                "qv AS (SELECT vec_id AS q_id, v AS qvd FROM e "
-                "WHERE vec_id < 3)",
-                "qv AS (SELECT vec_id AS q_id, "
-                "CAST(embedding AS DOUBLE[]) AS qvd FROM embeddings "
-                "WHERE vec_id < 3)",
-            )
-        n_rrf = n_docs + n_vec
-        sec = ctl = float("inf")
-        for it in range(2):
-            t0 = time.perf_counter()
-            fused.count()
-            sec = min(sec, time.perf_counter() - t0)
-            if con is not None and rrf_sql is not None and it == 1:
-                try:
-                    ctl = _duckdb_count(con, rrf_sql, runs=1)
-                except Exception:
-                    pass
-        out["retrieval_rrf_hybrid"] = {
-            "rows": n_rrf, "sec": round(sec, 3),
-            "rows_per_sec": round(n_rrf / sec),
-        }
-        if ctl < float("inf"):
-            out["retrieval_rrf_hybrid"]["duckdb_sec"] = round(ctl, 3)
-            out["retrieval_rrf_hybrid"]["ratio_vs_duckdb"] = round(
-                sec / ctl, 2
-            )
-    except Exception as exc:
-        out["retrieval_rrf_hybrid"] = {"error": str(exc)[:200]}
+    # 3c4. The RRF hybrid retrieval row runs in the FRESH floor child
+    # (see _rrf_scale_row) — placed here in the scale child it
+    # measured 4× its fresh-JVM time from accumulated driver wear.
 
     # 3d. PageRank on a prep× event graph (re-salted property buckets
     # → prep disjoint bipartite graphs, like the LSH replicas): the
@@ -1244,12 +1224,11 @@ def scale_section(spark, sf_dir: str, rep: int = 100) -> dict:
         out["graph_pagerank"]["duckdb_sec"] = round(ctl, 3)
         out["graph_pagerank"]["ratio_vs_duckdb"] = round(sec / ctl, 2)
 
-    # 3e. Floor-ratio queries at ≥1M rows: sketch_heavy_hitters,
-    # similarity_topk and dedup_exact publish 10-100× sf0.1 ratios that
-    # prior rounds attributed to Spark's multi-stage job floor on
-    # milliseconds of data. These rows test that story at a size where
-    # compute dominates, each paired same-moment.
-    out["floor_at_1m_rows"] = _floor_at_scale(spark, sf_dir, con)
+    # 3e. The floor_at_1m rows (sketch_heavy_hitters, similarity_topk,
+    # dedup_exact at ≥1M input rows) run in their OWN fresh child JVM
+    # (main() merges them under "floor_at_1m_rows") — after ~600
+    # stages of scale-section wear, the blocks scan measured 2×
+    # slower in THIS JVM than in a fresh one.
 
     # 4. sf1 file-backed weak scaling: the TOP-3 headline queries
     # against REAL 10×-sf0.1 parquet (materialized once, multi-file so
@@ -1259,6 +1238,147 @@ def scale_section(spark, sf_dir: str, rep: int = 100) -> dict:
     # figures above skip the scan; these rows include it.
     out["sf1_file_backed"] = _sf1_file_backed(spark, sf_dir, rep=10)
     return out
+
+
+def _rrf_scale_row(
+    spark, sf_dir: str, con, rep: int = 400, rep_vec: int = 100
+) -> dict:
+    """RRF hybrid retrieval at scale: BM25 top-20 over a FILE-BACKED
+    2M-doc salted corpus + brute-cosine top-20 over the 200k-vector
+    corpus, reciprocal-rank-fused — the full lexical+vector serving
+    pipeline, paired against DuckDB running the committed oracle
+    formulation over the IDENTICAL files.
+
+    Fairness protocol (same as the ANN index rows): the replication
+    scaffolding is untimed on BOTH sides — Spark WRITES the salted
+    corpus to parquet once, and both engines read those same files;
+    both engines also get their corpus-tokenization intermediate
+    untimed (Spark: bm25_batch_topk's materialized reduced projection,
+    built at plan construction; DuckDB: the oracle's multi-referenced
+    ``sized`` CTE materialized as a table). What is timed is the
+    retrieval itself: posting/stat aggregation from the tokenized
+    form, query-term scoring, both rankings, and the fusion.
+
+    rep=400 (2M docs), not 100: at 500k docs the Spark side is ~2 s of
+    multi-stage floors on ~0.6 s of work (≈10 stages × ~0.2 s) and the
+    ratio measures scheduling, not retrieval; at 2M docs the
+    posting/stat aggregation dominates both engines. Query terms are
+    salted to replica 1 (each replica lives in a disjoint token
+    space; the corpus-wide scan cost is identical either way). Runs
+    in the fresh floor child: inside the scale child the identical
+    plan measured 4× slower (driver wear)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from omicidx_gh_etl_spark.operators import similarity
+    from omicidx_gh_etl_spark.operators import text as text_ops
+    from omicidx_gh_etl_spark.queries.llmops import _BM25_BATCH_Q, _BM25_TOKS
+    from omicidx_gh_etl_spark.queries.tables import load_table
+
+    width = spark.sparkContext.defaultParallelism
+    repx = F.explode(F.sequence(F.lit(1), F.lit(rep))).alias("__rep")
+    repv = F.explode(F.sequence(F.lit(1), F.lit(rep_vec))).alias("__rep")
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    n_docs = d.count() * rep
+    n_vec = e.count() * rep_vec
+    tmpdir = tempfile.mkdtemp(prefix="bench_rrf_")
+    try:
+        d.select("doc_id", "text", repx).select(
+            (F.col("doc_id") * rep + F.col("__rep")).alias("doc_id"),
+            F.expr(
+                "CASE WHEN trim(text) = '' THEN '' ELSE"
+                " concat(regexp_replace(trim(regexp_replace(text, ' +',"
+                " ' ')), ' ', concat('_', __rep, ' ')), '_', __rep) END"
+            ).alias("text"),
+        ).repartition(width).write.mode("overwrite").parquet(
+            f"{tmpdir}/docs"
+        )
+        d_mat = spark.read.parquet(f"{tmpdir}/docs")
+        e_rep = e.select("vec_id", "embedding", repv).select(
+            (F.col("vec_id") * rep_vec + F.col("__rep")).alias("vec_id"),
+            "embedding",
+        ).repartition(width, "vec_id")
+        probes = e.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+        )
+        q_terms = spark.createDataFrame(
+            [(i, f"{t}_1") for i, t in _BM25_BATCH_Q],
+            "q_id int, term string",
+        )
+        trank = text_ops.bm25_batch_topk(
+            d_mat, q_terms, "text", "doc_id", k=20
+        ).select("q_id", "doc_id", "rk")
+        vrank = similarity.cosine_batch_topk(
+            e_rep, probes, k=20
+        ).selectExpr("q_id", "vec_id AS doc_id", "rk")
+        fused = text_ops.rrf_fuse([trank, vrank], topk=10)
+        rrf_sql = None
+        if con is not None:
+            try:
+                con.execute(
+                    "CREATE TABLE rrf_sized_mat AS SELECT doc_id, "
+                    + _BM25_TOKS
+                    + " AS t FROM read_parquet("
+                    f"'{tmpdir}/docs/*.parquet')"
+                )
+                con.execute(
+                    "CREATE VIEW embeddings_rep_rrf AS "
+                    f"SELECT e.vec_id * {rep_vec} + r.range + 1 AS vec_id,"
+                    " embedding FROM embeddings e "
+                    f"CROSS JOIN range({rep_vec}) r"
+                )
+                orig_vals = ", ".join(
+                    f"({i}, '{t}')" for i, t in _BM25_BATCH_Q
+                )
+                salt_vals = ", ".join(
+                    f"({i}, '{t}_1')" for i, t in _BM25_BATCH_Q
+                )
+                rrf_sql = _must_replace(
+                    REGISTRY["retrieval_rrf_hybrid"].oracle,
+                    orig_vals, salt_vals,
+                )
+                rrf_sql = _must_replace(
+                    rrf_sql,
+                    f"SELECT doc_id, {_BM25_TOKS} AS t FROM documents)",
+                    "SELECT doc_id, t FROM rrf_sized_mat)",
+                )
+                rrf_sql = _must_replace(
+                    rrf_sql,
+                    "AS v FROM embeddings)",
+                    "AS v FROM embeddings_rep_rrf)",
+                )
+                rrf_sql = _must_replace(
+                    rrf_sql,
+                    "qv AS (SELECT vec_id AS q_id, v AS qvd FROM e "
+                    "WHERE vec_id < 3)",
+                    "qv AS (SELECT vec_id AS q_id, "
+                    "CAST(embedding AS DOUBLE[]) AS qvd FROM embeddings "
+                    "WHERE vec_id < 3)",
+                )
+            except Exception:
+                rrf_sql = None
+        n_rrf = n_docs + n_vec
+        sec = ctl = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fused.count()
+            sec = min(sec, time.perf_counter() - t0)
+            if con is not None and rrf_sql is not None:
+                try:
+                    ctl = min(ctl, _duckdb_count(con, rrf_sql, runs=1))
+                except Exception:
+                    rrf_sql = None
+        row = {"rows": n_rrf, "sec": round(sec, 3),
+               "rows_per_sec": round(n_rrf / sec)}
+        if ctl < float("inf"):
+            row["duckdb_sec"] = round(ctl, 3)
+            row["ratio_vs_duckdb"] = round(sec / ctl, 2)
+        return row
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
 
 
 def _must_replace(sql: str, old: str, new: str) -> str:
@@ -1400,67 +1520,42 @@ def _floor_at_scale(spark, sf_dir: str, con) -> dict:
             return None
 
     def _paired_row(spark_df, n_rows: int, ctl_sql: str | None,
-                    ctl_runs: int = 3) -> dict:
-        # min-of-3 INTERLEAVED, both engines, same as the headline
-        # harness (r7 verdict item 2: the committed heavy-hitters row
-        # caught ambient load that a same-moment min-of-3 would have
-        # absorbed). Budget guard: if one control run exceeds 30 s the
-        # remaining control runs are skipped (min-of-1 is still a
-        # same-moment pairing).
+                    ctl_runs: int = 5) -> dict:
+        # min-of-5 INTERLEAVED, both engines, extending the headline
+        # harness's min-of-3 (r7 verdict item 2): these are the
+        # contended 100-TB evidence rows, and the shared host's tenant
+        # bursts last ~1-2 min — 3 iterations can land entirely inside
+        # one (run-5 caught both engines 2.2× slow with clean start/
+        # end signatures). The full per-iteration traces are recorded
+        # so a burst is VISIBLE in the artifact instead of silently
+        # shaping the min. Budget guard: a control run over 30 s stops
+        # further control runs (min-of-1 is still same-moment).
         sec = ctl = float("inf")
+        s_trace: list = []
+        d_trace: list = []
         ctl_left = ctl_runs if (con is not None and ctl_sql) else 0
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             spark_df.count()
-            sec = min(sec, time.perf_counter() - t0)
+            one_s = time.perf_counter() - t0
+            s_trace.append(round(one_s, 3))
+            sec = min(sec, one_s)
             if ctl_left > 0:
                 try:
                     one = _duckdb_count(con, ctl_sql, runs=1)
+                    d_trace.append(round(one, 3))
                     ctl = min(ctl, one)
                     ctl_left = 0 if one > 30 else ctl_left - 1
                 except Exception:
                     ctl_left = 0
         row = {"rows": n_rows, "sec": round(sec, 3),
-               "rows_per_sec": round(n_rows / sec)}
+               "rows_per_sec": round(n_rows / sec),
+               "spark_trace": s_trace}
         if ctl < float("inf"):
             row["duckdb_sec"] = round(ctl, 3)
             row["ratio_vs_duckdb"] = round(sec / ctl, 2)
+            row["duckdb_trace"] = d_trace
         return row
-
-    # dedup_exact @ 1M docs (5000 × 200, salted → per-replica dup
-    # structure identical to sf0.1): md5-of-text groupBy on both sides.
-    rep_d = 200
-    d = load_table(spark, sf_dir, "documents")
-    n_docs = d.count() * rep_d
-    repx_d = F.explode(F.sequence(F.lit(1), F.lit(rep_d))).alias("__rep")
-    d_rep = d.select("doc_id", "text").repartition(width).select(
-        "*", repx_d
-    ).select(
-        (F.col("doc_id") * rep_d + F.col("__rep")).alias("doc_id"),
-        # regex salting — pinned identical to the HOF form, see the
-        # scale-section d_rep comment
-        F.expr(
-            "CASE WHEN trim(text) = '' THEN '' ELSE"
-            " concat(regexp_replace(trim(regexp_replace(text, ' +', ' ')),"
-            " ' ', concat('_', __rep, ' ')), '_', __rep) END"
-        ).alias("text"),
-    )
-    exact_sql = None
-    if _rep_view(
-        "documents_rep_1m",
-        f"SELECT d.doc_id * {rep_d} + r.range + 1 AS doc_id, "
-        "array_to_string(list_transform("
-        "  list_filter(string_split(d.text, ' '), x -> x <> ''), "
-        "  x -> x || '_' || CAST(r.range + 1 AS VARCHAR)), ' ') AS text "
-        f"FROM documents d CROSS JOIN range({rep_d}) r",
-    ):
-        exact_sql = _must_replace(
-            REGISTRY["dedup_exact"].oracle,
-            "FROM documents", "FROM documents_rep_1m",
-        )
-    out["dedup_exact"] = _paired_row(
-        dedup.exact_dedup(d_rep, "text", "doc_id"), n_docs, exact_sql
-    )
 
     # similarity_topk @ 10M vectors (2000 × 5000): brute-force cosine
     # top-10 against the original query vector — map-only scan +
@@ -1532,14 +1627,32 @@ def _floor_at_scale(spark, sf_dir: str, con) -> dict:
         .select((F.col("id") + 1).alias("__off"))
         .crossJoin(F.broadcast(bb))
     )
-    out["similarity_topk"] = _paired_row(
-        similarity.cosine_topk_blocks(
-            bb_rep, query, k=10, dims=dims,
-            id_scale=rep_e, id_offset_col="__off",
-        ),
-        n_vec, topk_sql,
+    # Arrow batch sizing: at ~78 block-rows per task the default
+    # 10k-row bound yields ONE 40 MB batch per task — the JVM producer
+    # and the python kernel serialize instead of pipelining. 16 rows
+    # (8 MB) gives ~5 batches/task and measured 2.5 s → 1.8 s (the
+    # producer streams batch N+1 while the kernel chews batch N);
+    # restored after the row so the other floor rows keep their
+    # defaults. Deployment guidance lives in the operator docstring:
+    # size batches so a task carries ≥4-8 of them.
+    _prev_batch = spark.conf.get(
+        "spark.sql.execution.arrow.maxRecordsPerBatch"
     )
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        out["similarity_topk"] = _paired_row(
+            similarity.cosine_topk_blocks(
+                bb_rep, query, k=10, dims=dims,
+                id_scale=rep_e, id_offset_col="__off",
+            ),
+            n_vec, topk_sql,
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", _prev_batch
+        )
     out["similarity_topk"]["engine"] = "blocks"
+    out["similarity_topk"]["arrow_batch_rows"] = 16
     arrow_row = _paired_row(
         similarity.cosine_topk(e_rep, query, k=10, engine="arrow"),
         n_vec, None,
@@ -1554,6 +1667,42 @@ def _floor_at_scale(spark, sf_dir: str, con) -> dict:
         e_rep, query, k=10, engine="arrow"
     ).collect()]
     out["similarity_topk"]["engines_match"] = blocks_rows == arrow_rows
+
+    # dedup_exact @ 1M docs (5000 × 200, salted → per-replica dup
+    # structure identical to sf0.1): md5-of-text groupBy on both sides.
+    rep_d = 200
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count() * rep_d
+    repx_d = F.explode(F.sequence(F.lit(1), F.lit(rep_d))).alias("__rep")
+    d_rep = d.select("doc_id", "text").repartition(width).select(
+        "*", repx_d
+    ).select(
+        (F.col("doc_id") * rep_d + F.col("__rep")).alias("doc_id"),
+        # regex salting — pinned identical to the HOF form, see the
+        # scale-section d_rep comment
+        F.expr(
+            "CASE WHEN trim(text) = '' THEN '' ELSE"
+            " concat(regexp_replace(trim(regexp_replace(text, ' +', ' ')),"
+            " ' ', concat('_', __rep, ' ')), '_', __rep) END"
+        ).alias("text"),
+    )
+    exact_sql = None
+    if _rep_view(
+        "documents_rep_1m",
+        f"SELECT d.doc_id * {rep_d} + r.range + 1 AS doc_id, "
+        "array_to_string(list_transform("
+        "  list_filter(string_split(d.text, ' '), x -> x <> ''), "
+        "  x -> x || '_' || CAST(r.range + 1 AS VARCHAR)), ' ') AS text "
+        f"FROM documents d CROSS JOIN range({rep_d}) r",
+    ):
+        exact_sql = _must_replace(
+            REGISTRY["dedup_exact"].oracle,
+            "FROM documents", "FROM documents_rep_1m",
+        )
+    out["dedup_exact"] = _paired_row(
+        dedup.exact_dedup(d_rep, "text", "doc_id"), n_docs, exact_sql
+    )
+
 
     # sketch_heavy_hitters at 25M rows / ~20M distinct keys: replicated
     # events (user_id unchanged — per-user counts and the n/k threshold
@@ -1627,6 +1776,13 @@ def _floor_at_scale(spark, sf_dir: str, con) -> dict:
             other_row["sec"] / row["duckdb_sec"], 2
         )
     out["sketch_heavy_hitters"] = row
+
+    # RRF hybrid retrieval, fresh-JVM (see _rrf_scale_row): the full
+    # lexical+vector serving pipeline at 500k docs + 200k vectors
+    try:
+        out["retrieval_rrf_hybrid"] = _rrf_scale_row(spark, sf_dir, con)
+    except Exception as exc:
+        out["retrieval_rrf_hybrid"] = {"error": str(exc)[:200]}
     return out
 
 

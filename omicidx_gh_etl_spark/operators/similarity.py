@@ -134,13 +134,19 @@ def cosine_topk(
     )
 
 
-def _batch_topk_scores(arr, idn_all, qv, qn, kk, margin=1e-3):
+def _batch_topk_scores(arr, idn_all, qv, qn, kk, margin=1e-3,
+                       norms_nat=None):
     """Shared per-batch exact top-k kernel for the arrow/packed engines:
     native-dtype gemv pre-selection (margin-padded pool — see the error
     bound in :func:`_cosine_topk_arrow`), float64 rescore of the pool
     with Spark's decimal HALF_UP rounding, (cos desc, id asc) local
     order, and the sql engine's null-cosine padding for degenerate
-    corpora. Returns ``(ids list, cos list)`` of ≤ k rows."""
+    corpora. Returns ``(ids list, cos list)`` of ≤ k rows.
+    ``norms_nat`` (per-row f32 norms precomputed at ingest — the
+    blocks layout can carry them) skips the einsum norm pass, saving
+    one full read of the batch matrix; the f64 rescore recomputes
+    exact norms for the pool either way, so the result is unchanged
+    (the margin bound already covers f32 norm error)."""
     import numpy as np
 
     n = arr.shape[0]
@@ -148,9 +154,13 @@ def _batch_topk_scores(arr, idn_all, qv, qn, kk, margin=1e-3):
     if n > kk:
         q_nat = qv.astype(arr.dtype, copy=False)
         d_nat = arr @ q_nat
-        n_nat = np.einsum("ij,ij->i", arr, arr)
+        n2 = (
+            norms_nat.astype(d_nat.dtype, copy=False) ** 2
+            if norms_nat is not None
+            else np.einsum("ij,ij->i", arr, arr)
+        )
         with np.errstate(divide="ignore", invalid="ignore"):
-            cos_nat = d_nat / np.sqrt(n_nat * (qn * qn))
+            cos_nat = d_nat / np.sqrt(n2 * (qn * qn))
         # zero-norm rows are NULL-cosine in the sql engine and sort
         # last there; exclude them from the pool the same way (NaN
         # would poison np.partition's pivot)
@@ -463,6 +473,7 @@ def pack_vector_blocks(
     id_col: str = "vec_id",
     dims: int | None = None,
     block_rows: int = 1024,
+    with_norms: bool = False,
 ) -> DataFrame:
     """Ingest transform to the BLOCK layout: ``(n, ids, vecs)`` rows
     where ``vecs`` is ``n × dims`` float32 row-major bytes and ``ids``
@@ -485,6 +496,12 @@ def pack_vector_blocks(
     Ingest validation (NOT silent): NULL or wrong-width vectors raise —
     the block layout stores exactly-``dims`` vectors by contract; clean
     them upstream (the per-row engines handle degenerate rows instead).
+
+    ``with_norms=True`` packs a third blob of per-vector f32 norms
+    (computed once at ingest, like FAISS stores norms alongside
+    codes): the scan kernel then skips its per-batch einsum norm
+    pass — one fewer full read of the matrix — with results unchanged
+    (the exact float64 rescore recomputes pool norms either way).
     """
     if dims is None:
         probe = df.select(F.col(vec_col)).filter(
@@ -523,30 +540,43 @@ def pack_vector_blocks(
             idn = np.ascontiguousarray(
                 ids.to_numpy(zero_copy_only=False), dtype="<i8"
             )
+            nrm = (
+                np.sqrt((mat.astype("<f4") ** 2).sum(axis=1, dtype="<f4"))
+                .astype("<f4")
+                if with_norms else None
+            )
             outs = []
             for lo in range(0, n, br):
                 hi = min(lo + br, n)
-                outs.append(
-                    (hi - lo, idn[lo:hi].tobytes(), mat[lo:hi].tobytes())
+                row = [hi - lo, idn[lo:hi].tobytes(), mat[lo:hi].tobytes()]
+                if with_norms:
+                    row.append(nrm[lo:hi].tobytes())
+                outs.append(row)
+            cols = [
+                pa.array([o[0] for o in outs], type=pa.int32()),
+                pa.array([o[1] for o in outs], type=pa.binary()),
+                pa.array([o[2] for o in outs], type=pa.binary()),
+            ]
+            names = ["n", "ids", "vecs"]
+            if with_norms:
+                cols.append(
+                    pa.array([o[3] for o in outs], type=pa.binary())
                 )
-            yield pa.record_batch(
-                [
-                    pa.array([o[0] for o in outs], type=pa.int32()),
-                    pa.array([o[1] for o in outs], type=pa.binary()),
-                    pa.array([o[2] for o in outs], type=pa.binary()),
-                ],
-                names=["n", "ids", "vecs"],
-            )
+                names.append("norms")
+            yield pa.record_batch(cols, names=names)
 
     from pyspark.sql.types import (
         BinaryType, IntegerType, StructField, StructType,
     )
 
-    out_schema = StructType([
+    fields = [
         StructField("n", IntegerType(), False),
         StructField("ids", BinaryType(), False),
         StructField("vecs", BinaryType(), False),
-    ])
+    ]
+    if with_norms:
+        fields.append(StructField("norms", BinaryType(), False))
+    out_schema = StructType(fields)
     return df.select(F.col(id_col), F.col(vec_col)).mapInArrow(
         _pack, out_schema
     )
@@ -562,6 +592,7 @@ def cosine_topk_blocks(
     query_vec_col: str = "qv",
     id_scale: int = 1,
     id_offset_col: str | None = None,
+    norms_col: str | None = None,
 ) -> DataFrame:
     """Brute-force cosine top-k over the BLOCK layout
     (:func:`pack_vector_blocks`) — the transfer-optimal exact scan.
@@ -581,6 +612,13 @@ def cosine_topk_blocks(
     layout removes the per-row Arrow bookkeeping that dominated the
     per-vector engines (measured 10M×64: 2.4 s arrow → ~1.5 s blocks,
     vs a same-moment DuckDB ``list_dot_product`` scan at 1.2 s).
+
+    Deployment note: size ``spark.sql.execution.arrow.maxRecordsPerBatch``
+    so each task carries ≥4-8 Arrow batches of block rows (e.g. 16
+    block-rows ≈ 8 MB at 2048×64-f32 blocks). With one giant batch
+    per task the JVM producer and the python kernel run SERIALLY;
+    with several, they pipeline — measured 2.5 s → 1.8 s on the
+    10M-vector scan.
     """
     import numpy as np
 
@@ -596,43 +634,47 @@ def cosine_topk_blocks(
     scale = int(id_scale)
 
     cols = [F.col(ids_col), F.col(vecs_col)]
+    has_norms = norms_col is not None
+    if has_norms:
+        cols.append(F.col(norms_col))
     if id_offset_col is not None:
         cols.append(F.col(id_offset_col).cast("long").alias("__off"))
+    off_idx = 2 + (1 if has_norms else 0)
 
     def _scan(batches):
         import pyarrow as pa
+
+        def _flat(col_a, dtype, width_bytes):
+            if isinstance(col_a, pa.ChunkedArray):
+                col_a = col_a.combine_chunks()
+            off = np.frombuffer(col_a.buffers()[1], np.int32)[
+                col_a.offset : col_a.offset + n_rows + 1
+            ]
+            cnt = int(off[-1] - off[0]) // width_bytes
+            return off, np.frombuffer(
+                col_a.buffers()[2], dtype, offset=int(off[0]), count=cnt
+            )
 
         for b in batches:
             n_rows = b.num_rows
             if n_rows == 0:
                 continue
-            ids_a = b.column(0)
-            vec_a = b.column(1)
-            if isinstance(ids_a, pa.ChunkedArray):
-                ids_a = ids_a.combine_chunks()
-            if isinstance(vec_a, pa.ChunkedArray):
-                vec_a = vec_a.combine_chunks()
-            ioff = np.frombuffer(ids_a.buffers()[1], np.int32)[
-                ids_a.offset : ids_a.offset + n_rows + 1
-            ]
-            voff = np.frombuffer(vec_a.buffers()[1], np.int32)[
-                vec_a.offset : vec_a.offset + n_rows + 1
-            ]
-            nv = int(voff[-1] - voff[0]) // (4 * dd)
-            arr = np.frombuffer(
-                vec_a.buffers()[2], "<f4",
-                offset=int(voff[0]), count=nv * dd,
-            ).reshape(nv, dd)
-            idn = np.frombuffer(
-                ids_a.buffers()[2], "<i8", offset=int(ioff[0]), count=nv
-            )
+            ioff, idn = _flat(b.column(0), "<i8", 8)
+            _voff, flat_v = _flat(b.column(1), "<f4", 4)
+            nv = flat_v.size // dd
+            arr = flat_v.reshape(nv, dd)
+            norms_nat = None
+            if has_norms:
+                _noff, norms_nat = _flat(b.column(2), "<f4", 4)
             if scale != 1:
                 idn = idn * scale
-            if len(b.columns) > 2:
-                offs = b.column(2).to_numpy(zero_copy_only=False)
+            if len(b.columns) > off_idx:
+                offs = b.column(off_idx).to_numpy(zero_copy_only=False)
                 per_block = np.diff(ioff) // 8
                 idn = idn + np.repeat(offs, per_block)
-            out_ids, out_cos = _batch_topk_scores(arr, idn, qv, qn, kk)
+            out_ids, out_cos = _batch_topk_scores(
+                arr, idn, qv, qn, kk, norms_nat=norms_nat
+            )
             yield pa.record_batch(
                 [
                     pa.array(out_ids, type=pa.int64()),

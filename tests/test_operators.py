@@ -1047,6 +1047,67 @@ def test_cosine_topk_packed_engine_identical(spark, sf_dir):
         assert bytes(r["emb_f32"]) == want
 
 
+def test_cosine_topk_blocks_matches_sql_and_validates(spark, sf_dir):
+    """The BLOCK layout scan (pack_vector_blocks → cosine_topk_blocks)
+    returns exactly the sql engine's rows, including under ties and a
+    non-default block size that forces multi-block batches; the packer
+    REJECTS null/ragged vectors (ingest validation, never silent)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from omicidx_gh_etl_spark.operators import similarity
+    from omicidx_gh_etl_spark.queries.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    want = [tuple(r) for r in
+            similarity.cosine_topk(e, q, k=10, engine="sql").collect()]
+    for br in (7, 1024):  # tiny blocks → many blocks per batch
+        blocks = similarity.pack_vector_blocks(
+            e, "embedding", "vec_id", block_rows=br
+        )
+        got = [tuple(r) for r in similarity.cosine_topk_blocks(
+            blocks, q, k=10
+        ).collect()]
+        assert got == want, f"block_rows={br}"
+
+    # id re-basing (merged-shards convention): global = local*scale+off
+    blocks = similarity.pack_vector_blocks(e, "embedding", "vec_id")
+    shifted = blocks.selectExpr("*", "cast(7 as long) AS __off")
+    got = {r["vec_id"] for r in similarity.cosine_topk_blocks(
+        shifted, q, k=5, id_scale=10, id_offset_col="__off"
+    ).collect()}
+    base = {r["vec_id"] for r in similarity.cosine_topk_blocks(
+        blocks, q, k=5
+    ).collect()}
+    assert got == {v * 10 + 7 for v in base}
+
+    # ingest validation: nulls and ragged vectors raise, never pack
+    bad_null = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None)], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(Exception, match="NULL vectors"):
+        similarity.pack_vector_blocks(
+            bad_null, "embedding", "vec_id", dims=2
+        ).collect()
+    bad_ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(Exception, match="ragged"):
+        similarity.pack_vector_blocks(
+            bad_ragged, "embedding", "vec_id", dims=2
+        ).collect()
+    # all-null dims inference fails loudly too
+    with _pytest.raises(ValueError, match="all-null"):
+        similarity.pack_vector_blocks(
+            spark.createDataFrame(
+                [(1, None)], "vec_id long, embedding array<double>"
+            ),
+            "embedding", "vec_id",
+        )
+    assert np is not None
+
+
 def test_brute_topk_engines_identical(spark, sf_dir):
     """The BLAS-gemm arrow engine of the multi-probe brute-force
     top-k returns exactly the sql engine's rows — carried columns,

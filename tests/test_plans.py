@@ -396,3 +396,18 @@ def test_bloom_semi_join_prunes_before_the_shuffle(spark):
     detail = plan  # formatted mode puts expressions in the details
     assert "shiftright" in detail
     assert "LeftSemi" in detail
+
+
+def test_topk_blocks_is_map_only_scan_plus_takeordered(spark):
+    """The block-layout brute scan's contract: ingest packing and the
+    gemv scan are both mapInArrow (map-only — zero shuffles anywhere),
+    and the global top-k is TakeOrderedAndProject over the ≤k rows
+    each batch emits. Any Exchange in this plan means the layout's
+    whole point (no per-row transfer cost, no data movement) was
+    lost."""
+    plan = plan_of(spark, "similarity_topk_blocks")
+    body = plan.split("\n\n")[0]
+    assert count_op(body, "TakeOrderedAndProject") == 1
+    assert body.count("MapInArrow") == 2  # pack + scan
+    assert count_op(body, "SortMergeJoin") == 0
+    assert "hashpartitioning" not in body.lower()
