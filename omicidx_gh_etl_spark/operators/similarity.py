@@ -134,6 +134,20 @@ def cosine_topk(
     )
 
 
+def _uniform_lengths(vecs, dims: int) -> bool:
+    """True iff EVERY list row has exactly ``dims`` elements. A
+    total-element-count check alone accepts COMPENSATING ragged rows
+    (e.g. [1,2],[3,4,5],[6] at dims=2 sums to n*dims) and a reshape
+    would then silently shift every vector after the first ragged row
+    under the wrong id — per-row lengths are the only safe gate for
+    the zero-copy fast paths."""
+    import pyarrow.compute as pc
+
+    mm = pc.min_max(pc.list_value_length(vecs))
+    lo, hi = mm["min"].as_py(), mm["max"].as_py()
+    return lo == hi == dims
+
+
 def _batch_topk_scores(arr, idn_all, qv, qn, kk, margin=1e-3,
                        norms_nat=None):
     """Shared per-batch exact top-k kernel for the arrow/packed engines:
@@ -253,7 +267,7 @@ def _cosine_topk_arrow(
             # __iter__ (measured 3.8 s/64M floats vs ~40 ms for the
             # buffer view).
             flat = vecs.flatten().to_numpy(zero_copy_only=False)
-            if vecs.null_count == 0 and flat.size == n * qv.size:
+            if vecs.null_count == 0 and _uniform_lengths(vecs, qv.size):
                 arr = flat.reshape(n, qv.size)
             else:  # ragged/null rows: per-row (correctness fallback)
                 arr = np.array(
@@ -335,7 +349,7 @@ def pack_vectors(
             if isinstance(vecs, pa.ChunkedArray):
                 vecs = vecs.combine_chunks()
             flat = vecs.flatten().to_numpy(zero_copy_only=False)
-            if vecs.null_count == 0 and flat.size == n * dims:
+            if vecs.null_count == 0 and _uniform_lengths(vecs, dims):
                 f32 = np.ascontiguousarray(flat, dtype="<f4")
                 offs = (np.arange(n + 1, dtype=np.int32) * nbytes)
                 packed = pa.Array.from_buffers(
@@ -531,7 +545,7 @@ def pack_vector_blocks(
                     "filter or repair them at ingest"
                 )
             flat = vecs.flatten().to_numpy(zero_copy_only=False)
-            if flat.size != n * dd:
+            if not _uniform_lengths(vecs, dd):
                 raise ValueError(
                     f"pack_vector_blocks: ragged vectors (expected "
                     f"{dd} dims each)"
@@ -647,7 +661,11 @@ def cosine_topk_blocks(
         def _flat(col_a, dtype, width_bytes):
             if isinstance(col_a, pa.ChunkedArray):
                 col_a = col_a.combine_chunks()
-            off = np.frombuffer(col_a.buffers()[1], np.int32)[
+            odt = (
+                np.int64
+                if pa.types.is_large_binary(col_a.type) else np.int32
+            )
+            off = np.frombuffer(col_a.buffers()[1], odt)[
                 col_a.offset : col_a.offset + n_rows + 1
             ]
             cnt = int(off[-1] - off[0]) // width_bytes
@@ -810,7 +828,7 @@ def _brute_topk_arrow(
             if isinstance(vecs, pa.ChunkedArray):
                 vecs = vecs.combine_chunks()
             flat = vecs.flatten().to_numpy(zero_copy_only=False)
-            if vecs.null_count == 0 and flat.size == n * dim:
+            if vecs.null_count == 0 and _uniform_lengths(vecs, dim):
                 arr = flat.reshape(n, dim).astype(np.float64, copy=False)
             else:
                 arr = np.array(
@@ -2243,7 +2261,7 @@ def pca_transform(
             flat = vecs.flatten().to_numpy(zero_copy_only=False).astype(
                 np.float64, copy=False
             )
-            if vecs.null_count or flat.size != n * dim:
+            if vecs.null_count or not _uniform_lengths(vecs, dim):
                 raise ValueError("null or ragged vectors in pca_transform")
             proj = (flat.reshape(n, dim) - mu) @ V.T
             if round_to is not None:

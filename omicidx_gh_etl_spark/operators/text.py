@@ -1022,7 +1022,9 @@ def bm25_batch_topk(
     toks = tokens_sql(f"coalesce(`{text_col}`, '')")
     q = queries.select(
         F.col(q_id_col).alias("q_id"), F.col(q_term_col).alias("term")
-    ).distinct()
+    ).filter(F.col("term").isNotNull()).distinct()
+    # NULL terms are dropped (they can never match a token — the same
+    # semantics the former null-safe semi join gave them for free)
     qterms = q.select("term").distinct()
     term_list = [r["term"] for r in qterms.collect()]
     sized = docs.selectExpr(

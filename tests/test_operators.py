@@ -1105,7 +1105,74 @@ def test_cosine_topk_blocks_matches_sql_and_validates(spark, sf_dir):
             ),
             "embedding", "vec_id",
         )
-    assert np is not None
+
+    # COMPENSATING ragged rows (lengths 2,3,1 summing to n*dims at
+    # dims=2): a total-size check alone would reshape these into the
+    # WRONG id->vector mapping silently — per-row length validation
+    # must catch them (code-review finding, round 8)
+    comp = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0, 5.0]), (3, [6.0])],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1)
+    with _pytest.raises(Exception, match="ragged"):
+        similarity.pack_vector_blocks(
+            comp, "embedding", "vec_id", dims=2
+        ).collect()
+    # pack_vectors must NULL the ragged rows, not mis-pack them
+    got = {r["vec_id"]: r["emb_f32"] for r in similarity.pack_vectors(
+        comp, "embedding", "vec_id", dims=2
+    ).collect()}
+    assert bytes(got[1]) == np.array([1.0, 2.0], dtype="<f4").tobytes()
+    assert got[2] is None and got[3] is None
+    # and the arrow engine must score them as null-cosine, identical
+    # to the sql engine, not shift vectors under wrong ids
+    qq = spark.createDataFrame(
+        [([1.0, 2.0],)], "qv array<double>"
+    )
+    a = [tuple(r) for r in similarity.cosine_topk(
+        comp, qq, k=3, engine="sql").collect()]
+    b = [tuple(r) for r in similarity.cosine_topk(
+        comp, qq, k=3, engine="arrow").collect()]
+    assert a == b
+
+
+def test_cosine_topk_blocks_norms_blob_identical(spark, sf_dir):
+    """with_norms=True (ingest-time norms blob + kernel skip of the
+    einsum pass) returns exactly the no-norms and sql results."""
+    from omicidx_gh_etl_spark.operators import similarity
+    from omicidx_gh_etl_spark.queries.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    want = [tuple(r) for r in
+            similarity.cosine_topk(e, q, k=10, engine="sql").collect()]
+    blocks = similarity.pack_vector_blocks(
+        e, "embedding", "vec_id", block_rows=13, with_norms=True
+    )
+    got = [tuple(r) for r in similarity.cosine_topk_blocks(
+        blocks, q, k=10, norms_col="norms"
+    ).collect()]
+    assert got == want
+
+
+def test_bm25_batch_topk_null_term_dropped(spark, sf_dir):
+    """A NULL query term is dropped (it can never match a token — the
+    semantics the former null-safe semi join gave for free), never a
+    plan-construction crash."""
+    from omicidx_gh_etl_spark.operators import text as text_ops
+    from omicidx_gh_etl_spark.queries.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(50)
+    q = spark.createDataFrame(
+        [(0, "the"), (0, None), (1, None)], "q_id int, term string"
+    )
+    rows = text_ops.bm25_batch_topk(d, q, "text", "doc_id", k=5).collect()
+    assert {r["q_id"] for r in rows} <= {0}
+    clean = text_ops.bm25_batch_topk(
+        d, spark.createDataFrame([(0, "the")], "q_id int, term string"),
+        "text", "doc_id", k=5,
+    ).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in clean]
 
 
 def test_brute_topk_engines_identical(spark, sf_dir):
