@@ -2568,3 +2568,46 @@ def test_contiguous_ids_wide_partition_count_o1_lookup(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_bm25_serve_matches_batch_topk(spark, sf_dir):
+    """The index lifecycle (bm25_build_index -> bm25_serve) returns
+    exactly the one-shot bm25_batch_topk rows for the same corpus and
+    query batch — scores, ranks, ties — and the prebuilt index serves
+    a SECOND query batch without touching the corpus text again
+    (serve-many semantics). Token-less docs count toward n/avgdl in
+    both paths."""
+    from pyspark.sql import functions as F
+
+    from omicidx_gh_etl_spark.operators import text as text_ops
+    from omicidx_gh_etl_spark.queries.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(200).select(
+        "doc_id", "text"
+    )
+    # plant a token-less doc: it must still count toward n/avgdl
+    d = d.unionByName(spark.createDataFrame(
+        [(999_999, "   ")], "doc_id long, text string"
+    ))
+    q1 = spark.createDataFrame(
+        [(0, "the"), (0, "of"), (1, "and")], "q_id int, term string"
+    )
+    q2 = spark.createDataFrame(
+        [(7, "data"), (7, "the")], "q_id int, term string"
+    )
+    postings, dfreq, stats = text_ops.bm25_build_index(d, "text", "doc_id")
+    for q in (q1, q2):
+        want = sorted(
+            tuple(r) for r in text_ops.bm25_batch_topk(
+                d, q, "text", "doc_id", k=7
+            ).collect()
+        )
+        got = sorted(
+            tuple(r) for r in text_ops.bm25_serve(
+                postings, dfreq, stats, q, "doc_id", k=7
+            ).collect()
+        )
+        assert got == want
+    # the stats row counted the token-less doc
+    n = stats.collect()[0]["__n"]
+    assert n == d.count()
