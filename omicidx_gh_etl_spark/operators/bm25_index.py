@@ -1,0 +1,175 @@
+"""Persisted term-bucketed BM25 index: build-once / serve-many text
+retrieval with the postings stored Hive-bucketed BY TERM, so serving a
+query batch prunes the postings scan to the query terms' buckets.
+
+The text sibling of ``operators/ann_index.py``'s persisted IVF index,
+completing the index-once/query-many lifecycle for the lexical side
+(the deployment shape of the reference's remote marts —
+/root/reference/DEPLOYMENT.md:436-507: publish an artifact once, serve
+many cheap queries from it). ``bm25_build_index`` alone pins the
+postings with ``localCheckpoint`` — gone with the session, and every
+serve scans ALL postings. This module persists them the way a real
+text engine lays out its inverted index (Lucene's per-term postings
+files, the term-sharded layouts of distributed search systems):
+
+- **build**: one corpus scan (tokenize → postings + per-doc lengths,
+  materialized once), then the postings and the document-frequency
+  table are written as Hive-bucketed managed tables keyed on ``term``
+  (``sources/layout.py::write_bucketed``), pre-shuffled so each bucket
+  is one sorted file. The 1-row corpus stats (n, avgdl) — which count
+  token-less documents — land in a third tiny table.
+- **serve**: the query batch's distinct terms (the workload — small by
+  contract, same as the probed-cell list in ``AnnIndex.search``) are
+  collected to the driver and inlined as a literal ``IN`` filter, so
+  bucket pruning is STATIC — the scan's plan shows
+  ``SelectedBucketsCount: q out of N`` and only the matching buckets'
+  files are read (``tests/test_plans.py`` pins this, plus the absence
+  of any shuffle on the postings side before the per-query score
+  aggregate). Scoring delegates to :func:`operators.text.bm25_serve`,
+  so scores/ranks/ties are bit-identical to the one-shot
+  ``bm25_batch_topk`` (pytest-pinned).
+
+Bucketed scans are opted in explicitly: Spark's planner skips the
+bucketed layout when no Exchange would be saved
+(``spark.sql.sources.bucketing.autoBucketedScan.enabled``), which also
+skips bucket PRUNING — for an index read, pruning IS the point, so
+``serve`` pins the conf off for the session (scans of non-bucketed
+tables are unaffected).
+
+At 100 TB: postings are the tokenized corpus + 3 small columns,
+written once per rebuild; ``n_buckets`` sizes the serve-time IO unit —
+per-batch read cost is ≈ |postings| × |query-term buckets| / n_buckets
+regardless of how many batches run. Choose n_buckets so one bucket's
+postings fit an executor's scan budget (e.g. 46M postings per 1M docs
+→ 4096 buckets ≈ 11k postings/bucket at corpus scale)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.layout import write_bucketed
+from .text import bm25_build_index, bm25_serve
+
+
+class Bm25Index:
+    """Term-bucketed persisted BM25 index over three managed tables:
+    ``{name}_postings`` (doc_id, term, __dl, tf — bucketed+sorted by
+    term), ``{name}_dfreq`` (term, df — same bucketing) and
+    ``{name}_stats`` (the 1-row __n/__avgdl corpus scalars)."""
+
+    def __init__(self, spark: SparkSession, name: str) -> None:
+        self.spark = spark
+        self.postings_table = f"{name}_postings"
+        self.dfreq_table = f"{name}_dfreq"
+        self.stats_table = f"{name}_stats"
+
+    def build(
+        self,
+        docs: DataFrame,
+        text_col: str,
+        id_col: str,
+        n_buckets: int = 32,
+    ) -> None:
+        """One corpus scan → persisted index. The exploded projection
+        is materialized once (``bm25_build_index(materialize=True)``),
+        so postings, dfreq and stats all derive from it without
+        re-tokenizing; the postings are repartitioned on ``term``
+        BEFORE the bucketed write (same Murmur3 pmod as the bucket
+        spec), so each bucket is exactly one sorted file instead of
+        tasks × buckets fragments."""
+        for t in (self.postings_table, self.dfreq_table, self.stats_table):
+            _drop_table_and_location(self.spark, t)
+        postings, dfreq, stats = bm25_build_index(
+            docs, text_col, id_col, materialize=True
+        )
+        canon = postings.select(
+            F.col(id_col).alias("doc_id"), "term", "__dl", "tf"
+        )
+        write_bucketed(
+            canon.repartition(n_buckets, F.col("term")),
+            self.postings_table,
+            ["term"],
+            num_buckets=n_buckets,
+            sort_cols=["term", "doc_id"],
+        )
+        write_bucketed(
+            dfreq.repartition(n_buckets, F.col("term")),
+            self.dfreq_table,
+            ["term"],
+            num_buckets=n_buckets,
+            sort_cols=["term"],
+        )
+        stats.write.mode("overwrite").saveAsTable(self.stats_table)
+
+    def serve(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        k1: float = 1.2,
+        b: float = 0.75,
+        q_id_col: str = "q_id",
+        q_term_col: str = "term",
+    ) -> DataFrame:
+        """Top-k per query from the on-disk index → ``(q_id, doc_id,
+        score, rk)``. The distinct query terms become a literal IN
+        filter on both bucketed tables — static bucket pruning, visible
+        as ``SelectedBucketsCount`` in the scan — and the scoring tail
+        is :func:`bm25_serve` (same rounding/tiebreaks as the one-shot
+        operator). ``queries`` is the workload, small by contract."""
+        # bucket pruning requires the bucketed scan (see module doc);
+        # pinned on rather than save/restored — the plan is lazy, so a
+        # restore would un-prune the scan at action time
+        self.spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
+        # the workload is deduplicated DRIVER-side (it's collected for
+        # the IN filter regardless), so the serve plan carries no
+        # workload-keyed exchanges — its only shuffles are the
+        # q_id-keyed score aggregate and rank window (pinned)
+        qpairs = sorted(
+            set(
+                (r[0], r[1])
+                for r in queries.select(q_id_col, q_term_col).collect()
+                if r[1] is not None
+            )
+        )
+        terms = sorted({t for _, t in qpairs})
+        qd = self.spark.createDataFrame(
+            qpairs, queries.select(q_id_col, q_term_col).schema
+        )
+        postings = self.spark.table(self.postings_table).filter(
+            F.col("term").isin(terms)
+        )
+        dfreq = self.spark.table(self.dfreq_table).filter(
+            F.col("term").isin(terms)
+        )
+        stats = self.spark.table(self.stats_table)
+        return bm25_serve(
+            postings, dfreq, stats, qd, "doc_id",
+            q_id_col=q_id_col, q_term_col=q_term_col, k=k, k1=k1, b=b,
+            pre_deduped=True,
+        )
+
+
+def _drop_table_and_location(spark: SparkSession, table: str) -> None:
+    """DROP the table AND clear any orphaned warehouse location — the
+    in-memory catalog dies with the JVM but the warehouse directory
+    doesn't, and ``saveAsTable`` refuses a managed-table name whose
+    location already exists (LOCATION_ALREADY_EXISTS)."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(f"{wh}/{table}")
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(path):
+        fs.delete(path, True)
+
+
+def index_name_for(sf_dir: str, prefix: str = "bm25idx") -> str:
+    """Deterministic managed-table prefix for a corpus directory —
+    registered queries rebuild idempotently (mode=overwrite) under the
+    same name instead of littering the warehouse."""
+    return f"{prefix}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"

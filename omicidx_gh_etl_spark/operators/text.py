@@ -1034,6 +1034,7 @@ def bm25_serve(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    pre_deduped: bool = False,
 ) -> DataFrame:
     """Serve a query batch against a PREBUILT BM25 index
     (:func:`bm25_build_index`) → ``(q_id, id, score, rk)`` top-k per
@@ -1050,11 +1051,21 @@ def bm25_serve(
     rank-k window are the same shuffle-light tail as the one-shot
     operator. ``queries`` is the workload, small by contract; NULL
     terms are dropped (they can never match a token).
+
+    ``pre_deduped=True`` skips the (q_id, term) distinct and ships the
+    query frames un-deduplicated into the broadcasts — for callers
+    that already deduped the workload driver-side (the persisted-index
+    serve path, which collects the term list for its bucket-pruning IN
+    filter anyway). Duplicate terms are harmless in the LEFT-SEMI
+    prunes; skipping the two tiny distincts removes their exchanges
+    from the serve path, leaving q_id-keyed shuffles only.
     """
     q = queries.select(
         F.col(q_id_col).alias("q_id"), F.col(q_term_col).alias("term")
-    ).filter(F.col("term").isNotNull()).distinct()
-    qterms = q.select("term").distinct()
+    ).filter(F.col("term").isNotNull())
+    if not pre_deduped:
+        q = q.distinct()
+    qterms = q.select("term") if pre_deduped else q.select("term").distinct()
     p = postings.join(F.broadcast(qterms), "term", "left_semi")
     df_ = dfreq.join(F.broadcast(qterms), "term", "left_semi")
     contrib = (

@@ -2885,3 +2885,66 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id", "vec_id AS doc_id", "rk"
     )
     return text.rrf_fuse([trank, vrank], topk=10)
+
+
+# Per-process guard so repeated builder calls (parity gate, plan-doc
+# generation, bench warm runs) rebuild the persisted index only once —
+# the managed tables are mode=overwrite idempotent either way.
+_BM25_INDEX_BUILT: set[str] = set()
+
+
+@register(
+    "text_bm25_index_serve",
+    f"""
+    WITH q(q_id, term) AS (VALUES
+      {', '.join(f"({i}, '{t}')" for i, t in _BM25_BATCH_Q)}),
+    sized AS (
+      SELECT doc_id, {_BM25_TOKS} AS t FROM documents),
+    stats AS (SELECT count(*) AS n, avg(len(t)) AS avgdl FROM sized),
+    postings AS (
+      SELECT doc_id, term, dl, count(*) AS tf FROM (
+        SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM sized)
+      WHERE term IN (SELECT DISTINCT term FROM q)
+      GROUP BY 1, 2, 3),
+    dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+    contrib AS (
+      SELECT q.q_id, p.doc_id,
+             ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * (p.tf * (1.2 + 1.0))
+             / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / s.avgdl)) AS part
+      FROM postings p
+      JOIN q ON p.term = q.term
+      JOIN dfreq ON p.term = dfreq.term
+      CROSS JOIN stats s),
+    scored AS (
+      SELECT q_id, doc_id, round(sum(part), 4) AS score
+      FROM contrib GROUP BY 1, 2)
+    SELECT q_id, doc_id, score, CAST(rk AS INT) AS rk FROM (
+      SELECT q_id, doc_id, score,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY score DESC, doc_id) AS rk
+      FROM scored WHERE score > 0)
+    WHERE rk <= 10
+    """,
+    tags=("text", "llm", "retrieval"),
+)
+def text_bm25_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 from a PERSISTED term-bucketed index: build once
+    (operators/bm25_index.py::Bm25Index — postings Hive-bucketed by
+    term), then serve the query batch from the on-disk form with the
+    scan bucket-pruned to the query terms (SelectedBucketsCount in the
+    plan; tests/test_plans.py pins it). Scores/ranks identical to
+    text_bm25_batch_topk — the oracle is the same SQL — but the corpus
+    text is never re-tokenized at serve time: the index-once /
+    query-many lifecycle of the reference's published remote marts
+    (/root/reference/DEPLOYMENT.md:436-507)."""
+    from ..operators.bm25_index import Bm25Index, index_name_for
+
+    name = index_name_for(sf_dir)
+    idx = Bm25Index(spark, name)
+    if name not in _BM25_INDEX_BUILT:
+        d = load_spread(spark, sf_dir, "documents", "doc_id")
+        idx.build(d, "text", "doc_id", n_buckets=32)
+        _BM25_INDEX_BUILT.add(name)
+    q = spark.createDataFrame(_BM25_BATCH_Q, "q_id int, term string")
+    return idx.serve(q, k=10)

@@ -2611,3 +2611,61 @@ def test_bm25_serve_matches_batch_topk(spark, sf_dir):
     # the stats row counted the token-less doc
     n = stats.collect()[0]["__n"]
     assert n == d.count()
+
+
+def test_bm25_index_persisted_serve_matches_batch_topk(spark, sf_dir):
+    """The PERSISTED term-bucketed index (operators/bm25_index.py)
+    serves scores/ranks identical to the one-shot bm25_batch_topk for
+    multiple query batches — the on-disk lifecycle adds bucket pruning
+    without changing a single score — and token-less docs still count
+    toward n/avgdl through the persisted stats table."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from omicidx_gh_etl_spark.operators import text as text_ops
+    from omicidx_gh_etl_spark.operators.bm25_index import Bm25Index
+    from omicidx_gh_etl_spark.queries.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(200).select(
+        "doc_id", "text"
+    ).unionByName(spark.createDataFrame(
+        [(999_999, "   ")], "doc_id long, text string"
+    ))
+    name = f"bm25idx_t_{uuid.uuid4().hex[:8]}"
+    idx = Bm25Index(spark, name)
+    try:
+        idx.build(d, "text", "doc_id", n_buckets=16)
+        q1 = spark.createDataFrame(
+            [(0, "the"), (0, "of"), (1, "and")], "q_id int, term string"
+        )
+        q2 = spark.createDataFrame(
+            [(7, "data"), (7, "the"), (7, None)], "q_id int, term string"
+        )
+        for q in (q1, q2):
+            want = sorted(
+                tuple(r) for r in text_ops.bm25_batch_topk(
+                    d, q, "text", "doc_id", k=7
+                ).collect()
+            )
+            got = sorted(tuple(r) for r in idx.serve(q, k=7).collect())
+            assert got == want and len(got) > 0
+        # persisted stats counted the token-less doc
+        n = spark.table(idx.stats_table).collect()[0]["__n"]
+        assert n == d.count()
+        # exactly one file per bucket: the pre-shuffle matched the
+        # bucket spec (a mismatch writes tasks x buckets fragments)
+        files = [
+            r for r in spark.sql(
+                f"SHOW TABLE EXTENDED LIKE '{name}_postings'"
+            ).collect()
+        ]
+        import glob as _glob
+        loc = spark.sql(f"DESCRIBE FORMATTED {name}_postings").filter(
+            F.col("col_name") == "Location"
+        ).collect()[0]["data_type"]
+        n_files = len(_glob.glob(loc.replace("file:", "") + "/*.parquet"))
+        assert n_files <= 16
+    finally:
+        for t in (idx.postings_table, idx.dfreq_table, idx.stats_table):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

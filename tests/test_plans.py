@@ -411,3 +411,27 @@ def test_topk_blocks_is_map_only_scan_plus_takeordered(spark):
     assert body.count("MapInArrow") == 2  # pack + scan
     assert count_op(body, "SortMergeJoin") == 0
     assert "hashpartitioning" not in body.lower()
+
+
+def test_bm25_index_serve_prunes_buckets_no_postings_shuffle(spark):
+    """The persisted-index serve contract (operators/bm25_index.py):
+    the postings and dfreq scans are bucket-PRUNED to the query terms
+    (SelectedBucketsCount < total — the literal IN filter hits the
+    term-bucketed layout), and the postings side reaches the per-query
+    score aggregate without any shuffle: every plain hash exchange in
+    the plan partitions on q_id (the score agg + rank window), never
+    on term or the corpus."""
+    plan = plan_of(spark, "text_bm25_index_serve")
+    pruned = re.findall(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert len(pruned) >= 2, "index scans are not bucket-pruned"
+    for sel, tot in pruned:
+        assert int(sel) < int(tot)
+    # formatted mode puts each Exchange's partitioning in the details
+    parts = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan)
+    assert parts, "expected the q_id-keyed score/rank exchanges"
+    for keys in parts:
+        assert "q_id" in keys, f"non-q_id shuffle in serve plan: {keys}"
+    # and those are the ONLY plain shuffles (no SinglePartition/range,
+    # no workload-keyed distinct exchanges — deduped driver-side)
+    body = plan.split("\n\n")[0]
+    assert count_shuffles(body) == len(parts)

@@ -100,6 +100,7 @@ def main() -> None:
         "similarity_ivf_recall",
         "join_bloom_pruned_semi",
         "text_bm25_topk",
+        "text_bm25_index_serve",
         # ids_contiguous_assign deliberately absent: its builder
         # materializes (eager localCheckpoint), so the visible plan is
         # just the checkpoint scan — plan story lives in operators/ids.py
