@@ -143,10 +143,25 @@ class Bm25Index:
         postings = self.spark.table(self.postings_table).filter(
             F.col("term").isin(terms)
         )
-        dfreq = self.spark.table(self.dfreq_table).filter(
-            F.col("term").isin(terms)
+        # dfreq and stats are WORKLOAD-bounded after the term prune
+        # (term is the dfreq table's key ⇒ ≤|terms| rows; stats is one
+        # row), so they are collected and re-shipped driver-side — the
+        # index-metadata read a serving system does at batch start.
+        # Their broadcasts are then provably driver-memory-bounded
+        # (tests/test_hint_hygiene.py's LogicalRDD rule) instead of
+        # hanging a hint on a table scan, and the collect's own scan is
+        # bucket-pruned by the same IN filter.
+        dfreq_tbl = self.spark.table(self.dfreq_table)
+        dfreq = self.spark.createDataFrame(
+            self.spark.table(self.dfreq_table)
+            .filter(F.col("term").isin(terms))
+            .collect(),
+            dfreq_tbl.schema,
         )
-        stats = self.spark.table(self.stats_table)
+        stats_tbl = self.spark.table(self.stats_table)
+        stats = self.spark.createDataFrame(
+            stats_tbl.collect(), stats_tbl.schema
+        )
         return bm25_serve(
             postings, dfreq, stats, qd, "doc_id",
             q_id_col=q_id_col, q_term_col=q_term_col, k=k, k1=k1, b=b,

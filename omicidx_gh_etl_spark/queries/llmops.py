@@ -1359,6 +1359,83 @@ def similarity_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_kmeans_two_steps",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE embedding IS NOT NULL),
+    c1 AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+    a1 AS (
+      SELECT e.vec_id, c1.centroid_id, e.v
+      FROM e CROSS JOIN c1
+      QUALIFY row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY round({_COS.format(a='e.v', b='cv')}, 4) DESC,
+                 centroid_id) = 1),
+    el1 AS (
+      SELECT centroid_id, generate_subscripts(v, 1) - 1 AS pos,
+             unnest(v) AS x
+      FROM a1),
+    s1 AS (
+      SELECT centroid_id, pos,
+             round(CAST(sum(CAST(x AS DECIMAL(20,10))) AS DOUBLE)
+                   / count(*), 6) AS v
+      FROM el1 GROUP BY 1, 2),
+    c2 AS (
+      SELECT centroid_id, list(v ORDER BY pos) AS cv
+      FROM s1 GROUP BY 1),
+    a2 AS (
+      SELECT e.vec_id, c2.centroid_id, e.v
+      FROM e CROSS JOIN c2
+      QUALIFY row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY round({_COS.format(a='e.v', b='c2.cv')}, 4) DESC,
+                 centroid_id) = 1),
+    el2 AS (
+      SELECT centroid_id, generate_subscripts(v, 1) - 1 AS pos,
+             unnest(v) AS x
+      FROM a2)
+    SELECT centroid_id, CAST(pos AS INT) AS pos,
+           round(CAST(sum(CAST(x AS DECIMAL(20,10))) AS DOUBLE)
+                 / count(*), 6) AS v
+    FROM el2 GROUP BY 1, 2
+    """,
+    tags=("similarity", "ml"),
+)
+def similarity_kmeans_two_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO chained Lloyd refinements from the frozen seeds — proving
+    the driver-loop COMPOSITION the one-step similarity_kmeans_fit
+    can't (kmeans_fit is exactly this chaining iterated): step 1's
+    rounded long-form centroids are reassembled into arrays
+    (array_sort(collect_list(struct(pos, v)))) and fed back as step
+    2's broadcast centroids, exactly how kmeans_fit's driver loop
+    round-trips them. The round(·,6) BETWEEN steps is what makes the
+    chain engine-replayable — both engines re-assign against
+    identically-quantized centroids, so the float fixpoint problem
+    that kept free-running fits rows-only for 7 rounds never arises.
+    Step-2 cells can be empty (standard Lloyd's keeps the previous
+    centroid; iterating callers handle that — here absent rows ARE the
+    contract, matching the SQL)."""
+    e = load_spread(spark, sf_dir, "embeddings", "vec_id")
+    seeds = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter((F.col("vec_id") < 8) & F.col("embedding").isNotNull())
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("cv"),
+        )
+    )
+    s1 = similarity.kmeans_step(e, seeds)
+    c2 = (
+        s1.groupBy("centroid_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pm"))
+        .select(
+            "centroid_id", F.expr("transform(pm, p -> p.v)").alias("cv")
+        )
+    )
+    return similarity.kmeans_step(e, c2)
+
+
+@register(
     "text_chunk_udtf",
     """
     WITH toks AS (

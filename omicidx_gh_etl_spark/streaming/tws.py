@@ -46,7 +46,7 @@ from pyspark.sql.streaming.stateful_processor import (
 )
 
 from .stateful import SESSION_OUT_SCHEMA, SESSION_STATE_SCHEMA
-from .source import events_stream
+from .source import events_stream, source_glob
 
 _OUT_COLS = [
     "user_id",
@@ -169,6 +169,178 @@ def sessionize_stream_tws(
         SESSION_OUT_SCHEMA,
         "append",
         "eventTime" if timers else "none",
+    )
+
+
+class _ReplayValueState:
+    """Key-scoped ValueState view over the replay server's dict —
+    the same get/update/clear surface the real state server exposes,
+    scoped to the server's current grouping key (exactly how the
+    engine scopes the handle implicitly per key)."""
+
+    def __init__(self, server: "_ReplayStateServer") -> None:
+        self._server = server
+
+    def exists(self) -> bool:
+        return self._server.state.get(self._server.current_key) is not None
+
+    def get(self):
+        return self._server.state.get(self._server.current_key)
+
+    def update(self, v) -> None:
+        self._server.state[self._server.current_key] = tuple(v)
+
+    def clear(self) -> None:
+        self._server.state.pop(self._server.current_key, None)
+
+
+class _ReplayStateServer:
+    """Single-process stand-in for the transformWithState state server
+    (the JVM side the protobuf protocol talks to): per-key value
+    state + per-key timer registry, with the handle surface
+    (getValueState/registerTimer/deleteTimer) the processor calls."""
+
+    def __init__(self) -> None:
+        self.state: dict = {}
+        self.timers: dict[tuple, set[int]] = {}
+        self.current_key: tuple | None = None
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return _ReplayValueState(self)
+
+    def registerTimer(self, ms: int) -> None:
+        self.timers.setdefault(self.current_key, set()).add(int(ms))
+
+    def deleteTimer(self, ms: int) -> None:
+        self.timers.get(self.current_key, set()).discard(int(ms))
+
+    def expired(self, wm_ms: int) -> list[tuple[tuple, int]]:
+        out = []
+        for key in sorted(self.timers):
+            for ms in sorted(self.timers[key]):
+                if ms <= wm_ms:
+                    out.append((key, ms))
+        return out
+
+
+_WM_UNITS_US = {
+    "microsecond": 1, "millisecond": 1_000, "second": 1_000_000,
+    "minute": 60_000_000, "hour": 3_600_000_000, "day": 86_400_000_000,
+}
+
+
+def _watermark_us(delay: str) -> int:
+    n, unit = delay.strip().split()
+    return int(n) * _WM_UNITS_US[unit.rstrip("s")]
+
+
+def replay_sessionize_tws(
+    spark: SparkSession,
+    source_path: str,
+    gap_minutes: int = 30,
+    timers: bool = False,
+    watermark: str = "3650 days",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Drive the REAL ``SessionizeProcessor`` over a bounded source
+    through a single-process replay of the transformWithState runtime
+    contract — micro-batch sequencing (files ordered by mtime, split
+    by ``max_files_per_trigger`` like the file source), per-key state
+    scoping, watermark advancement (batch N's watermark derives from
+    batches < N, one trailing no-data batch fires remaining timers —
+    the engine's batch-execution rule), and timer expiry →
+    ``handleExpiredTimer`` → eviction.
+
+    This is the protobuf-less e2e path: the processor code under test
+    is byte-for-byte the one ``sessionize_stream_tws`` ships to the
+    engine; only the state-server transport is substituted
+    (``_ReplayStateServer``). The equivalence pytest pins its output
+    against the applyInPandasWithState twin AND the batch window
+    formulation, timers on and off, single- and multi-batch."""
+    import glob as _glob
+    import os as _os
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    pattern = source_glob(source_path)
+    if _os.path.isdir(pattern):
+        pattern = f"{pattern}/*.parquet"
+    files = sorted(_glob.glob(pattern), key=lambda p: _os.stat(p).st_mtime)
+    per = max_files_per_trigger or len(files)
+    batches = [files[i : i + per] for i in range(0, len(files), per)]
+
+    proc = SessionizeProcessor(gap_minutes * 60 * 1_000_000, timers)
+    server = _ReplayStateServer()
+    proc.init(server)
+    delay_us = _watermark_us(watermark)
+    wm_us = None  # no watermark until data has been seen
+    max_ts = None
+    emitted: list[pd.DataFrame] = []
+
+    def _fire(wm: int | None) -> None:
+        if not timers or wm is None:
+            return
+        for key, ms in server.expired(wm // 1000):
+            server.current_key = key
+            server.deleteTimer(ms)
+            emitted.extend(
+                proc.handleExpiredTimer(key, None, _ReplayExpiredTimer(ms))
+            )
+
+    for batch_files in batches + [[]]:  # trailing no-data batch
+        if batch_files:
+            pdf = (
+                _read_events_batch(spark, batch_files)
+                .select("user_id", "event_id", "value", "ts_us")
+                .toPandas()
+            )
+            if wm_us is not None:  # engine drops late rows pre-operator
+                pdf = pdf[pdf["ts_us"] >= wm_us]
+            for key, rows in sorted(pdf.groupby("user_id")):
+                server.current_key = (key,)
+                emitted.extend(
+                    proc.handleInputRows((key,), iter([rows]), None)
+                )
+            if len(pdf):
+                m = int(pdf["ts_us"].max())
+                max_ts = m if max_ts is None else max(max_ts, m)
+        _fire(wm_us)
+        if max_ts is not None:
+            wm_us = max_ts - delay_us  # next batch's watermark
+    _fire(wm_us)  # timers unlocked by the final watermark advance
+
+    out = (
+        pd.concat(emitted, ignore_index=True)
+        if emitted
+        else pd.DataFrame(columns=_OUT_COLS)
+    )
+    return spark.createDataFrame(out, SESSION_OUT_SCHEMA)
+
+
+class _ReplayExpiredTimer:
+    def __init__(self, ms: int) -> None:
+        self._ms = ms
+
+    def getExpiryTimeInMs(self) -> int:
+        return self._ms
+
+
+def _read_events_batch(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Batch read of specific event files with the SAME ts
+    normalization ``events_stream`` declares (both physical
+    encodings)."""
+    from pyspark.sql import types as T
+
+    df = spark.read.parquet(*paths)
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        ts_us = F.expr("ts div 1000")
+    elif isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+        ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    else:
+        raise TypeError(f"unsupported events.ts parquet type: {ts_type}")
+    return df.select(
+        "event_id", "user_id", "value", ts_us.alias("ts_us")
     )
 
 

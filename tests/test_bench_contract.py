@@ -29,7 +29,10 @@ def test_bench_emits_parseable_json_contract(tmp_path):
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True, text=True, timeout=900,
         env={**os.environ, "SPARK_GRAFT_SF_DIR": SF_SMOKE,
-             "SPARK_GRAFT_DETAIL_PATH": detail_path},
+             "SPARK_GRAFT_DETAIL_PATH": detail_path,
+             # weather retries are runtime-only behavior; at smoke SF
+             # they just multiply the budget (children re-run whole)
+             "SPARK_GRAFT_BENCH_ATTEMPTS": "1"},
         cwd=REPO,
     )
     assert proc.returncode == 0, proc.stderr[-500:]

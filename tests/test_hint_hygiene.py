@@ -71,8 +71,14 @@ _UNIQUE_KEYS = ("vec_id", "doc_id", "o_orderkey", "c_custkey")
 #              (operators/sketch.py).
 # - pos:       posexplode ordinal of a fixed-dim embedding array, ≤ dim
 #              (operators/similarity.py::covariance_matrix Σx frame).
+# - centroid_id: k-means/IVF cell id — cardinality ≤ k, the cluster
+#              count the AUTHOR chose (seeds are a constant-key-bounded
+#              frame; every assignment maps into that id set), never
+#              the corpus (similarity_kmeans_two_steps re-broadcasts
+#              step-1's (centroid_id, pos)-aggregated centroids).
 _BOUNDED_GROUP_KEYS = {
     "event_type", "source", "__qb", "bkt", "j", "bucket", "pos",
+    "centroid_id",
 }
 
 # (query name → allowed broadcast-hint count) for hints whose

@@ -228,13 +228,56 @@ def test_tws_unavailable_raises_cleanly(spark):
         tws.sessionize_stream_tws(spark, "/tmp/nope.parquet")
 
 
-@pytest.mark.skipif(
-    not tws.PROTOBUF_AVAILABLE, reason="transformWithState needs protobuf"
-)
 def test_tws_matches_applyinpandaswithstate(spark, sf_dir):
+    """e2e equivalence of the transformWithState sessionizer against
+    the applyInPandasWithState twin over the real events table. With
+    protobuf present this runs the genuine engine path; without it,
+    the REAL SessionizeProcessor is driven through the bounded replay
+    harness (micro-batches, watermark, per-key state) — the processor
+    under test is identical either way."""
     old = run_sessionize_stream(spark, f"{sf_dir}/events.parquet")
-    new = tws.run_sessionize_stream_tws(spark, f"{sf_dir}/events.parquet")
+    if tws.PROTOBUF_AVAILABLE:
+        new = tws.run_sessionize_stream_tws(spark, f"{sf_dir}/events.parquet")
+    else:
+        new = tws.replay_sessionize_tws(spark, f"{sf_dir}/events.parquet")
     assert {tuple(r) for r in old.collect()} == {tuple(r) for r in new.collect()}
+    assert new.count() > 0
+
+
+def test_tws_replay_timer_eviction_end_to_end(spark, tmp_path):
+    """The tws timer/eviction path end-to-end through the replay
+    harness, mirroring the applyInPandasWithState eviction scenario:
+    two micro-batches, user 2's much-later events advance the
+    watermark past user 1's session_end + gap, and the TIMER (not a
+    later user-1 event) emits and evicts user 1's session; user 2's
+    open session stays in state. Output must equal the
+    applyInPandasWithState twin run over the same two-batch source."""
+    src = tmp_path / "events"
+    src.mkdir()
+    t0 = 1_700_000_000_000_000
+    hour = 3_600_000_000
+    _write_events(str(src / "b1.parquet"), [(1, t0, 1, 1.0), (2, t0 + 60_000_000, 1, 2.0)])
+    time.sleep(0.05)
+    _write_events(str(src / "b2.parquet"), [(3, t0 + 10 * hour, 2, 5.0)])
+
+    out = tws.replay_sessionize_tws(
+        spark, str(src), timers=True, watermark="10 minutes",
+        max_files_per_trigger=1,
+    )
+    rows = {r["user_id"]: r for r in out.collect()}
+    assert 1 in rows and 2 not in rows
+    assert rows[1]["session_start_us"] == t0
+    assert rows[1]["session_end_us"] == t0 + 60_000_000
+    assert rows[1]["n_events"] == 2
+    assert rows[1]["total_value"] == pytest.approx(3.0)
+    # and the twin operator agrees row for row on the same source
+    twin = run_sessionize_stream(
+        spark, str(src), timeout=True, watermark="10 minutes",
+        max_files_per_trigger=1,
+    )
+    assert {tuple(r) for r in out.collect()} == {
+        tuple(r) for r in twin.collect()
+    }
 
 
 # ---- stream-stream attribution join (join.py) ------------------------
