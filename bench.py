@@ -819,6 +819,18 @@ def scale_section(spark, sf_dir: str, rep: int = 100) -> dict:
         if para_sql is not None
         else None,
     )
+    # decomposition (r9 verdict item 7): the chunk-production stage
+    # alone — at 500k docs it is ~73% of the row, and it is already
+    # the fastest of three measured implementations (HOF-sql 2.0×,
+    # JVM-regex 1.2× slower, arrow batch sizing flat ±5%; see
+    # operators/dedup.py::paragraph_chunks). The residual vs DuckDB
+    # is its in-process native split kernel — a python-boundary
+    # floor, not a plan defect.
+    t0 = time.perf_counter()
+    dedup.paragraph_chunks(d_rep, "text", "doc_id").count()
+    out["dedup_paragraphs_rewrite"]["chunk_stage_sec"] = round(
+        time.perf_counter() - t0, 3
+    )
 
     # 2a2. BPE tokenizer application — THE per-shipped-document hot
     # path of LLM data prep. Primary = the pandas ranks-dict engine
@@ -1659,6 +1671,37 @@ def _bm25_index_scale_row(
         row["spark_index_build_sec"] = round(spark_build_sec, 3)
         if duck_build_sec is not None:
             row["duckdb_index_build_sec"] = round(duck_build_sec, 3)
+        # decomposition: the pruned postings scan alone (the IO the
+        # bucketing bounds) vs the serve total — the remainder is the
+        # q_id agg/rank tail + Spark's per-job floor, which dominates
+        # a sub-3s batch the way it does every index-serve row; the
+        # embedded engine's clustered point lookup has no such floor.
+        terms_flat = sorted({t for _, t in qvals})
+        pruned = spark.table(idx.postings_table).filter(
+            F.col("term").isin(terms_flat)
+        )
+        psec = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            pruned.count()
+            psec = min(psec, time.perf_counter() - t0)
+        row["pruned_scan_sec"] = round(psec, 3)
+        # the lifecycle framing the deployment actually pays (the
+        # reference publishes an artifact once and serves many batches,
+        # DEPLOYMENT.md:436-507): Spark's build is the cheaper half,
+        # so build + K batches breaks even at K below — and the
+        # 10-batch total is the single comparable lifecycle number.
+        if duck_build_sec is not None and "duckdb_sec" in row:
+            s_serve, d_serve = row["sec"], row["duckdb_sec"]
+            if s_serve > d_serve and duck_build_sec > spark_build_sec:
+                row["lifecycle_even_batches"] = round(
+                    (duck_build_sec - spark_build_sec)
+                    / (s_serve - d_serve), 1
+                )
+            row["lifecycle_ratio_at_10_batches"] = round(
+                (spark_build_sec + 10 * s_serve)
+                / (duck_build_sec + 10 * d_serve), 2
+            )
         # cross-engine value check: the serve rows must agree exactly
         if serve_sql is not None:
             try:

@@ -992,9 +992,12 @@ def bm25_build_index(
     Scale shape: the build is the honest one-time corpus scan — one
     tokenization, one uniform-key (id, term) aggregate; with
     ``materialize=True`` the postings are localCheckpoint-pinned so
-    ``dfreq`` and every subsequent serve read the materialized form
-    (persist to parquet partitioned/bucketed BY TERM for a real
-    deployment — serving then prunes to the query terms' buckets).
+    ``dfreq`` and every subsequent serve read the materialized form.
+    The PERSISTED form is ``operators/bm25_index.py::Bm25Index``:
+    postings/dfreq written Hive-bucketed BY TERM, serve bucket-pruned
+    to the query terms (SelectedBucketsCount pinned in
+    tests/test_plans.py; paired serve-from-disk scale row in
+    BENCH_DETAIL).
     Per-batch serve cost (:func:`bm25_serve`) is postings-of-matching-
     terms only, however many batches run — the same amortization
     argument as the ANN index rows in SCALING.md.
