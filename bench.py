@@ -1702,6 +1702,49 @@ def _bm25_index_scale_row(
                 (spark_build_sec + 10 * s_serve)
                 / (duck_build_sec + 10 * d_serve), 2
             )
+        row["ratio_context"] = (
+            "serve ratio is JVM-job-floor-bound at this batch size "
+            "(pruned_scan_sec is the IO term; the embedded engine's "
+            "clustered point lookup pays no floor) — the deployment "
+            "comparison is the lifecycle fields and the per-query "
+            "amortization sub-row below"
+        )
+        # floor amortization: the SAME index served a 10× query batch
+        # — per-query cost collapses while the embedded engine's
+        # scales ~linearly in matched terms; this is the at-scale
+        # behavior of the serve path (floors amortize, scans prune)
+        qvals_big = [
+            (r * 10 + i, f"{t}_{r}")
+            for r in range(1, 10 * n_query_replicas + 1)
+            for i, t in _BM25_BATCH_Q
+        ]
+        q_big = spark.createDataFrame(qvals_big, "q_id int, term string")
+        served_big = idx.serve(q_big, k=10)
+        big_sql = None
+        if serve_sql is not None:
+            vals_big = ", ".join(f"({i}, '{t}')" for i, t in qvals_big)
+            big_sql = serve_sql.replace(vals, vals_big)
+        big = _interleaved_row(
+            served_big.count,
+            n_docs,
+            (lambda: _duckdb_count(con, big_sql, runs=1))
+            if big_sql is not None
+            else None,
+            iters=3,
+        )
+        n_q_big = len({q for q, _ in qvals_big})
+        row["big_batch"] = {
+            "n_queries": n_q_big,
+            "sec": big["sec"],
+            "per_query_ms": round(1000 * big["sec"] / n_q_big, 2),
+            "small_batch_per_query_ms": round(
+                1000 * row["sec"] / row["n_queries"], 2
+            ),
+            "spark_trace": big["spark_trace"],
+        }
+        if "duckdb_sec" in big:
+            row["big_batch"]["duckdb_sec"] = big["duckdb_sec"]
+            row["big_batch"]["ratio_vs_duckdb"] = big["ratio_vs_duckdb"]
         # cross-engine value check: the serve rows must agree exactly
         if serve_sql is not None:
             try:
