@@ -1055,19 +1055,21 @@ def bm25_serve(
     operator. ``queries`` is the workload, small by contract; NULL
     terms are dropped (they can never match a token).
 
-    ``pre_deduped=True`` skips the (q_id, term) distinct and ships the
-    query frames un-deduplicated into the broadcasts — for callers
-    that already deduped the workload driver-side (the persisted-index
-    serve path, which collects the term list for its bucket-pruning IN
-    filter anyway). Duplicate terms are harmless in the LEFT-SEMI
-    prunes; skipping the two tiny distincts removes their exchanges
-    from the serve path, leaving q_id-keyed shuffles only.
+    ``pre_deduped=True`` skips only the query-TERM distinct and ships
+    the term frame un-deduplicated into the LEFT-SEMI prunes (where
+    duplicates are harmless) — for callers that already deduped the
+    workload driver-side (the persisted-index serve path, which
+    collects the term list for its bucket-pruning IN filter anyway).
+    The (q_id, term) pair frame is ALWAYS deduplicated: it inner-joins
+    the postings, so a duplicate pair would double-count that term's
+    contribution into the score sum — a correctness hazard no caller
+    contract should be trusted to prevent. The pair distinct is the
+    cheap one (workload-sized, one tiny exchange); the qterms distinct
+    is the one the serve plan's exchange count actually cares about.
     """
     q = queries.select(
         F.col(q_id_col).alias("q_id"), F.col(q_term_col).alias("term")
-    ).filter(F.col("term").isNotNull())
-    if not pre_deduped:
-        q = q.distinct()
+    ).filter(F.col("term").isNotNull()).distinct()
     qterms = q.select("term") if pre_deduped else q.select("term").distinct()
     p = postings.join(F.broadcast(qterms), "term", "left_semi")
     df_ = dfreq.join(F.broadcast(qterms), "term", "left_semi")
@@ -1093,6 +1095,94 @@ def bm25_serve(
     )
     from pyspark.sql import Window as W
 
+    scored = contrib.groupBy("q_id", id_col).agg(
+        F.round(F.sum("part"), 4).alias("score")
+    )
+    win = W.partitionBy("q_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.filter(F.col("score") > 0)
+        .withColumn("rk", F.row_number().over(win).cast("int"))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def bm25_score_pruned_postings(
+    postings: DataFrame,
+    qpairs: list[tuple],
+    df_by_term: dict,
+    n_docs: int,
+    avgdl: float,
+    id_col: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 scoring over an already term-PRUNED postings frame with the
+    entire query workload inlined as driver-side literals → ``(q_id,
+    id, score, rk)`` — the single-job serve kernel behind
+    ``operators/bm25_index.py::Bm25Index.serve``.
+
+    The general :func:`bm25_serve` broadcasts three tiny query/metadata
+    frames; in local/driver terms each broadcast of a Python-built
+    frame (a LogicalRDD) costs its own Spark job before the serve
+    action runs — ~4 jobs where the IO needs 1. A persisted-index
+    server already holds the workload (``qpairs``), the matched-term
+    document frequencies (``df_by_term``) and the corpus scalars
+    (``n_docs``, ``avgdl``) ON THE DRIVER, so here they fold into the
+    scan projection as literal maps (``term -> df``, ``term ->
+    [q_ids]`` — workload-bounded by contract, constant-folded by
+    Catalyst): the plan is one job — pruned postings scan → map-side
+    explode/score → (q_id, id) aggregate → per-query rank window —
+    with the two q_id-keyed exchanges as its only shuffles
+    (tests/test_plans.py pins exactly that).
+
+    Score arithmetic is the same JVM expression tree as
+    :func:`bm25_serve` (idf/tf-norm ops in the same order, round(·,4)
+    before ranking, id tiebreak), so results are bit-identical to the
+    one-shot ``bm25_batch_topk`` — pytest-pinned via the persisted
+    index's equivalence test. Terms absent from ``df_by_term`` (or
+    with df ≤ 0) cannot match any posting and are dropped from the
+    maps.
+    """
+    from pyspark.sql import Window as W
+
+    qids_by_term: dict = {}
+    for q_id, t in sorted(set(qpairs)):
+        if t in df_by_term and df_by_term[t] > 0:
+            qids_by_term.setdefault(t, []).append(q_id)
+    terms = sorted(qids_by_term)
+    if not terms:
+        return (
+            postings.filter(F.lit(False))
+            .select(
+                F.lit(None).cast("int").alias("q_id"),
+                F.col(id_col),
+                F.lit(None).cast("double").alias("score"),
+                F.lit(None).cast("int").alias("rk"),
+            )
+        )
+    df_entries: list = []
+    q_entries: list = []
+    for t in terms:
+        df_entries += [F.lit(t), F.lit(int(df_by_term[t]))]
+        q_entries += [F.lit(t), F.array(*[F.lit(q) for q in qids_by_term[t]])]
+    dfm = F.create_map(*df_entries)
+    qm = F.create_map(*q_entries)
+    df_col = F.element_at(dfm, F.col("term"))
+    idf = F.log(1.0 + (F.lit(int(n_docs)) - df_col + 0.5) / (df_col + 0.5))
+    part = (
+        idf
+        * (F.col("tf") * (k1 + 1.0))
+        / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * F.col("__dl") / F.lit(float(avgdl)))
+        )
+    )
+    contrib = postings.select(
+        F.explode(F.element_at(qm, F.col("term"))).alias("q_id"),
+        F.col(id_col),
+        part.alias("part"),
+    )
     scored = contrib.groupBy("q_id", id_col).agg(
         F.round(F.sum("part"), 4).alias("score")
     )
