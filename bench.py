@@ -72,6 +72,24 @@ def main() -> None:
         # the headline EXPORT likewise: in-JVM placement after ~450
         # stages measured 2× slower for the identical write
         "--export-only": ("bench-export", lambda s: export_section(s, sf_dir)),
+        # the headline 19×3 interleaved pass runs as a child too: its
+        # weather retry then happens in a FRESH JVM (an in-JVM re-pass
+        # after ~60 accumulated jobs measured up to 2× from driver
+        # wear) and inherits _run_child's keep-cleanest-attempt rule —
+        # the r9 record's +4% headline was a warned second pass that
+        # overwrote a cleaner first one (round-9 advice)
+        "--headline-only": (
+            "bench",
+            lambda s: _headline_section(s, sf_dir),
+        ),
+        # the S10 extract-path throughput row (XML parse fan-out vs
+        # the reference's single-process loop) — own fresh JVM; its
+        # ~1 GB synthetic corpus and ~32-thread parse would distort
+        # any section it shared a JVM with
+        "--extract-only": (
+            "bench-extract",
+            lambda s: extract_section(s, sf_dir),
+        ),
     }
     for flag, (app, section) in child_sections.items():
         if flag in sys.argv:
@@ -91,57 +109,40 @@ def main() -> None:
             print(json.dumps(out))
             return
 
-    spark = get_spark(app_name="bench")
-
-    # Warmup: JVM + parquet reader + codegen paths.
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
-
-    # Three iterations per query, report the warm (min) time: the first
-    # run pays one-off JVM/JIT/codegen costs, and single-run timings on
-    # a shared host show 2-3× jitter — min-of-3 is a stable estimator
-    # of the plan's actual cost.
-    #
-    # PAIRED same-moment: each Spark run is immediately followed by the
-    # query's DuckDB oracle run, alternating within the same seconds of
-    # wall clock. Round 5 proved why — the whole headline inflated ~25%
-    # on the driver's host while a DuckDB total measured MINUTES LATER
-    # got faster; interleaving makes host weather hit both engines
-    # equally so the ratio, not the raw seconds, decides the round
-    # (exactly how the export section has been paired since r3).
-    #
-    # Host-weather signatures bracket the pass (What's-wrong #4 of the
-    # r7 verdict), and a WARNED pass is re-run once (r8 verdict item:
-    # the protocol must be mechanical — bench retries itself rather
-    # than relying on whoever reads the record to re-run it).
-    con = _oracle_con(sf_dir)
-    headline_attempts = min(
-        2, int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
+    # Headline pass in a FRESH child JVM (weather-retried, cleanest
+    # attempt kept — see _headline_section / _run_child). On a child
+    # failure that survives the crash retry, fall back to the in-JVM
+    # pass so the driver contract (two JSON lines, finite values)
+    # still holds.
+    hl = _run_child(
+        sf_dir, "--headline-only",
+        max_attempts=min(2, int(os.environ.get(
+            "SPARK_GRAFT_BENCH_ATTEMPTS", "3"
+        ))),
     )
-    for _attempt in range(headline_attempts):
+    if "error" in hl or "queries" not in hl:
+        spark = get_spark(app_name="bench")
+        spark.read.parquet(f"{sf_dir}/region.parquet").count()
         sig_start = _load_signature()
-        timings: dict[str, float] = {}
-        oracle_timings: dict[str, float] = {}
-        for name in HEADLINE:
-            q = REGISTRY[name]
-            best = float("inf")
-            dbest = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                df = q.builder(spark, sf_dir)
-                df.count()
-                best = min(best, time.perf_counter() - t0)
-                if con is not None and q.oracle is not None:
-                    t0 = time.perf_counter()
-                    con.execute(q.oracle).fetchall()
-                    dbest = min(dbest, time.perf_counter() - t0)
-            timings[name] = round(best, 3)
-            if dbest < float("inf"):
-                oracle_timings[name] = round(dbest, 3)
+        timings, oracle_timings = _headline_pass(
+            spark, sf_dir, _oracle_con(sf_dir)
+        )
         sig_end = _load_signature()
-        if not (
-            sig_start.get("load_warning") or sig_end.get("load_warning")
-        ):
-            break
+        hl_sig = {
+            "start": sig_start, "end": sig_end,
+            "load_warning": bool(
+                sig_start.get("load_warning") or sig_end.get("load_warning")
+            ),
+            "headline_child_error": hl.get("error", "missing queries"),
+        }
+    else:
+        timings = hl["queries"]
+        oracle_timings = hl.get("oracle_queries", {})
+        hl_sig = dict(hl.get("host_signature", {}))
+        if hl.get("attempts"):
+            hl_sig["attempts"] = hl["attempts"]
+        if hl.get("load_warning_persisted"):
+            hl_sig["load_warning_persisted"] = True
 
     # The reference's one concrete figure is build+EXPORT (49.4M rows →
     # zstd parquet in 6.9 s, EXPORT_DEPLOYMENT.md:247-252) — time the
@@ -167,6 +168,8 @@ def main() -> None:
     # and driver/executor wear measured 2× on the blocks scan
     if "error" not in scale:
         scale["floor_at_1m_rows"] = _run_child(sf_dir, "--floor-only")
+        # S10 extract-path throughput, own fresh JVM (see extract_section)
+        scale["extract_sra_xml"] = _run_child(sf_dir, "--extract-only")
 
     total = round(sum(timings.values()), 3)
     oracle = {
@@ -177,11 +180,13 @@ def main() -> None:
     # record-level warning ORs the headline pass AND every child's own
     # signatures — a clean headline can't mask a weather-hit child
     load_warning = bool(
-        sig_start.get("load_warning")
-        or sig_end.get("load_warning")
+        hl_sig.get("load_warning")
         or export.get("host_signature", {}).get("load_warning")
         or scale.get("host_signature", {}).get("load_warning")
         or scale.get("floor_at_1m_rows", {}).get(
+            "host_signature", {}
+        ).get("load_warning")
+        or scale.get("extract_sra_xml", {}).get(
             "host_signature", {}
         ).get("load_warning")
     )
@@ -194,10 +199,7 @@ def main() -> None:
         "export": export,
         "scale": scale,
         "oracle_duckdb": oracle,
-        "host_signature": {
-            "start": sig_start, "end": sig_end,
-            "load_warning": load_warning,
-        },
+        "host_signature": {**hl_sig, "load_warning": load_warning},
     }
     # Two JSON lines, full detail FIRST and a compact contract line
     # LAST. The round driver keeps only the final ~2000 chars of stdout
@@ -236,6 +238,56 @@ def main() -> None:
         # "parsed": null failure this guard exists to prevent
         raise RuntimeError(f"compact bench line {len(line)}B > tail window")
     print(line)
+
+
+def _headline_pass(spark, sf_dir: str, con) -> tuple[dict, dict]:
+    """One interleaved headline pass → (spark timings, oracle timings).
+
+    Three iterations per query, report the warm (min) time: the first
+    run pays one-off JVM/JIT/codegen costs, and single-run timings on
+    a shared host show 2-3× jitter — min-of-3 is a stable estimator
+    of the plan's actual cost.
+
+    PAIRED same-moment: each Spark run is immediately followed by the
+    query's DuckDB oracle run, alternating within the same seconds of
+    wall clock. Round 5 proved why — the whole headline inflated ~25%
+    on the driver's host while a DuckDB total measured MINUTES LATER
+    got faster; interleaving makes host weather hit both engines
+    equally so the ratio, not the raw seconds, decides the round
+    (exactly how the export section has been paired since r3).
+    """
+    timings: dict[str, float] = {}
+    oracle_timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = REGISTRY[name]
+        best = float("inf")
+        dbest = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df = q.builder(spark, sf_dir)
+            df.count()
+            best = min(best, time.perf_counter() - t0)
+            if con is not None and q.oracle is not None:
+                t0 = time.perf_counter()
+                con.execute(q.oracle).fetchall()
+                dbest = min(dbest, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        if dbest < float("inf"):
+            oracle_timings[name] = round(dbest, 3)
+    return timings, oracle_timings
+
+
+def _headline_section(spark, sf_dir: str) -> dict:
+    """The headline pass as a child section: host-weather signatures
+    are stamped by the child wrapper in main(), retries and the
+    keep-cleanest rule come from _run_child — one mechanism for every
+    section instead of a bespoke in-JVM headline loop (whose re-pass
+    ran on a worn driver and overwrote cleaner timings, round-9
+    advice)."""
+    timings, oracle_timings = _headline_pass(
+        spark, sf_dir, _oracle_con(sf_dir)
+    )
+    return {"queries": timings, "oracle_queries": oracle_timings}
 
 
 # Fixed synthetic DuckDB aggregation (data-independent: 50M-row range
@@ -384,19 +436,33 @@ def _run_child(sf_dir: str, flag: str, max_attempts: int | None = None) -> dict:
     kept — smallest end-calibration deviation from the quiet anchor —
     so the artifact of record is produced by protocol, not by whoever
     happens to re-run the bench after reading the warning (r8 verdict
-    What's-wrong #1). Crashes are returned immediately (a crash is a
-    bug, not weather)."""
+    What's-wrong #1). A CRASHED child is retried exactly once in a
+    fresh process (r9: one row's /tmp read failure killed a whole
+    section — a transient host fault looks identical to a bug from
+    here, and a fresh-process re-run is the only recovery that can
+    tell them apart); a second crash is returned as the error."""
     if max_attempts is None:
         # SPARK_GRAFT_BENCH_ATTEMPTS=1 disables weather retries (the
         # contract test uses it: retries are runtime-only behavior)
         max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
+    # 0/negative would skip the loop and silently record an EMPTY
+    # section with neither data nor an "error" key (round-9 advice)
+    max_attempts = max(1, max_attempts)
     best: dict = {}
     best_dev = float("inf")
+    first_crash: str | None = None
     for attempt in range(1, max_attempts + 1):
         res = _run_child_once(sf_dir, flag)
         if "error" in res:
+            if first_crash is None and max_attempts > 1:
+                first_crash = res["error"]
+                continue  # one fresh-process crash retry
+            if first_crash is not None:
+                res["first_error"] = first_crash
             return res
         res["attempts"] = attempt
+        if first_crash is not None:
+            res["crash_retried"] = first_crash
         sig = res.get("host_signature", {})
         if not sig.get("load_warning"):
             return res
@@ -407,6 +473,80 @@ def _run_child(sf_dir: str, flag: str, max_attempts: int | None = None) -> dict:
             best, best_dev = res, dev
     best["load_warning_persisted"] = True  # all attempts warned
     return best
+
+
+def _bench_tmpdir(prefix: str) -> str:
+    """Unique bench workdir under the repo's OWN spark-warehouse
+    (gitignored) instead of bare /tmp: the r9 driver run lost
+    `bm25_index_serve` to a FAILED_READ_FILE on a mkdtemp()'d /tmp
+    parquet mid-read — on a shared host /tmp is reaped and contended
+    by other tenants; the warehouse directory is ours alone. Unique
+    per call, so a retried row never collides with a half-deleted
+    predecessor's files."""
+    import tempfile
+
+    root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "spark-warehouse", "_bench_tmp",
+    )
+    os.makedirs(root, exist_ok=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=root)
+
+
+def _spark_alive(spark) -> bool:
+    try:
+        return not spark.sparkContext._jsc.sc().isStopped()
+    except Exception:
+        return False
+
+
+def _ensure_spark(spark, app_name: str = "bench-recovered"):
+    """Return a LIVE session: the caller's if its context is running,
+    else a rebuilt one (getOrCreate discards a stopped context). The
+    r9 cascade — one row's read failure stopped the SparkContext and
+    the NEXT row died on 'Cannot call methods on a stopped
+    SparkContext' — is exactly what this guard breaks."""
+    if _spark_alive(spark):
+        return spark
+    from omicidx_gh_etl_spark.session import get_spark
+
+    return get_spark(app_name=app_name)
+
+
+def _maybe_inject_fault(key: str, attempt: int, spark) -> None:
+    """Test hook (tests/test_bench_contract.py): with
+    SPARK_GRAFT_BENCH_INJECT_FAULT=<row key>, the named scale row's
+    FIRST attempt reproduces the r9 failure mode — the SparkContext is
+    stopped, then the row raises — so the recovery path (fresh session
+    + from-scratch retry) stays proven by the suite, not assumed."""
+    if attempt == 1 and os.environ.get(
+        "SPARK_GRAFT_BENCH_INJECT_FAULT"
+    ) == key:
+        spark.sparkContext.stop()
+        raise RuntimeError(f"injected fault on {key}")
+
+
+def _isolated_row(out: dict, key: str, fn, spark, sf_dir: str, con):
+    """Fault-isolated scale row: ensure a live session BEFORE the row,
+    run it, and on any failure retry ONCE from scratch (row functions
+    create their own workdirs, so a retry starts clean; a stopped
+    context is rebuilt first). Only a second consecutive failure
+    records an "error" key — and it no longer poisons later rows.
+    Returns the (possibly rebuilt) session for the next row."""
+    last = None
+    for attempt in (1, 2):
+        spark = _ensure_spark(spark)
+        try:
+            _maybe_inject_fault(key, attempt, spark)
+            row = fn(spark, sf_dir, con)
+            if attempt > 1:
+                row["row_attempts"] = attempt
+            out[key] = row
+            return spark
+        except Exception as exc:  # noqa: BLE001 — isolation is the point
+            last = f"{type(exc).__name__}: {str(exc)[:180]}"
+    out[key] = {"error": last, "row_attempts": 2}
+    return spark
 
 
 def _oracle_con(sf_dir: str):
@@ -523,12 +663,11 @@ def export_section(spark, sf_dir: str) -> dict:
     its own fresh JVM (in-JVM placement after the 19×3 headline runs
     measured ~2× slower for the same write — driver wear, not IO)."""
     import shutil
-    import tempfile
 
     q = REGISTRY["mart_denormalized"]
     mart = q.builder(spark, sf_dir)
     rows = mart.count()
-    export_dir = tempfile.mkdtemp(prefix="bench_export_")
+    export_dir = _bench_tmpdir("bench_export_")
     try:
         best = float("inf")
         for _ in range(3):
@@ -564,7 +703,6 @@ def scale_section(spark, sf_dir: str, rep: int = 100) -> dict:
     /root/reference/EXPORT_DEPLOYMENT.md:247-252).
     """
     import shutil
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -587,7 +725,7 @@ def scale_section(spark, sf_dir: str, rep: int = 100) -> dict:
     if con is not None:
         try:
             con.execute(
-                "CREATE VIEW documents_rep AS "
+                "CREATE OR REPLACE VIEW documents_rep AS "
                 f"SELECT d.doc_id * {rep} + r.range + 1 AS doc_id, "
                 "array_to_string(list_transform("
                 "  list_filter(string_split(d.text, ' '), x -> x <> ''), "
@@ -595,18 +733,18 @@ def scale_section(spark, sf_dir: str, rep: int = 100) -> dict:
                 f"FROM documents d CROSS JOIN range({rep}) r"
             )
             con.execute(
-                "CREATE VIEW embeddings_rep AS "
+                "CREATE OR REPLACE VIEW embeddings_rep AS "
                 f"SELECT e.vec_id * {rep} + r.range + 1 AS vec_id, embedding "
                 f"FROM embeddings e CROSS JOIN range({rep}) r"
             )
             con.execute(
-                "CREATE VIEW lineitem_rep AS "
+                "CREATE OR REPLACE VIEW lineitem_rep AS "
                 f"SELECT l.l_orderkey * {rep} + r.range + 1 AS l_orderkey, "
                 "l.l_returnflag "
                 f"FROM lineitem l CROSS JOIN range({rep}) r"
             )
             con.execute(
-                "CREATE VIEW urgent_rep AS "
+                "CREATE OR REPLACE VIEW urgent_rep AS "
                 f"SELECT o.o_orderkey * {rep} + r.range + 1 AS o_orderkey "
                 f"FROM orders o CROSS JOIN range({rep}) r "
                 "WHERE o.o_orderpriority = '1-URGENT'"
@@ -627,7 +765,7 @@ def scale_section(spark, sf_dir: str, rep: int = 100) -> dict:
         .select("*", repx)
         .drop("__rep")
     )
-    export_dir = tempfile.mkdtemp(prefix="bench_scale_")
+    export_dir = _bench_tmpdir("bench_scale_")
     try:
         sec = float("inf")
         for _ in range(2):  # min-of-2: first run pays codegen warmup
@@ -688,7 +826,7 @@ def scale_section(spark, sf_dir: str, rep: int = 100) -> dict:
             )
             .drop("__rep")
         )
-        export_dir = tempfile.mkdtemp(prefix="bench_scale50_")
+        export_dir = _bench_tmpdir("bench_scale50_")
         try:
             sec = float("inf")
             for _ in range(2):
@@ -870,7 +1008,7 @@ def scale_section(spark, sf_dir: str, rep: int = 100) -> dict:
     if con is not None:
         try:
             con.execute(
-                "CREATE VIEW documents_bpe_rep AS "
+                "CREATE OR REPLACE VIEW documents_bpe_rep AS "
                 f"SELECT d.doc_id * {rep_bpe} + r.range + 1 AS doc_id, "
                 "array_to_string(list_transform("
                 "  list_filter(string_split(d.text, ' '), x -> x <> ''), "
@@ -1071,7 +1209,7 @@ def scale_section(spark, sf_dir: str, rep: int = 100) -> dict:
     # many batches run.
     from omicidx_gh_etl_spark.operators.ann_index import AnnIndex
 
-    idx_dir = tempfile.mkdtemp(prefix="bench_annidx_")
+    idx_dir = _bench_tmpdir("bench_annidx_")
     try:
         idx = AnnIndex(idx_dir)
         idx.build(e_rep, n_centroids=10, centroids=centroids)
@@ -1191,7 +1329,7 @@ def scale_section(spark, sf_dir: str, rep: int = 100) -> dict:
     if con is not None:
         try:
             con.execute(
-                "CREATE VIEW embeddings_cov_rep AS "
+                "CREATE OR REPLACE VIEW embeddings_cov_rep AS "
                 f"SELECT e.vec_id * {rep_cv} + r.range + 1 AS vec_id, "
                 "embedding "
                 f"FROM embeddings e CROSS JOIN range({rep_cv}) r"
@@ -1396,6 +1534,166 @@ def scale_section(spark, sf_dir: str, rep: int = 100) -> dict:
     return out
 
 
+def extract_section(spark, sf_dir: str) -> dict:
+    """S10 extract-path throughput (r9 verdict item 5 — the last
+    BASELINE.md rows with no repo-side measurement are the reference's
+    operational extract numbers: sra/extract.py:49 streams XML in
+    1M-row chunks single-process, ebi_biosample/README.md budgets a
+    3-6 h backfill): synthetic SRA-shaped EXPERIMENT_SET XML is
+    generated once (untimed, executor-parallel, deterministic
+    content), then
+
+    - **Spark side (timed)**: the `cli.py extract --source sra` path —
+      ``sources/xml_extract.py::extract_experiments`` (mapInPandas
+      fan-out, one task per file) → chunked zstd parquet
+      (``sources/writers.py::write_parquet``), end to end;
+    - **control (timed, same moment)**: the reference's own
+      operational shape — ONE process looping the identical files
+      through the identical ElementTree generator, buffering records
+      and writing zstd parquet chunks via pyarrow (its 1M-row-chunk
+      pattern).
+
+    The ratio is the distributed-parse claim: parse is CPU-bound, so
+    the mapInPandas fan-out should approach core-count speedup over
+    the single-process loop — this is the one family where the repo is
+    expected to beat the single-node baseline outright, because the
+    reference itself runs it single-process for HOURS. XML volume
+    scales with SF so the smoke-SF contract test stays fast."""
+    import glob as _glob
+    import shutil
+
+    from omicidx_gh_etl_spark.sources.writers import write_parquet
+    from omicidx_gh_etl_spark.sources.xml_extract import (
+        _records,
+        extract_experiments,
+    )
+
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    n_files = 64
+    recs_per_file = 11000 if sf >= 0.05 else 150
+    workdir = _bench_tmpdir("bench_extract_")
+    xml_dir = os.path.join(workdir, "xml")
+    os.makedirs(xml_dir, exist_ok=True)
+
+    def _write_files(idxs):
+        # one synthetic EXPERIMENT_SET file per task — ~1.3 KB/record,
+        # deterministic from (file, record) indices alone
+        for i in idxs:
+            parts = ["<EXPERIMENT_SET>"]
+            for j in range(recs_per_file):
+                rid = i * recs_per_file + j
+                attrs = "".join(
+                    f"<EXPERIMENT_ATTRIBUTE><TAG>attr_{a}</TAG>"
+                    f"<VALUE>value {rid % 997} token{(rid * 31 + a) % 211} "
+                    f"{'payload ' * 12}end</VALUE></EXPERIMENT_ATTRIBUTE>"
+                    for a in range(6)
+                )
+                parts.append(
+                    f'<EXPERIMENT accession="SRX{rid:08d}"'
+                    f' center_name="CENTER_{rid % 43}">'
+                    f"<TITLE>Sequencing run {rid} of sample set"
+                    f" {rid % 331}</TITLE>"
+                    f'<STUDY_REF accession="SRP{rid % 5000:06d}"/>'
+                    f"<DESIGN><SAMPLE_DESCRIPTOR"
+                    f' accession="SRS{rid % 90000:07d}"/></DESIGN>'
+                    f"<PLATFORM><ILLUMINA><INSTRUMENT_MODEL>model"
+                    f" {rid % 17}</INSTRUMENT_MODEL></ILLUMINA></PLATFORM>"
+                    f"<EXPERIMENT_ATTRIBUTES>{attrs}"
+                    f"</EXPERIMENT_ATTRIBUTES></EXPERIMENT>"
+                )
+            parts.append("</EXPERIMENT_SET>")
+            with open(f"{xml_dir}/sra_{i:04d}.xml", "w") as fh:
+                fh.write("".join(parts))
+            yield i
+
+    try:
+        # generation is untimed scaffolding (executor-parallel)
+        spark.sparkContext.parallelize(
+            range(n_files), n_files
+        ).mapPartitions(_write_files).count()
+        xml_files = sorted(_glob.glob(f"{xml_dir}/*.xml"))
+        xml_bytes = sum(os.path.getsize(p) for p in xml_files)
+        n_recs = n_files * recs_per_file
+
+        out_dir = os.path.join(workdir, "parquet")
+        sec = float("inf")
+        for _ in range(2):  # min-of-2: first run pays codegen/worker warmup
+            shutil.rmtree(out_dir, ignore_errors=True)
+            t0 = time.perf_counter()
+            write_parquet(
+                extract_experiments(spark, xml_files),
+                out_dir,
+                max_records_per_file=1_000_000,
+                compression="zstd",
+            )
+            sec = min(sec, time.perf_counter() - t0)
+        pq_bytes = _dir_bytes(out_dir)
+        spark_rows = spark.read.parquet(out_dir).count()
+
+        # single-process control: the reference's operational shape
+        # (one Python process, same parser, 1M-row pyarrow chunks)
+        ctl = None
+        ctl_rows = 0
+        try:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            ctl_dir = os.path.join(workdir, "parquet_ctl")
+            os.makedirs(ctl_dir, exist_ok=True)
+            t0 = time.perf_counter()
+            buf: list = []
+            chunk_no = 0
+
+            def _flush():
+                nonlocal chunk_no
+                pq.write_table(
+                    pa.Table.from_pylist(buf),
+                    f"{ctl_dir}/chunk_{chunk_no:04d}.parquet",
+                    compression="zstd",
+                )
+                chunk_no += 1
+                buf.clear()
+
+            for p in xml_files:
+                for rec in _records(p):
+                    buf.append(rec)
+                    if len(buf) >= 1_000_000:
+                        _flush()
+            if buf:
+                _flush()
+            ctl = time.perf_counter() - t0
+            ctl_rows = sum(
+                pq.read_metadata(f).num_rows
+                for f in _glob.glob(f"{ctl_dir}/*.parquet")
+            )
+        except Exception:
+            ctl = None
+
+        row = {
+            "rows": n_recs,
+            "n_files": n_files,
+            "xml_bytes": xml_bytes,
+            "sec": round(sec, 3),
+            "rows_per_sec": round(n_recs / sec),
+            "xml_mb_per_sec": round(xml_bytes / sec / 1e6, 1),
+            "parquet_bytes": pq_bytes,
+            "rows_match": spark_rows == n_recs,
+            "reference_anchor": (
+                "sra/extract.py:49 single-process 1M-row chunks; "
+                "ebi_biosample/README.md 3-6h backfill"
+            ),
+        }
+        if ctl is not None:
+            row["single_process_sec"] = round(ctl, 3)
+            row["ratio_vs_single_process"] = round(sec / ctl, 2)
+            row["rows_match"] = bool(
+                row["rows_match"] and ctl_rows == n_recs
+            )
+        return row
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 def _rrf_scale_row(
     spark, sf_dir: str, con, rep: int = 400, rep_vec: int = 100
 ) -> dict:
@@ -1424,7 +1722,6 @@ def _rrf_scale_row(
     in the fresh floor child: inside the scale child the identical
     plan measured 4× slower (driver wear)."""
     import shutil
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -1440,7 +1737,7 @@ def _rrf_scale_row(
     e = load_table(spark, sf_dir, "embeddings")
     n_docs = d.count() * rep
     n_vec = e.count() * rep_vec
-    tmpdir = tempfile.mkdtemp(prefix="bench_rrf_")
+    tmpdir = _bench_tmpdir("bench_rrf_")
     try:
         d.select("doc_id", "text", repx).select(
             (F.col("doc_id") * rep + F.col("__rep")).alias("doc_id"),
@@ -1475,13 +1772,13 @@ def _rrf_scale_row(
         if con is not None:
             try:
                 con.execute(
-                    "CREATE TABLE rrf_sized_mat AS SELECT doc_id, "
+                    "CREATE OR REPLACE TABLE rrf_sized_mat AS SELECT doc_id, "
                     + _BM25_TOKS
                     + " AS t FROM read_parquet("
                     f"'{tmpdir}/docs/*.parquet')"
                 )
                 con.execute(
-                    "CREATE VIEW embeddings_rep_rrf AS "
+                    "CREATE OR REPLACE VIEW embeddings_rep_rrf AS "
                     f"SELECT e.vec_id * {rep_vec} + r.range + 1 AS vec_id,"
                     " embedding FROM embeddings e "
                     f"CROSS JOIN range({rep_vec}) r"
@@ -1532,9 +1829,31 @@ def _rrf_scale_row(
         if ctl < float("inf"):
             row["duckdb_sec"] = round(ctl, 3)
             row["ratio_vs_duckdb"] = round(sec / ctl, 2)
+        # decomposition (r9 verdict item 6): the two rankings read
+        # DIFFERENT corpora (docs parquet vs embeddings), so no shared
+        # scan exists to fuse — these sub-timings show whether the
+        # fused total is just rank_lexical + rank_vector (fusion tail
+        # ~free: it runs over N·k rows) or carries overhead worth
+        # chasing. Each sub-plan is rebuilt by count() per iteration.
+        t_sec = v_sec = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            trank.count()
+            t_sec = min(t_sec, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            vrank.count()
+            v_sec = min(v_sec, time.perf_counter() - t0)
+        row["bm25_rank_sec"] = round(t_sec, 3)
+        row["vector_rank_sec"] = round(v_sec, 3)
+        row["fusion_overhead_sec"] = round(max(0.0, sec - t_sec - v_sec), 3)
         return row
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
+        if con is not None:
+            try:
+                con.execute("DROP TABLE IF EXISTS rrf_sized_mat")
+            except Exception:
+                pass
 
 
 def _bm25_index_scale_row(
@@ -1558,7 +1877,6 @@ def _bm25_index_scale_row(
     1..n_query_replicas, so the batch's term set spans many buckets
     (a one-replica workload would trivialize the scan)."""
     import shutil
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -1570,7 +1888,7 @@ def _bm25_index_scale_row(
     repx = F.explode(F.sequence(F.lit(1), F.lit(rep))).alias("__rep")
     d = load_table(spark, sf_dir, "documents")
     n_docs = d.count() * rep
-    tmpdir = tempfile.mkdtemp(prefix="bench_bm25idx_")
+    tmpdir = _bench_tmpdir("bench_bm25idx_")
     idx = Bm25Index(spark, "bm25bench")
     try:
         d.select("doc_id", "text", repx).select(
@@ -1610,23 +1928,23 @@ def _bm25_index_scale_row(
             try:
                 t0 = time.perf_counter()
                 con.execute(
-                    "CREATE TABLE bm25b_sized AS SELECT doc_id, "
+                    "CREATE OR REPLACE TABLE bm25b_sized AS SELECT doc_id, "
                     + _BM25_TOKS
                     + f" AS t FROM read_parquet('{tmpdir}/docs/*.parquet')"
                 )
                 con.execute(
-                    "CREATE TABLE bm25b_stats AS SELECT count(*) AS n, "
+                    "CREATE OR REPLACE TABLE bm25b_stats AS SELECT count(*) AS n, "
                     "avg(len(t)) AS avgdl FROM bm25b_sized"
                 )
                 con.execute(
-                    "CREATE TABLE bm25b_postings AS "
+                    "CREATE OR REPLACE TABLE bm25b_postings AS "
                     "SELECT doc_id, term, dl, count(*) AS tf FROM ("
                     "  SELECT doc_id, len(t) AS dl, unnest(t) AS term "
                     "  FROM bm25b_sized) "
                     "GROUP BY 1, 2, 3 ORDER BY term"
                 )
                 con.execute(
-                    "CREATE TABLE bm25b_dfreq AS SELECT term, "
+                    "CREATE OR REPLACE TABLE bm25b_dfreq AS SELECT term, "
                     "count(*) AS df FROM bm25b_postings "
                     "GROUP BY 1 ORDER BY term"
                 )
@@ -1677,9 +1995,7 @@ def _bm25_index_scale_row(
         # a sub-3s batch the way it does every index-serve row; the
         # embedded engine's clustered point lookup has no such floor.
         terms_flat = sorted({t for _, t in qvals})
-        pruned = spark.table(idx.postings_table).filter(
-            F.col("term").isin(terms_flat)
-        )
+        pruned = idx.pruned_postings(terms_flat)
         psec = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
@@ -1767,6 +2083,16 @@ def _bm25_index_scale_row(
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
             except Exception:
                 pass
+        if con is not None:
+            # drop the control tables so a retried row (same shared
+            # connection) rebuilds them instead of silently losing its
+            # DuckDB pairing to 'already exists' (round-9 advice)
+            for t in ("bm25b_sized", "bm25b_stats", "bm25b_postings",
+                      "bm25b_dfreq"):
+                try:
+                    con.execute(f"DROP TABLE IF EXISTS {t}")
+                except Exception:
+                    pass
 
 
 def _ann_recall_curve(spark, sf_dir: str, rep: int = 100, k: int = 10,
@@ -2025,8 +2351,8 @@ def _pagerank_rep_sql(prep: int) -> str:
 
 
 def _floor_at_scale(spark, sf_dir: str, con) -> dict:
-    """The three worst sf0.1 floor-ratio queries re-run at ≥1M input
-    rows with same-moment DuckDB controls: at sf0.1 these plans spend
+    """The worst sf0.1 floor-ratio queries re-run at ≥1M input rows
+    with same-moment DuckDB controls: at sf0.1 these plans spend
     ~0.2-0.6 s of multi-stage job floor on milliseconds of data, so the
     sub-second ratio says nothing about the design. Here compute
     dominates and the single-pass / fixed-size-partial plan shapes can
@@ -2034,83 +2360,113 @@ def _floor_at_scale(spark, sf_dir: str, con) -> dict:
     semantics: documents salt per-replica (dup structure repeats per
     replica), embeddings re-id only, events replicate rows with
     user_id UNCHANGED (per-user counts and the n/k threshold scale
-    together, so the heavy-hitter set is invariant)."""
+    together, so the heavy-hitter set is invariant).
+
+    Every row runs through _isolated_row (r9 verdict item 1): a live
+    session is ensured before each row, a failed row is retried once
+    from scratch, and a row that stops the SparkContext can no longer
+    take the rows after it down with it."""
+    out: dict = {}
+    rows = [
+        ("similarity_topk", _topk_floor_row),
+        ("dedup_exact", _dedup_exact_floor_row),
+        ("sketch_heavy_hitters", _hh_floor_row),
+        # RRF hybrid retrieval: the full lexical+vector serving
+        # pipeline at 2M docs + 200k vectors, fresh-JVM placement
+        # (inside the scale child the identical plan measured 4×
+        # slower from driver wear)
+        ("retrieval_rrf_hybrid", _rrf_scale_row),
+        # BM25 serve-from-disk: the persisted term-bucketed index's
+        # amortized serving cost at 2M docs
+        ("bm25_index_serve", _bm25_index_scale_row),
+        # measured ANN recall-vs-cost curves (IVF nprobe sweep + LSH
+        # hyperplane sweep) to a servable ≥0.8 point
+        ("ann_recall_curve", lambda s, sf, _c: _ann_recall_curve(s, sf)),
+    ]
+    for key, fn in rows:
+        spark = _isolated_row(out, key, fn, spark, sf_dir, con)
+    return out
+
+
+def _rep_view(con, name: str, sql: str) -> str | None:
+    """CREATE OR REPLACE a control view — OR REPLACE so a retried row
+    (or a second row reusing a name) redefines instead of silently
+    losing its DuckDB pairing to 'already exists'."""
+    if con is None:
+        return None
+    try:
+        con.execute(f"CREATE OR REPLACE VIEW {name} AS {sql}")
+        return name
+    except Exception:
+        return None
+
+
+def _paired_row(con, spark_df, n_rows: int, ctl_sql: str | None,
+                ctl_runs: int = 5) -> dict:
+    # min-of-5 INTERLEAVED, both engines, extending the headline
+    # harness's min-of-3 (r7 verdict item 2): these are the
+    # contended 100-TB evidence rows, and the shared host's tenant
+    # bursts last ~1-2 min — 3 iterations can land entirely inside
+    # one (run-5 caught both engines 2.2× slow with clean start/
+    # end signatures). The full per-iteration traces are recorded
+    # so a burst is VISIBLE in the artifact instead of silently
+    # shaping the min. Budget guard: a control run over 30 s stops
+    # further control runs (min-of-1 is still same-moment).
+    sec = ctl = float("inf")
+    s_trace: list = []
+    d_trace: list = []
+    ctl_left = ctl_runs if (con is not None and ctl_sql) else 0
+    for _ in range(5):
+        t0 = time.perf_counter()
+        spark_df.count()
+        one_s = time.perf_counter() - t0
+        s_trace.append(round(one_s, 3))
+        sec = min(sec, one_s)
+        if ctl_left > 0:
+            try:
+                one = _duckdb_count(con, ctl_sql, runs=1)
+                d_trace.append(round(one, 3))
+                ctl = min(ctl, one)
+                ctl_left = 0 if one > 30 else ctl_left - 1
+            except Exception:
+                ctl_left = 0
+    row = {"rows": n_rows, "sec": round(sec, 3),
+           "rows_per_sec": round(n_rows / sec),
+           "spark_trace": s_trace}
+    if ctl < float("inf"):
+        row["duckdb_sec"] = round(ctl, 3)
+        row["ratio_vs_duckdb"] = round(sec / ctl, 2)
+        row["duckdb_trace"] = d_trace
+    return row
+
+
+def _topk_floor_row(spark, sf_dir: str, con) -> dict:
+    """similarity_topk @ 10M vectors (2000 × 5000): brute-force cosine
+    top-10 against the original query vector — map-only scan +
+    TakeOrdered vs DuckDB's cross-join + ORDER BY LIMIT. 10M, not
+    1M: at 1M the wall is ~50% task/python-worker orchestration,
+    at 10M compute+transfer dominate and the ratio measures the
+    kernel. PRIMARY engine is the BLOCK storage layout
+    (pack_vector_blocks → cosine_topk_blocks): r7's 2.6× paired row
+    decomposed to ~2.4 s of PER-ROW Arrow bookkeeping on ~0.3 s of
+    gemv; blocks ship the same 2.5 GB as ~10 k contiguous buffers
+    (measured 2.4 s → ~1.5 s same moment as a 1.2 s DuckDB control).
+    The per-row arrow engine stays as a sub-row so the layout win
+    stays measured, not assumed. Replication: base vectors are
+    packed driver-side into 1024-vector blocks (untimed, like every
+    index build) whose ids are re-based per replica IN the kernel
+    (global = local × rep + r — the merged-shards convention);
+    spark.range(rep) × broadcast(blocks) spreads replicas across all
+    cores. DuckDB's control replicates its list layout the same way
+    (CROSS JOIN range — both engines replicate in-plan, neither
+    pays extra IO)."""
     from pyspark.sql import functions as F
 
-    from omicidx_gh_etl_spark.operators import dedup, similarity
-    from omicidx_gh_etl_spark.operators.sketch import heavy_hitters
+    from omicidx_gh_etl_spark.operators import similarity
     from omicidx_gh_etl_spark.queries.llmops import _COS
-    from omicidx_gh_etl_spark.queries.tables import load_events, load_table
+    from omicidx_gh_etl_spark.queries.tables import load_table
 
-    out: dict = {}
     width = spark.sparkContext.defaultParallelism
-
-    def _rep_view(name: str, sql: str) -> str | None:
-        if con is None:
-            return None
-        try:
-            con.execute(f"CREATE VIEW {name} AS {sql}")
-            return name
-        except Exception:
-            return None
-
-    def _paired_row(spark_df, n_rows: int, ctl_sql: str | None,
-                    ctl_runs: int = 5) -> dict:
-        # min-of-5 INTERLEAVED, both engines, extending the headline
-        # harness's min-of-3 (r7 verdict item 2): these are the
-        # contended 100-TB evidence rows, and the shared host's tenant
-        # bursts last ~1-2 min — 3 iterations can land entirely inside
-        # one (run-5 caught both engines 2.2× slow with clean start/
-        # end signatures). The full per-iteration traces are recorded
-        # so a burst is VISIBLE in the artifact instead of silently
-        # shaping the min. Budget guard: a control run over 30 s stops
-        # further control runs (min-of-1 is still same-moment).
-        sec = ctl = float("inf")
-        s_trace: list = []
-        d_trace: list = []
-        ctl_left = ctl_runs if (con is not None and ctl_sql) else 0
-        for _ in range(5):
-            t0 = time.perf_counter()
-            spark_df.count()
-            one_s = time.perf_counter() - t0
-            s_trace.append(round(one_s, 3))
-            sec = min(sec, one_s)
-            if ctl_left > 0:
-                try:
-                    one = _duckdb_count(con, ctl_sql, runs=1)
-                    d_trace.append(round(one, 3))
-                    ctl = min(ctl, one)
-                    ctl_left = 0 if one > 30 else ctl_left - 1
-                except Exception:
-                    ctl_left = 0
-        row = {"rows": n_rows, "sec": round(sec, 3),
-               "rows_per_sec": round(n_rows / sec),
-               "spark_trace": s_trace}
-        if ctl < float("inf"):
-            row["duckdb_sec"] = round(ctl, 3)
-            row["ratio_vs_duckdb"] = round(sec / ctl, 2)
-            row["duckdb_trace"] = d_trace
-        return row
-
-    # similarity_topk @ 10M vectors (2000 × 5000): brute-force cosine
-    # top-10 against the original query vector — map-only scan +
-    # TakeOrdered vs DuckDB's cross-join + ORDER BY LIMIT. 10M, not
-    # 1M: at 1M the wall is ~50% task/python-worker orchestration,
-    # at 10M compute+transfer dominate and the ratio measures the
-    # kernel. PRIMARY engine is the BLOCK storage layout
-    # (pack_vector_blocks → cosine_topk_blocks): r7's 2.6× paired row
-    # decomposed to ~2.4 s of PER-ROW Arrow bookkeeping on ~0.3 s of
-    # gemv; blocks ship the same 2.5 GB as ~10 k contiguous buffers
-    # (measured 2.4 s → ~1.5 s same moment as a 1.2 s DuckDB control).
-    # The per-row arrow engine stays as a sub-row so the layout win
-    # stays measured, not assumed. Replication: base vectors are
-    # packed driver-side into 1024-vector blocks (untimed, like every
-    # index build) whose ids are re-based per replica IN the kernel
-    # (global = local × rep + r — the merged-shards convention);
-    # spark.range(rep) × broadcast(blocks) spreads replicas across all
-    # cores. DuckDB's control replicates its list layout the same way
-    # (CROSS JOIN range — both engines replicate in-plan, neither
-    # pays extra IO).
     rep_e = 5000
     e = load_table(spark, sf_dir, "embeddings")
     n_vec = e.count() * rep_e
@@ -2124,6 +2480,7 @@ def _floor_at_scale(spark, sf_dir: str, con) -> dict:
     )
     topk_sql = None
     if _rep_view(
+        con,
         "embeddings_rep_1m",
         f"SELECT e.vec_id * {rep_e} + r.range + 1 AS vec_id, embedding "
         f"FROM embeddings e CROSS JOIN range({rep_e}) r",
@@ -2175,24 +2532,55 @@ def _floor_at_scale(spark, sf_dir: str, con) -> dict:
     )
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
     try:
-        out["similarity_topk"] = _paired_row(
+        row = _paired_row(
+            con,
             similarity.cosine_topk_blocks(
                 bb_rep, query, k=10, dims=dims,
                 id_scale=rep_e, id_offset_col="__off",
             ),
             n_vec, topk_sql,
         )
+        # Decomposition (r9 verdict item 6: is the residual vs DuckDB
+        # kernel cost or floor?): the SAME input stream timed with
+        # (1) a JVM-only action — no Python boundary at all (binary
+        # length is O(1) metadata, so this is the scan/broadcast/
+        # generate floor), and (2) a pass-through mapInArrow that
+        # ships every block batch to Python and computes NOTHING —
+        # (2)−(1) is the Arrow boundary, row−(2) is the gemv kernel.
+        jvm = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            bb_rep.agg(F.sum(F.length("vecs"))).head()
+            jvm = min(jvm, time.perf_counter() - t0)
+        row["jvm_plan_sec"] = round(jvm, 3)
+
+        def _ship_only(batches):
+            import pyarrow as pa
+
+            n = 0
+            for batch in batches:
+                n += batch.num_rows
+            yield pa.RecordBatch.from_pydict({"n": pa.array([n], "int64")})
+
+        ship = float("inf")
+        shipped = bb_rep.mapInArrow(_ship_only, "n long")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            shipped.agg(F.sum("n")).head()
+            ship = min(ship, time.perf_counter() - t0)
+        row["arrow_ship_sec"] = round(ship, 3)
     finally:
         spark.conf.set(
             "spark.sql.execution.arrow.maxRecordsPerBatch", _prev_batch
         )
-    out["similarity_topk"]["engine"] = "blocks"
-    out["similarity_topk"]["arrow_batch_rows"] = 16
+    row["engine"] = "blocks"
+    row["arrow_batch_rows"] = 16
     arrow_row = _paired_row(
+        con,
         similarity.cosine_topk(e_rep, query, k=10, engine="arrow"),
         n_vec, None,
     )
-    out["similarity_topk"]["arrow_engine_sec"] = arrow_row["sec"]
+    row["arrow_engine_sec"] = arrow_row["sec"]
     # cross-engine value check: the layouts must agree row for row
     blocks_rows = [tuple(r) for r in similarity.cosine_topk_blocks(
         bb_rep, query, k=10, dims=dims,
@@ -2201,10 +2589,19 @@ def _floor_at_scale(spark, sf_dir: str, con) -> dict:
     arrow_rows = [tuple(r) for r in similarity.cosine_topk(
         e_rep, query, k=10, engine="arrow"
     ).collect()]
-    out["similarity_topk"]["engines_match"] = blocks_rows == arrow_rows
+    row["engines_match"] = blocks_rows == arrow_rows
+    return row
 
-    # dedup_exact @ 1M docs (5000 × 200, salted → per-replica dup
-    # structure identical to sf0.1): md5-of-text groupBy on both sides.
+
+def _dedup_exact_floor_row(spark, sf_dir: str, con) -> dict:
+    """dedup_exact @ 1M docs (5000 × 200, salted → per-replica dup
+    structure identical to sf0.1): md5-of-text groupBy on both sides."""
+    from pyspark.sql import functions as F
+
+    from omicidx_gh_etl_spark.operators import dedup
+    from omicidx_gh_etl_spark.queries.tables import load_table
+
+    width = spark.sparkContext.defaultParallelism
     rep_d = 200
     d = load_table(spark, sf_dir, "documents")
     n_docs = d.count() * rep_d
@@ -2223,6 +2620,7 @@ def _floor_at_scale(spark, sf_dir: str, con) -> dict:
     )
     exact_sql = None
     if _rep_view(
+        con,
         "documents_rep_1m",
         f"SELECT d.doc_id * {rep_d} + r.range + 1 AS doc_id, "
         "array_to_string(list_transform("
@@ -2234,26 +2632,33 @@ def _floor_at_scale(spark, sf_dir: str, con) -> dict:
             REGISTRY["dedup_exact"].oracle,
             "FROM documents", "FROM documents_rep_1m",
         )
-    out["dedup_exact"] = _paired_row(
-        dedup.exact_dedup(d_rep, "text", "doc_id"), n_docs, exact_sql
+    return _paired_row(
+        con, dedup.exact_dedup(d_rep, "text", "doc_id"), n_docs, exact_sql
     )
 
 
-    # sketch_heavy_hitters at 25M rows / ~20M distinct keys: replicated
-    # events (user_id unchanged — per-user counts and the n/k threshold
-    # scale together) UNIONed with a 4×-sized tail of singleton keys.
-    # The tail is the point: a first run at 1M rows over the base's few
-    # hundred users measured DuckDB at 7 ms — a key space that trivial
-    # stresses nothing the sketch exists for. MG's design premise is a
-    # key cardinality too large to shuffle/hash in full; the singleton
-    # tail makes the exact plan build a multi-million-entry table while
-    # the sketch's candidate set stays ≤ k × partitions. k=600 keeps
-    # the hitter set identical to the base query's (threshold n/120
-    # over 1/5 of the rows). Three datapoints: the MG operator, the
-    # SAME exact plan DuckDB runs (groupBy+HAVING) in Spark, and the
-    # DuckDB control — the last two separate engine speed from the
-    # sketch's local overhead (the candidate prune pays off in shuffle
-    # volume at cluster scale, not in single-node seconds).
+def _hh_floor_row(spark, sf_dir: str, con) -> dict:
+    """sketch_heavy_hitters at 25M rows / ~20M distinct keys: replicated
+    events (user_id unchanged — per-user counts and the n/k threshold
+    scale together) UNIONed with a 4×-sized tail of singleton keys.
+    The tail is the point: a first run at 1M rows over the base's few
+    hundred users measured DuckDB at 7 ms — a key space that trivial
+    stresses nothing the sketch exists for. MG's design premise is a
+    key cardinality too large to shuffle/hash in full; the singleton
+    tail makes the exact plan build a multi-million-entry table while
+    the sketch's candidate set stays ≤ k × partitions. k=600 keeps
+    the hitter set identical to the base query's (threshold n/120
+    over 1/5 of the rows). Three datapoints: the MG operator, the
+    SAME exact plan DuckDB runs (groupBy+HAVING) in Spark, and the
+    DuckDB control — the last two separate engine speed from the
+    sketch's local overhead (the candidate prune pays off in shuffle
+    volume at cluster scale, not in single-node seconds)."""
+    from pyspark.sql import functions as F
+
+    from omicidx_gh_etl_spark.operators.sketch import heavy_hitters
+    from omicidx_gh_etl_spark.queries.tables import load_events
+
+    width = spark.sparkContext.defaultParallelism
     rep_ev = 50
     ev = load_events(spark, sf_dir).select("user_id")
     n_base = ev.count() * rep_ev
@@ -2267,6 +2672,7 @@ def _floor_at_scale(spark, sf_dir: str, con) -> dict:
     n_ev = n_base + n_tail
     hh_sql = None
     if _rep_view(
+        con,
         "events_hh_scale",
         f"SELECT user_id FROM events CROSS JOIN range({rep_ev}) "
         f"UNION ALL SELECT range + 1000000000000 AS user_id "
@@ -2295,7 +2701,7 @@ def _floor_at_scale(spark, sf_dir: str, con) -> dict:
     auto_df = heavy_hitters(ev_all, "user_id", 600)
     auto_decision_sec = round(time.perf_counter() - t0, 3)
     auto_choice = getattr(auto_df, "_hh_engine", "mg")
-    row = _paired_row(auto_df, n_ev, hh_sql)
+    row = _paired_row(con, auto_df, n_ev, hh_sql)
     row["tail_unique_keys"] = n_tail
     row["engine"] = f"{auto_choice}(auto)"
     row["auto_decision_sec"] = auto_decision_sec
@@ -2303,36 +2709,14 @@ def _floor_at_scale(spark, sf_dir: str, con) -> dict:
     # runs; mg = the sketch path) so the local crossover is visible
     other = "exact" if auto_choice == "mg" else "mg"
     other_row = _paired_row(
-        heavy_hitters(ev_all, "user_id", 600, engine=other), n_ev, None
+        con, heavy_hitters(ev_all, "user_id", 600, engine=other), n_ev, None
     )
     row[f"spark_{other}_sec"] = other_row["sec"]
     if "duckdb_sec" in row:
         row[f"{other}_ratio_vs_duckdb"] = round(
             other_row["sec"] / row["duckdb_sec"], 2
         )
-    out["sketch_heavy_hitters"] = row
-
-    # RRF hybrid retrieval, fresh-JVM (see _rrf_scale_row): the full
-    # lexical+vector serving pipeline at 500k docs + 200k vectors
-    try:
-        out["retrieval_rrf_hybrid"] = _rrf_scale_row(spark, sf_dir, con)
-    except Exception as exc:
-        out["retrieval_rrf_hybrid"] = {"error": str(exc)[:200]}
-
-    # BM25 serve-from-disk: the persisted term-bucketed index's
-    # amortized serving cost at 2M docs (see _bm25_index_scale_row)
-    try:
-        out["bm25_index_serve"] = _bm25_index_scale_row(spark, sf_dir, con)
-    except Exception as exc:
-        out["bm25_index_serve"] = {"error": str(exc)[:200]}
-
-    # measured ANN recall-vs-cost curves (IVF nprobe sweep + LSH
-    # hyperplane sweep) to a servable ≥0.8 point (see _ann_recall_curve)
-    try:
-        out["ann_recall_curve"] = _ann_recall_curve(spark, sf_dir)
-    except Exception as exc:
-        out["ann_recall_curve"] = {"error": str(exc)[:200]}
-    return out
+    return row
 
 
 def _duckdb_count(con, sql: str, runs: int = 2) -> float:
@@ -2359,7 +2743,6 @@ def _sf1_file_backed(spark, sf_dir: str, rep: int = 10) -> dict:
     corpora, no artificial mega-cluster); embeddings re-id only (every
     IVF cell grows uniformly)."""
     import shutil
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -2372,7 +2755,7 @@ def _sf1_file_backed(spark, sf_dir: str, rep: int = 10) -> dict:
     except Exception:
         duckdb = None
 
-    sf1_dir = tempfile.mkdtemp(prefix="bench_sf1_")
+    sf1_dir = _bench_tmpdir("bench_sf1_")
     sf1: dict = {"replication": rep}
     repx10 = F.explode(F.sequence(F.lit(1), F.lit(rep))).alias("__rep")
     try:

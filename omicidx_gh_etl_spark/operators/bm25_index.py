@@ -93,6 +93,15 @@ class Bm25Index:
             self._serve_session = s
         return self._serve_session
 
+    def pruned_postings(self, terms: list) -> DataFrame:
+        """The bucket-pruned postings scan for ``terms`` alone — the IO
+        term of a serve, exposed for decomposition timing (bench) and
+        plan inspection. Bound to the serve session so the scan is the
+        bucketed (and therefore pruned) layout."""
+        return self._serve_spark().table(self.postings_table).filter(
+            F.col("term").isin(list(terms))
+        )
+
     def build(
         self,
         docs: DataFrame,

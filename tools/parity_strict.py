@@ -172,18 +172,20 @@ def main() -> int:
         only |= set(slice_for_round(oracle_backed, current_round()))
     if "--slice-sf01" in only:
         # the sf0.1 strict-hash window (r9 verdict item 5): a rotating
-        # ~10-query slice value-hashed at 10× the full gate's SF, so
+        # slice value-hashed at 10× the full gate's SF, so
         # scale-dependent wrongness (overflow, approx-threshold drift,
         # skew-triggered fallbacks) has a recorded strict check the
-        # sf0.01 registry gate cannot give. Offset by a half-window so
-        # consecutive rounds' sf0.01 and sf0.1 slices don't shadow
-        # each other:
+        # sf0.01 registry gate cannot give. k=25 (r10 verdict item 3:
+        # at k=10 full-registry sf0.1 coverage needed ~18 rounds; 25
+        # finishes in ~7). The round multiplier keeps the rotation
+        # deterministic by round number and the r10 window disjoint
+        # from r9's k=10 one:
         #   python tools/parity_strict.py /root/testdata/sf0.1 \
         #       --slice-sf01 --json PARITY_SF01_r{N}.json
         only.discard("--slice-sf01")
         oracle_backed = [n for n, q in REGISTRY.items() if q.oracle is not None]
         only |= set(
-            slice_for_round(oracle_backed, current_round() * 2 + 1, k=10)
+            slice_for_round(oracle_backed, current_round() * 2 + 1, k=25)
         )
     if os.environ.get("SPARK_GRAFT_VANILLA"):
         # simulate the round driver EXACTLY: a bare session with no
