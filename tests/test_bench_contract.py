@@ -80,13 +80,19 @@ def test_floor_child_recovers_from_context_killing_row_fault():
     later row inherits the dead context. SPARK_GRAFT_BENCH_INJECT_FAULT
     reproduces exactly that failure mode (stop the context, raise) on
     the named row's first attempt — this test is the proof the verdict
-    asked for, not a simulation of a gentler error."""
+    asked for, not a simulation of a gentler error.
+
+    The ``:jvm`` variant is the strictly harder shape that actually
+    bit in round 10: the context dies JVM-side only, so Python's
+    `_jsc` and active-context registries stay populated and a naive
+    getOrCreate returns the SAME dead session — the rebuild must
+    force-clear them (bench._ensure_spark)."""
     proc = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py"), "--floor-only"],
+        [sys.executable, os.path.join(REPO, "bench.py"), "--serve-only"],
         capture_output=True, text=True, timeout=900,
         env={**os.environ, "SPARK_GRAFT_SF_DIR": SF_SMOKE,
              "SPARK_GRAFT_BENCH_ATTEMPTS": "1",
-             "SPARK_GRAFT_BENCH_INJECT_FAULT": "bm25_index_serve"},
+             "SPARK_GRAFT_BENCH_INJECT_FAULT": "bm25_index_serve:jvm"},
         cwd=REPO,
     )
     assert proc.returncode == 0, proc.stderr[-500:]
