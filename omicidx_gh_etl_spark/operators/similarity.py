@@ -62,6 +62,100 @@ def _norm_sql(a: str) -> str:
     return f"sqrt({_dot_sql(a, a)})"
 
 
+_FOLD_MAX_CENTROIDS = 1024
+
+
+def _centroid_fold_sql(
+    centroids: DataFrame, centroid_id_col: str, centroid_vec_col: str
+) -> tuple[str, str] | None:
+    """Collect a small-by-contract centroid frame into one SQL literal
+    ``array(named_struct('cid', …, 'cvd', array(…), 'cn', sqrt(…)))``
+    for the MAP-SIDE fold argmax (see :func:`ivf_assign`), or ``None``
+    when the frame is unsuitable and the aggregate path must run:
+    more than ``_FOLD_MAX_CENTROIDS`` rows (plan-literal size bound —
+    the same kind of cap as bm25's ≤64-term literal switch), a
+    non-integral centroid id (the aggregate path's ``-cid`` tiebreak
+    is numeric-only too), a non-finite vector component (unprintable
+    as a SQL literal), or zero rows (the cross-join path's empty
+    result is the contract).
+
+    Float components round-trip exactly: ``repr(float)`` is
+    shortest-exact and SQL double literals parse correctly-rounded,
+    so the literal doubles — and therefore every cosine / round(·,4)
+    computed from them — are bit-identical to the DataFrame path's.
+    The norm is precomputed in PYTHON (same bits: ``_dot_sql`` is a
+    left-to-right fold from 0.0, exactly ``s = 0.0; s += x*x`` in
+    IEEE doubles, and both ``math.sqrt`` and the JVM's sqrt are
+    correctly rounded; a None component makes the norm NULL exactly
+    as SQL null propagation does) — inlining ``sqrt(dot(vec,vec))``
+    over the literal instead tripled the expression text and its
+    constant-folding cost dominated plan build (measured: fold 0.362 s
+    vs fold-with-python-norms 0.252 s per bench iteration).
+    Returns ``(array_sql, cid_sql_type)``.
+    """
+    dt = centroids.schema[centroid_id_col].dataType.simpleString()
+    if dt not in ("tinyint", "smallint", "int", "bigint"):
+        return None
+    rows = centroids.selectExpr(
+        f"`{centroid_id_col}` AS cid",
+        f"cast(`{centroid_vec_col}` as array<double>) AS cvd",
+    ).limit(_FOLD_MAX_CENTROIDS + 1).collect()
+    if not rows or len(rows) > _FOLD_MAX_CENTROIDS:
+        return None
+    import math
+
+    structs = []
+    for r in rows:
+        cid = (f"cast(null as {dt})" if r["cid"] is None
+               else f"cast({int(r['cid'])} as {dt})")
+        if r["cvd"] is None:
+            vec = "cast(null as array<double>)"
+            cn = "cast(null as double)"
+        else:
+            if any(x is not None and not math.isfinite(x)
+                   for x in r["cvd"]):
+                return None
+            vec = "array(" + ",".join(
+                "cast(null as double)" if x is None else repr(float(x)) + "D"
+                for x in r["cvd"]
+            ) + ")"
+            if any(x is None for x in r["cvd"]):
+                cn = "cast(null as double)"
+            else:
+                acc = 0.0
+                for x in r["cvd"]:
+                    acc += float(x) * float(x)
+                cn = repr(math.sqrt(acc)) + "D"
+        structs.append(
+            f"named_struct('cid', {cid}, 'cvd', {vec}, 'cn', {cn})"
+        )
+    return "array(" + ",".join(structs) + ")", dt
+
+
+def _fold_argmax_sql(cents_sql: str, cid_type: str, vn_col: str) -> str:
+    """The per-row argmax-over-literal-centroids expression: one
+    ``transform`` computes each centroid's rounded cosine ONCE, one
+    ``aggregate`` folds to the best ``(s, cid)`` — ordering identical
+    to the aggregate path's ``max(struct(s, -cid))``: highest rounded
+    similarity, lowest centroid id on ties, null similarities ranked
+    below every real one (and tie-broken by min cid when ALL are
+    null, matching struct ordering's nulls-smallest)."""
+    cos = _cos_pre_sql("c.cvd", "v", "c.cn", vn_col)
+    return (
+        f"aggregate(transform({cents_sql}, c -> named_struct("
+        f"'s', round({cos}, 4), 'cid', c.cid)), "
+        f"named_struct('s', cast(null as double),"
+        f" 'cid', cast(null as {cid_type})), "
+        "(acc, x) -> CASE"
+        " WHEN x.s IS NULL AND acc.s IS NULL THEN"
+        " IF(acc.cid IS NULL OR x.cid < acc.cid, x, acc)"
+        " WHEN x.s IS NULL THEN acc"
+        " WHEN acc.s IS NULL THEN x"
+        " WHEN x.s > acc.s OR (x.s = acc.s AND x.cid < acc.cid) THEN x"
+        " ELSE acc END)"
+    )
+
+
 def _cos_pre_sql(a: str, b: str, anorm: str, bnorm: str) -> str:
     """``_cos_sql`` with both norms HOISTED into named columns computed
     once per row of their own side. Inside a k-candidate cross join the
@@ -1540,23 +1634,39 @@ def ivf_search(
     e = e.selectExpr("*", f"{_norm_sql('v')} AS __vn")
     c = c.selectExpr("*", f"{_norm_sql('cvd')} AS __cn")
     q = q.selectExpr("*", f"{_norm_sql('qvd')} AS __qn")
-    assigned = (
-        e.crossJoin(F.broadcast(c))
-        .selectExpr(
-            id_col, centroid_id_col,
-            f"round({_cos_pre_sql('v', 'cvd', '__vn', '__cn')}, 4) AS s",
-            "v", "__vn",
+    # Cell assignment, round-10 default: per-row fold over the literal
+    # centroid array (see ivf_assign) — the corpus keeps (v, __vn) in
+    # place with ZERO shuffles and no K× fan-out; the former aggregate
+    # form SORT-aggregated |corpus|×K rows each carrying the full
+    # vector (max(struct)+first(array) buffers are immutable, so it
+    # could not even hash-aggregate). Fallback to that aggregate when
+    # the centroid frame is unsuitable for literal inlining.
+    lit = _centroid_fold_sql(centroids, centroid_id_col, centroid_vec_col)
+    if lit is not None:
+        cents_sql, cid_t = lit
+        best = _fold_argmax_sql(cents_sql, cid_t, "__vn")
+        assigned = e.selectExpr(
+            id_col, f"({best}).cid AS `{centroid_id_col}`", "v", "__vn"
         )
-        .groupBy(id_col)
-        .agg(
-            F.expr(
-                f"max(struct(s, -`{centroid_id_col}` AS neg_cid, "
-                f"`{centroid_id_col}`)).`{centroid_id_col}`"
-            ).alias(centroid_id_col),
-            F.expr("first(v)").alias("v"),
-            F.expr("first(__vn)").alias("__vn"),
+    else:
+        assigned = (
+            e.crossJoin(F.broadcast(c))
+            .selectExpr(
+                id_col, centroid_id_col,
+                f"round({_cos_pre_sql('v', 'cvd', '__vn', '__cn')}, 4)"
+                " AS s",
+                "v", "__vn",
+            )
+            .groupBy(id_col)
+            .agg(
+                F.expr(
+                    f"max(struct(s, -`{centroid_id_col}` AS neg_cid, "
+                    f"`{centroid_id_col}`)).`{centroid_id_col}`"
+                ).alias(centroid_id_col),
+                F.expr("first(v)").alias("v"),
+                F.expr("first(__vn)").alias("__vn"),
+            )
         )
-    )
 
     # queries × centroids is tiny (|Q|·K rows): recomputing the probe
     # similarity inside the window ORDER BY costs nothing and saves a
@@ -1605,24 +1715,47 @@ def ivf_assign(
     Rounded similarity + centroid-id tiebreak gives a deterministic
     argmax in both engines.
 
-    The argmax is a MAX-of-struct aggregate, not a ranking window: all
-    k candidate rows for a vector are partition-local (broadcast cross
-    join), so partial aggregation reduces them to one row per vector
-    *before* the exchange — the shuffle carries |vectors| rows instead
-    of |vectors|×k sorted by a window. Struct comparison is
-    lexicographic: (cos_sim, -centroid_id) ⇒ highest similarity,
-    lowest centroid id on rounded ties.
+    Default plan (round 10): the centroids — driver-knowable by
+    contract, they broadcast anyway — are collected at plan time and
+    inlined as ONE literal array; the argmax is a per-row
+    transform+fold over that array (:func:`_fold_argmax_sql`). ZERO
+    corpus shuffles, zero fan-out: assignment is conceptually map-only
+    and now physically map-only. Measured (sf0.1, and 10× replicated):
+    2.6-3× faster than the aggregate form — the fold pays the same K
+    interpreted HOF cosines per row the cross-join form paid, and
+    nothing else (no K× row materialization, no sort, no exchange).
+    At 100 TB this also removes the corpus-wide shuffle entirely.
 
-    Rejected alternative (measured, do not re-try blindly): inlining
-    small-K centroids as plan literals and computing all K similarities
-    as projection columns ("no cross join, no aggregate") benched 3.5×
-    SLOWER at sf0.1 — K higher-order-function cosines per row in one
-    giant expression tree evaluate interpreted, which costs more than
-    the k× row fan-out this formulation pays inside codegen.
+    Fallback (``_centroid_fold_sql`` returns None — >1024 centroids,
+    non-integral ids, non-finite components, empty frame): the
+    MAX-of-struct aggregate over a broadcast cross join — all k
+    candidate rows for a vector are partition-local, so partial
+    aggregation reduces them to one row per vector *before* the
+    exchange. Struct comparison is lexicographic: (cos_sim,
+    -centroid_id) ⇒ highest similarity, lowest centroid id on rounded
+    ties — the fold replicates exactly that ordering (null similarity
+    ranked below all, min-cid tiebreak when all are null).
+
+    Historical note: an earlier rejected "literal centroids" variant
+    computed K similarities as SEPARATE projection columns and
+    benched 3.5× slower; the single-fold form is not that shape.
+
+    Contract: vector ids are unique (an index corpus). With duplicate
+    ids the aggregate path keeps one arbitrary row per id while the
+    fold keeps each row's own assignment.
     """
     e = emb.selectExpr(
         f"`{id_col}`", f"cast(`{vec_col}` as array<double>) AS v"
     ).selectExpr("*", f"{_norm_sql('v')} AS __vn")
+    lit = _centroid_fold_sql(centroids, centroid_id_col, centroid_vec_col)
+    if lit is not None:
+        cents_sql, cid_t = lit
+        best = _fold_argmax_sql(cents_sql, cid_t, "__vn")
+        return e.selectExpr(id_col, f"{best} AS __b").selectExpr(
+            id_col,
+            f"__b.cid AS `{centroid_id_col}`",
+            "__b.s AS cos_sim",
+        )
     c = centroids.selectExpr(
         f"`{centroid_id_col}`",
         f"cast(`{centroid_vec_col}` as array<double>) AS cvd",

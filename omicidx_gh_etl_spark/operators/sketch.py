@@ -129,16 +129,20 @@ def exact_recount(keyed: DataFrame, candidates: DataFrame,
 
 def exact_heavy_hitters(keyed: DataFrame, k: int) -> DataFrame:
     """Plain exact plan: full ``groupBy(key)`` + broadcast grand total,
-    ``n > total/k``. Two scans of the input (counts + total), one
-    shuffle whose size is the FULL distinct-key cardinality — the right
-    plan when that cardinality is modest (it beats the MG path's
-    second scan + Python summary work), and exactly the plan the
-    DuckDB oracle runs."""
-    tot = keyed.agg(F.expr("count(*)").alias("__total"))
+    ``n > total/k``. ONE scan of the input: the grand total is
+    ``sum(n)`` over the per-key counts — arithmetically identical to
+    ``count(*)`` over the input (every non-null-keyed row lands in
+    exactly one group) — so the total's subtree shares the counts
+    aggregation's shuffle (ReusedExchange in the plan) instead of
+    re-scanning the source. One shuffle whose size is the FULL
+    distinct-key cardinality — the right plan when that cardinality
+    is modest (it beats the MG path's second scan + Python summary
+    work), and the same answer as the oracle's
+    ``HAVING count(*) > (SELECT count(key) FROM t) / k``."""
+    counts = keyed.groupBy("key").agg(F.expr("count(*)").alias("n"))
+    tot = counts.agg(F.expr("sum(n)").alias("__total"))
     return (
-        keyed.groupBy("key")
-        .agg(F.expr("count(*)").alias("n"))
-        .join(F.broadcast(tot))
+        counts.join(F.broadcast(tot))
         .filter(f"n > __total / {int(k)}")
         .drop("__total")
     )
@@ -172,8 +176,10 @@ def heavy_hitters(
       nothing and its second scan is pure overhead.
     - ``"auto"``  — a planning-time stats decision, the CBO pattern:
       use ``ndv_hint`` (caller-known distinct count — catalog stats)
-      if given, else run one ``approx_count_distinct`` job at plan
-      time. On a CLUSTER master, pick MG when the estimated
+      if given; else bound ndv by the raw row count (a zero-column
+      ``count()`` job, far cheaper than a cardinality probe) and only
+      run an ``approx_count_distinct`` job when the row count alone
+      cannot rule MG out. On a CLUSTER master, pick MG when the estimated
       cardinality exceeds ``16 × k × defaultParallelism`` — the
       candidate prune then shrinks the key set crossing the NETWORK
       by more than an order of magnitude, which is what MG buys. On
@@ -200,19 +206,26 @@ def heavy_hitters(
         )
     keyed = _keyed(df, key)
     if engine == "auto":
+        sc = df.sparkSession.sparkContext
+        threshold = (
+            500_000_000 if sc.master.startswith("local")
+            else 16 * int(k) * sc.defaultParallelism
+        )
         ndv = ndv_hint
         if ndv is None:
-            ndv = keyed.agg(
-                F.approx_count_distinct("key").alias("d")
-            ).first()["d"]
-        sc = df.sparkSession.sparkContext
-        if sc.master.startswith("local"):
-            engine = "mg" if ndv > 500_000_000 else "exact"
-        else:
-            engine = (
-                "mg" if ndv > 16 * int(k) * sc.defaultParallelism
-                else "exact"
-            )
+            # Cheap upper bound before the expensive probe: ndv can
+            # never exceed the row count, and a bare count() is a
+            # zero-column scan (parquet batch row counts, no key
+            # decode + hash like approx_count_distinct pays). Only
+            # when the row count alone can't rule MG out does the
+            # real cardinality estimate run.
+            if df.count() <= threshold:
+                ndv = 0  # <= threshold by the row-count bound
+            else:
+                ndv = keyed.agg(
+                    F.approx_count_distinct("key").alias("d")
+                ).first()["d"]
+        engine = "mg" if ndv > threshold else "exact"
     if engine == "exact":
         out = exact_heavy_hitters(keyed, k)
     else:

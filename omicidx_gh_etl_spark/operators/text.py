@@ -1019,7 +1019,16 @@ def bm25_build_index(
     if materialize:
         postings = postings.localCheckpoint(eager=True)
         dls = dls.localCheckpoint(eager=True)
-    dfreq = postings.groupBy("term").agg(F.count("*").alias("df"))
+    # df references tf (always ≥ 1, so count(tf>0) == count(*)) ON
+    # PURPOSE: with an unreferenced tf, column pruning rewrites the
+    # postings subtree under this re-aggregation into a distinct-only
+    # aggregate, the two subtrees no longer canonicalize equal, and
+    # AQE exchange/stage reuse cannot fire — the whole postings build
+    # would execute twice in the unmaterialized plan (measured; see
+    # OPTIMIZATION_r10.md). Same trick in bm25_batch_topk.
+    dfreq = postings.groupBy("term").agg(
+        F.count(F.when(F.col("tf") > 0, True)).alias("df")
+    )
     stats = dls.agg(
         F.expr("count(*) AS __n"), F.expr("avg(__dl) AS __avgdl")
     )
@@ -1284,7 +1293,14 @@ def bm25_batch_topk(
         .groupBy(id_col, "term", "__dl")
         .agg(F.count("*").alias("tf"))
     )
-    df_ = postings.groupBy("term").agg(F.count("*").alias("df"))
+    # count(tf > 0) == count(*) on postings (tf ≥ 1 by construction);
+    # referencing tf keeps this subtree canonically IDENTICAL to the
+    # main contrib side's postings aggregate, so AQE reuses that
+    # shuffle stage instead of re-running the explode + aggregate from
+    # the checkpoint (ReusedExchange — pinned in tests/test_plans.py)
+    df_ = postings.groupBy("term").agg(
+        F.count(F.when(F.col("tf") > 0, True)).alias("df")
+    )
     contrib = (
         postings.join(F.broadcast(q), "term")
         .join(F.broadcast(df_), "term")

@@ -24,10 +24,16 @@ TAIL_WINDOW = 2000  # the driver's stdout capture, measured from BENCH_r04
 
 @pytest.mark.skipif(not os.path.isdir(SF_SMOKE), reason="testdata absent")
 def test_bench_emits_parseable_json_contract(tmp_path):
+    # Budget: the round-10 bench runs SIX fresh child JVMs (headline/
+    # export/scale/floor/serve/extract — each pays boot + two host
+    # signatures) and the scale child alone is ~10 min of job-floor-
+    # bound paired rows even at smoke SF (measured ~22 min end-to-end
+    # on a quiet 32-core host). 900 s was the r9 budget and went red
+    # the moment the serve+extract children were added.
     detail_path = str(tmp_path / "BENCH_DETAIL.json")
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
-        capture_output=True, text=True, timeout=900,
+        capture_output=True, text=True, timeout=1800,
         env={**os.environ, "SPARK_GRAFT_SF_DIR": SF_SMOKE,
              "SPARK_GRAFT_DETAIL_PATH": detail_path,
              # weather retries are runtime-only behavior; at smoke SF

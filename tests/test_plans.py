@@ -85,11 +85,16 @@ def test_simhash_pairs_single_lineage(spark):
     assert count_op(tree, "Scan parquet") == 1
 
 
-def test_ivf_assign_broadcasts_centroids_no_window(spark):
+def test_ivf_assign_is_map_only_fold(spark):
+    """Round-10 shape: centroids inlined as a plan literal, argmax a
+    per-row fold — assignment is physically map-only: no join of any
+    kind, no aggregate, no window, ZERO corpus exchanges."""
     tree = plan_of(spark, "similarity_ivf_assign").split("\n\n")[0]
-    assert count_op(tree, "BroadcastNestedLoopJoin") == 1  # broadcast cross join
-    assert count_op(tree, "Window") == 0  # argmax aggregate, not rank
+    assert count_op(tree, "BroadcastNestedLoopJoin") == 0
+    assert count_op(tree, "Window") == 0
     assert count_op(tree, "SortMergeJoin") == 0
+    assert count_shuffles(tree) == 0
+    assert count_op(tree, "SortAggregate") == 0
 
 
 def test_dedup_latest_by_key_is_aggregate_not_window(spark):
@@ -127,9 +132,12 @@ def test_ivf_search_candidate_join_broadcasts_probes(spark):
     # corpus-side candidate join: probes broadcast, corpus never shuffles
     assert count_op(tree, "BroadcastHashJoin") >= 1
     assert count_op(tree, "SortMergeJoin") == 0
-    # the only nested loops are the intended tiny broadcast cross joins
-    # (vectors × centroids, queries × centroids)
-    assert count_op(tree, "BroadcastNestedLoopJoin") == 2
+    # round-10 shape: assignment is the map-only literal-centroid fold
+    # (no corpus-side cross join, no sort-aggregate of the K× fan-out);
+    # the ONE remaining nested loop is the tiny queries × centroids
+    # probe ranking
+    assert count_op(tree, "BroadcastNestedLoopJoin") == 1
+    assert count_op(tree, "SortAggregate") == 0
     # rank-k pushdown active (WindowGroupLimit, Spark 3.5+)
     assert count_op(tree, "WindowGroupLimit") >= 1
 

@@ -75,7 +75,7 @@ def summarize(plan: str) -> dict:
     scans = re.findall(r"ReadSchema: struct<(.*)>", plan)
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     python = sorted(
-        set(re.findall(r"(BatchEvalPython|ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas|PythonMapInArrow)", plan))
+        set(re.findall(r"(BatchEvalPython|ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas|(?:Python)?MapInArrow)", plan))
     )
     return {
         "shuffles": shuffles,
