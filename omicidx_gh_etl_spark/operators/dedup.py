@@ -605,16 +605,13 @@ def dedup_paragraphs(
 
     ``engine`` picks the chunk producer:
 
-    - ``"arrow"`` (default): ``mapInArrow`` with a numpy kernel that
-      re-slices the utf8 data buffer by offsets arithmetic (single-
-      spaced docs: every chunk is a contiguous byte slice, so the
-      whole batch chunks as one mask-compress; irregular-spacing rows
-      fall back to the exact per-row Python loop). Spark's array
-      higher-order-function lambdas (``filter``/``transform``/
-      ``slice``) are interpreted, not codegen'd, and measured ~2×
-      slower than even the per-row Python chunker at 500k docs; the
-      buffer kernel beats both — this is the documented exception to
-      the expressions-first rule.
+    - ``"arrow"`` (default): Arrow-batched ``mapInPandas`` — plain
+      ``str.split``/``join`` per batch, stateless, memory bounded by
+      the Arrow batch size. Spark's array higher-order-function
+      lambdas (``filter``/``transform``/``slice``) are interpreted,
+      not codegen'd, and measure ~2× slower than Python string ops at
+      500k docs (BENCH_DETAIL ``dedup_paragraphs_rewrite``); this is
+      the documented exception to the expressions-first rule.
     - ``"sql"``: the pure-expression plan (posexplode over
       slice/concat_ws of the token array) — zero Python workers, for
       Python-less executors or plan-audit baselines. Bit-identical
@@ -652,6 +649,20 @@ def paragraph_chunks(
     overhead; 5k-20k within ±5%) — unlike the blocks scan, the chunker
     is compute-bound in python str work, not transfer-bound, so batch
     pipelining has nothing to hide.
+
+    Measured rejection (round 10, do not re-try blindly): a
+    ``mapInArrow`` numpy kernel that re-sliced the utf8 data buffer by
+    offsets arithmetic (guide §4.2's buffer re-slicing pattern; exact
+    per-row fallback for irregular spacing) was bit-identical but NOT
+    faster: equal-at-best at ~60-token docs and 3× SLOWER at
+    ~600-token docs (counterbalanced A/B, materialized input: 5.9 s vs
+    1.9 s at 100k long docs). The kernel makes ~15 full passes over
+    the batch bytes (space scan, per-byte range cumsum/mask, compress)
+    where CPython's C-level ``str.split``/``join`` touches each byte
+    ~twice and allocates only the output — buffer re-slicing pays off
+    when it REPLACES per-row work entirely (fixed-width slicing, no
+    content scan), not when the row work is already a C loop over the
+    same bytes.
     """
     if engine not in ("arrow", "sql"):
         raise ValueError(f"engine must be 'arrow' or 'sql', got {engine!r}")
@@ -669,139 +680,26 @@ def paragraph_chunks(
         ct = chunk_tokens
 
         def _chunk_batches(batches):
-            # Vectorized fast path (optimization guide §4.2): for a
-            # SINGLE-SPACED document every chunk string is a contiguous
-            # byte slice of the Arrow utf8 data buffer — " ".join of
-            # ct consecutive tokens IS the substring between two token
-            # boundaries — so chunking is offsets arithmetic over the
-            # space-byte positions plus ONE boolean-mask compress of
-            # the buffer (drop the chunk-boundary spaces), with zero
-            # per-row Python string work. 0x20 is a single byte that
-            # cannot occur inside a UTF-8 multi-byte sequence, so byte
-            # positions are exact. Rows the slice identity does not
-            # hold for (leading/trailing/double spaces — where
-            # split-filter-join RE-NORMALIZES whitespace) fall back to
-            # the per-row Python loop, bit-identical to the previous
-            # implementation (pytest pins arrow == sql engines).
-            import numpy as np
-            import pyarrow as pa
+            import pandas as pd
 
-            for b in batches:
-                n = b.num_rows
-                if n == 0:
-                    continue
-                ids = b.column(0)
-                txt = b.column(1)
-                if isinstance(ids, pa.ChunkedArray):
-                    ids = ids.combine_chunks()
-                if isinstance(txt, pa.ChunkedArray):
-                    txt = txt.combine_chunks()
-                bufs = txt.buffers()
-                if bufs[2] is None:  # all-null column
-                    continue
-                odt = (np.int64 if pa.types.is_large_string(txt.type)
-                       else np.int32)
-                offs = np.frombuffer(bufs[1], dtype=odt)[
-                    txt.offset:txt.offset + n + 1
-                ].astype(np.int64)
-                data = np.frombuffer(bufs[2], dtype=np.uint8)
-                starts, ends = offs[:-1], offs[1:]
-                base, stop = int(offs[0]), int(offs[-1])
-                valid = (np.ones(n, dtype=bool) if txt.null_count == 0
-                         else txt.is_valid().to_numpy(
-                             zero_copy_only=False))
-                nonempty = valid & (ends > starts)
-                ne = np.flatnonzero(nonempty)
-                # space positions across the batch's value range (rows
-                # tile it back-to-back, so each belongs to one row)
-                sp = np.flatnonzero(data[base:stop] == 32) + base
-                lead = np.zeros(n, dtype=bool)
-                trail = np.zeros(n, dtype=bool)
-                lead[ne] = data[starts[ne]] == 32
-                trail[ne] = data[ends[ne] - 1] == 32
-                # double-space positions (p, p+1 both spaces, same row)
-                dbl = sp[:-1][np.diff(sp) == 1] if sp.size > 1 else sp[:0]
-                hasdbl = np.zeros(n, dtype=bool)
-                hasdbl[ne] = (
-                    np.searchsorted(dbl, ends[ne] - 1)
-                    - np.searchsorted(dbl, starts[ne])
-                ) > 0
-                clean = nonempty & ~lead & ~trail & ~hasdbl
-                ci = np.flatnonzero(clean)
-                if ci.size:
-                    rs, re_ = starts[ci], ends[ci]
-                    lo = np.searchsorted(sp, rs)
-                    hi = np.searchsorted(sp, re_)
-                    tok = hi - lo + 1          # tokens per clean row
-                    nch = (tok + ct - 1) // ct  # chunks per clean row
-                    cco = np.concatenate(([0], np.cumsum(nch)))
-                    total = int(cco[-1])
-                    doc = np.repeat(np.arange(ci.size), nch)
-                    pos = (np.arange(total)
-                           - np.repeat(cco[:-1], nch)).astype(np.int64)
-                    first = pos * ct
-                    last = np.minimum(first + ct, tok[doc]) - 1
-                    lo_r = lo[doc]
-                    # np.where evaluates both branches — pad sp so the
-                    # unused branch stays indexable when a batch has no
-                    # spaces at all (every clean row single-token)
-                    spx = sp if sp.size else np.zeros(1, dtype=np.int64)
-                    cstart = np.where(
-                        first == 0, rs[doc],
-                        spx[np.clip(lo_r + first - 1, 0, spx.size - 1)] + 1,
-                    )
-                    cend = np.where(
-                        last == tok[doc] - 1, re_[doc],
-                        spx[np.clip(lo_r + last, 0, spx.size - 1)],
-                    )
-                    # one compress builds every chunk string: keep
-                    # clean rows' bytes, drop non-clean rows' ranges
-                    # and the chunk-boundary space bytes
-                    delta = np.zeros(stop - base + 1, dtype=np.int8)
-                    di = np.flatnonzero(~clean)
-                    np.add.at(delta, starts[di] - base, 1)
-                    np.add.at(delta, ends[di] - base, -1)
-                    keep = np.cumsum(delta[:-1]) == 0
-                    bidx = (lo_r + first - 1)[first > 0]
-                    keep[sp[bidx] - base] = False
-                    outbuf = data[base:stop][keep]
-                    lens = cend - cstart
-                    oo = np.concatenate(
-                        ([0], np.cumsum(lens))
-                    ).astype(np.int32)
-                    para_arr = pa.Array.from_buffers(
-                        pa.string(), total,
-                        [None, pa.py_buffer(oo.tobytes()),
-                         pa.py_buffer(outbuf.tobytes())],
-                    )
-                    yield pa.record_batch(
-                        [ids.take(pa.array(ci[doc])),
-                         pa.array(pos.astype(np.int32), type=pa.int32()),
-                         para_arr],
-                        names=[id_col, "pos", "para"],
-                    )
-                di = np.flatnonzero(nonempty & ~clean)
-                if di.size:  # irregular spacing: exact per-row path
-                    f_ids: list = []
-                    f_pos: list = []
-                    f_par: list = []
-                    id_list = ids.take(pa.array(di)).to_pylist()
-                    for did, t in zip(id_list,
-                                      txt.take(pa.array(di)).to_pylist()):
-                        toks = [x for x in t.split(" ") if x]
-                        for p in range((len(toks) + ct - 1) // ct):
-                            f_ids.append(did)
-                            f_pos.append(p)
-                            f_par.append(" ".join(toks[p * ct:p * ct + ct]))
-                    if f_ids:
-                        yield pa.record_batch(
-                            [pa.array(f_ids, type=ids.type),
-                             pa.array(f_pos, type=pa.int32()),
-                             pa.array(f_par, type=pa.string())],
-                            names=[id_col, "pos", "para"],
-                        )
+            for pdf in batches:
+                ids: list = []
+                poss: list = []
+                paras: list = []
+                for did, txt in zip(pdf.iloc[:, 0].values,
+                                    pdf.iloc[:, 1].values):
+                    if not txt:
+                        continue
+                    toks = [x for x in txt.split(" ") if x]
+                    for p in range((len(toks) + ct - 1) // ct):
+                        ids.append(did)
+                        poss.append(p)
+                        paras.append(" ".join(toks[p * ct:p * ct + ct]))
+                yield pd.DataFrame(
+                    {id_col: ids, "pos": poss, "para": paras}
+                )
 
-        chunks = df.select(F.col(id_col), F.col(text_col)).mapInArrow(
+        chunks = df.select(F.col(id_col), F.col(text_col)).mapInPandas(
             _chunk_batches, out_schema
         )
     else:

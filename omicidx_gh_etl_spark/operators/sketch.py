@@ -129,20 +129,29 @@ def exact_recount(keyed: DataFrame, candidates: DataFrame,
 
 def exact_heavy_hitters(keyed: DataFrame, k: int) -> DataFrame:
     """Plain exact plan: full ``groupBy(key)`` + broadcast grand total,
-    ``n > total/k``. ONE scan of the input: the grand total is
-    ``sum(n)`` over the per-key counts — arithmetically identical to
-    ``count(*)`` over the input (every non-null-keyed row lands in
-    exactly one group) — so the total's subtree shares the counts
-    aggregation's shuffle (ReusedExchange in the plan) instead of
-    re-scanning the source. One shuffle whose size is the FULL
-    distinct-key cardinality — the right plan when that cardinality
-    is modest (it beats the MG path's second scan + Python summary
-    work), and the same answer as the oracle's
-    ``HAVING count(*) > (SELECT count(key) FROM t) / k``."""
-    counts = keyed.groupBy("key").agg(F.expr("count(*)").alias("n"))
-    tot = counts.agg(F.expr("sum(n)").alias("__total"))
+    ``n > total/k``. Two scans of the input (counts + total), one
+    shuffle whose size is the FULL distinct-key cardinality — the right
+    plan when that cardinality is modest (it beats the MG path's
+    second scan + Python summary work), and exactly the plan the
+    DuckDB oracle runs.
+
+    Measured rejection (round 10, do not re-try blindly): deriving the
+    total as ``sum(n)`` OVER THE PER-KEY COUNTS ("one scan, the total
+    subtree reuses the counts exchange") depends entirely on
+    ReusedExchange firing. It does on a bare-scan input — but on a
+    derived input (the bench's union of a round-robin-repartitioned
+    replication and a range tail) the two subtrees do not canonicalize
+    equal, reuse does NOT fire, and the FULL distinct-key aggregation
+    executes twice: 11.3 s vs 8.9 s at 25M rows / 20M keys. The
+    separate ``count(*)`` subtree is the robust form — it prunes to a
+    zero-column scan (parquet batch row counts, no key decode), so the
+    "second scan" is metadata-cheap at any scale, and it can never
+    degrade into a second key-wide shuffle."""
+    tot = keyed.agg(F.expr("count(*)").alias("__total"))
     return (
-        counts.join(F.broadcast(tot))
+        keyed.groupBy("key")
+        .agg(F.expr("count(*)").alias("n"))
+        .join(F.broadcast(tot))
         .filter(f"n > __total / {int(k)}")
         .drop("__total")
     )
