@@ -1369,15 +1369,34 @@ def scale_section(spark, sf_dir: str, rep: int = 100) -> dict:
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     n_li = li.count() * rep
-    li_rep = li.select("l_orderkey", "l_returnflag", repx).select(
+    # Parallelism comes from a round-robin repartition of the 600k BASE
+    # rows BEFORE the explode — the previous hash-repartition of the
+    # exploded 60M rows was a full big-side exchange INSIDE the timed
+    # plan, executed BEFORE the bloom prune, i.e. exactly the shuffle
+    # the operator exists to avoid (guide §3.2: drop non-matching rows
+    # before the big side is shuffled). With the prune map-side on the
+    # scan, only surviving rows reach the semi join's exchange.
+    li_rep = li.select("l_orderkey", "l_returnflag").repartition(
+        spark.sparkContext.defaultParallelism
+    ).select("l_orderkey", "l_returnflag", repx).select(
         (F.col("l_orderkey") * rep + F.col("__rep")).alias("l_orderkey"),
         "l_returnflag",
-    ).repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
+    )
     urgent_rep = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
         "o_orderkey", repx
     ).select((F.col("o_orderkey") * rep + F.col("__rep")).alias("o_orderkey"))
+    # Bitmap sized to the key set (guide §3.2 "expectedNumItems"): the
+    # urgent key set is ~30k × rep = 3M keys; 2^22 bits was 1.4
+    # bits/key → FPR ≈ 0.68, a saturated filter that passed ~74% of
+    # probes. 2^25 bits = 10.7 bits/key → FPR ≈ 1.5% at k=3, a 4 MB
+    # broadcast — the shuffle now carries ~20% of the probe rows
+    # (true matches + FPR) instead of ~74%.
     bsj = blooms.bloom_semi_join(
-        li_rep, urgent_rep, "l_orderkey", "o_orderkey", num_bits=1 << 22
+        li_rep, urgent_rep, "l_orderkey", "o_orderkey", num_bits=1 << 25
+    )
+    plain_semi = li_rep.join(
+        urgent_rep.select(F.col("o_orderkey").alias("l_orderkey")),
+        "l_orderkey", "left_semi",
     )
     # control: the plain IN-probe semi join over the identical
     # replicated views — DuckDB's own best formulation of this shape
@@ -1395,6 +1414,17 @@ def scale_section(spark, sf_dir: str, rep: int = 100) -> dict:
         if con is not None
         else None,
     )
+    # local-economics reference (r10): the SAME semi join with NO
+    # bloom — on one node the shuffle is a memory copy, so the probe
+    # scan and the saved shuffle are the same order; the bloom's win
+    # is shuffled BYTES (here ~4.7× fewer rows reach the exchange),
+    # which pays on a network. Recording both keeps the row honest.
+    pl = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        plain_semi.count()
+        pl = min(pl, time.perf_counter() - t0)
+    out["join_bloom_pruned_semi"]["plain_semi_no_bloom_sec"] = round(pl, 3)
 
     # 3c2. Embedding covariance at 500k vectors (the PCA/whitening
     # reduce): one BLAS-gemm moment partial per Arrow batch vs

@@ -54,16 +54,42 @@ __all__ = [
 _BF = "__bf"
 
 
-def _position_sql(key_sql: str, seed: int, num_bits: int) -> str:
-    """One bit position as a SQL string: pmod(xxhash64(key, seed), m).
+def _word_and_mask_sql(
+    key_sql: str, num_hashes: int, num_bits: int
+) -> tuple[str, str]:
+    """SPLIT-BLOCK addressing (the Parquet/Impala bloom design): one
+    xxhash64 picks the WORD, a second xxhash64's 6-bit fields pick
+    ``num_hashes`` bits INSIDE that word. Returns ``(word_idx_sql,
+    mask_sql)``.
+
+    Why blocks instead of k independent positions: the probe becomes
+    ONE array access + a mask compare instead of k random reads into
+    a multi-MB array (k uncached DRAM hits per probed row), and the
+    per-row hash work drops from k xxhash64 evals to 2 — measured on
+    the 60M-probe bench shape (min-of-3, same window): prune scan
+    4.20 s (3 positions) → 2.65 s (block), bitmap build 0.45 → 0.28 s
+    (no k× explode). The trade is a slightly worse FPR per bit (word
+    loads are Poisson-uneven), the standard split-block trade —
+    measured pass rate on the 3M-key / 2^25-bit bench shape: 21.5%
+    vs 21.1% for 3 independent positions (true-match floor 20.3%).
 
     BOTH the bitmap build and the probe go through this generator so
-    the seed literal has the same type on both sides — xxhash64
+    the seed literals have the same type on both sides — xxhash64
     hashes an INT and a BIGINT seed differently, so a type mismatch
     here would silently break every lookup. SQL strings (not Column
     objects) per the py4j-assembly lesson: one parse beats k round
-    trips, and the generated plan is identical."""
-    return f"pmod(xxhash64({key_sql}, {seed}), {num_bits}L)"
+    trips, and the generated plan is identical. ``num_hashes`` ≤ 10:
+    each bit choice consumes 6 bits of the 64-bit in-word hash."""
+    if num_hashes > 10:
+        raise ValueError("num_hashes must be <= 10 (6 bits per choice)")
+    n_words = num_bits // 64
+    idx = f"pmod(xxhash64({key_sql}, 1), {n_words}L)"
+    h2 = f"xxhash64({key_sql}, 2)"
+    bits = " | ".join(
+        f"shiftleft(1L, int(shiftright({h2}, {6 * i}) & 63L))"
+        for i in range(num_hashes)
+    )
+    return idx, f"({bits})"
 
 
 _INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
@@ -106,36 +132,28 @@ def bloom_bitmap(
     num_hashes: int = 3,
 ) -> DataFrame:
     """ONE-ROW DataFrame with column ``__bf: array<long>`` (length
-    num_bits/64) — the bloom bitmap of ``df[key_col]``.
+    num_bits/64) — the split-block bloom bitmap of ``df[key_col]``
+    (see :func:`_word_and_mask_sql` for the block addressing).
 
-    Build plan: explode each key into its ``num_hashes`` bit
-    positions, groupBy the WORD index (position div 64) with a
-    ``bit_or`` of the in-word bits — partial aggregation caps every
-    map task's state at num_bits/64 longs — then fill absent words
-    with 0 via a left join against ``range(n_words)`` and assemble
-    the dense array in a final 1-row aggregate as
-    ``transform(array_sort(collect_list(struct(idx, word))))``. The
-    sort+transform is O(n log n); the previous ``map_from_entries`` +
-    per-element ``element_at`` assembly was O(n²) because Spark map
-    lookup is a LINEAR scan — 4.3e9 comparisons (217 s, single row)
-    at a 2^22-bit filter. No collect(): the bitmap never visits the
-    driver.
+    Build plan: ONE (word-index, mask) row per key — no explode —
+    groupBy the word index with a ``bit_or`` of the masks; partial
+    aggregation caps every map task's state at num_bits/64 longs.
+    Absent words are filled with 0 via a left join against
+    ``range(n_words)`` and the dense array assembles in a final 1-row
+    aggregate as ``transform(array_sort(collect_list(struct(idx,
+    word))))``. The sort+transform is O(n log n); the previous
+    ``map_from_entries`` + per-element ``element_at`` assembly was
+    O(n²) because Spark map lookup is a LINEAR scan — 4.3e9
+    comparisons (217 s, single row) at a 2^22-bit filter. No
+    collect(): the bitmap never visits the driver.
     """
     if num_bits % 64:
         raise ValueError("num_bits must be a multiple of 64")
     n_words = num_bits // 64
     key_sql = hash_key_sql(df, key_col)
-    pos_arr = ", ".join(
-        _position_sql(key_sql, seed, num_bits)
-        for seed in range(1, num_hashes + 1)
-    )
-    pos = F.expr(f"explode(array({pos_arr}))").alias("pos")
+    idx_sql, mask_sql = _word_and_mask_sql(key_sql, num_hashes, num_bits)
     words = (
-        df.select(pos)
-        .select(
-            (F.col("pos") / 64).cast("long").alias("idx"),
-            F.expr("shiftleft(1L, int(pos % 64))").alias("bit"),
-        )
+        df.selectExpr(f"{idx_sql} AS idx", f"{mask_sql} AS bit")
         .groupBy("idx")
         .agg(F.expr("bit_or(bit)").alias("word"))
     )
@@ -155,7 +173,9 @@ def bloom_bitmap(
 def bloom_might_contain(
     key_sql: str, num_bits: int, num_hashes: int, bf_col: str = _BF
 ) -> Column:
-    """Boolean: every one of the key's k bits is set in ``bf_col``.
+    """Boolean: every one of the key's k in-word bits is set in the
+    key's block word — ONE ``element_at`` + mask compare per row
+    (split-block addressing, :func:`_word_and_mask_sql`).
 
     ``key_sql`` is a SQL expression string for the probe key,
     CANONICALIZED the same way the bitmap was built — pass
@@ -164,18 +184,14 @@ def bloom_might_contain(
     hashes to different positions (xxhash64 is
     representation-sensitive) and every true match silently fails
     the bit test. 1-based element_at; all bit arithmetic stays in
-    codegen. One parsed SQL expression (k repeated position subtrees
-    fold into the same codegen block) instead of k py4j-assembled
+    codegen. One parsed SQL expression instead of py4j-assembled
     Column trees.
     """
-    tests = []
-    for seed in range(1, num_hashes + 1):
-        p = _position_sql(key_sql, seed, num_bits)
-        tests.append(
-            f"(shiftright(element_at(`{bf_col}`, int(({p}) div 64) + 1),"
-            f" int(({p}) % 64)) & 1L) = 1L"
-        )
-    return F.expr(" AND ".join(tests))
+    idx_sql, mask_sql = _word_and_mask_sql(key_sql, num_hashes, num_bits)
+    return F.expr(
+        f"(element_at(`{bf_col}`, int({idx_sql}) + 1) & {mask_sql})"
+        f" = {mask_sql}"
+    )
 
 
 def _probed(

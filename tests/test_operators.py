@@ -1047,6 +1047,74 @@ def test_cosine_topk_packed_engine_identical(spark, sf_dir):
         assert bytes(r["emb_f32"]) == want
 
 
+def test_cosine_topk_codegen_engine_identical(spark, sf_dir):
+    """The unrolled literal-query engine (engine="codegen" — straight
+    -line codegen arithmetic, no zip_with/aggregate HOF interpretation)
+    returns exactly the sql engine's rows: same left-to-right IEEE
+    fold order, same HALF_UP rounding, same (cos desc, id asc)
+    tiebreak — on the corpus, under heavy ties, and on ADVERSARIAL
+    rows (NULL vector, NULL element, ragged shorter AND longer,
+    zero-norm), which the size()-guard routes onto the original fold
+    expression so the zip_with NULL-padding semantics are preserved
+    bit-for-bit."""
+    from omicidx_gh_etl_spark.operators import similarity
+    from omicidx_gh_etl_spark.queries.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    a = similarity.cosine_topk(e, q, k=10, engine="sql").collect()
+    c = similarity.cosine_topk(e, q, k=10, engine="codegen").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in c]
+
+    # tie stress: replicated identical vectors under distinct ids
+    ties = e.filter(F.col("vec_id") < 3).selectExpr(
+        "explode(sequence(0, 19)) AS r", "vec_id", "embedding"
+    ).selectExpr("vec_id * 20 + r AS vec_id", "embedding")
+    at = similarity.cosine_topk(ties, q, k=7, engine="sql").collect()
+    ct = similarity.cosine_topk(ties, q, k=7, engine="codegen").collect()
+    assert [tuple(r) for r in at] == [tuple(r) for r in ct]
+
+    # adversarial corpus: every degenerate shape the guard must route
+    # to the fold branch (plus healthy rows that take the unrolled one)
+    qd = [float(x) for x in q.head(1)[0]["qv"]]
+    dims = len(qd)
+    weird = spark.createDataFrame(
+        [
+            (100, qd),                      # exact query copy
+            (101, None),                    # NULL vector
+            (102, qd[: dims - 1]),          # ragged shorter
+            (103, qd + [1.0]),              # ragged longer
+            (104, qd[:-1] + [None]),        # NULL element
+            # NB: an exact zero-norm row raises DIVIDE_BY_ZERO in BOTH
+            # engines (ANSI; same Divide node in the guard's THEN
+            # branch as in the fold) — near-zero exercises the
+            # magnitude extreme without the shared raise
+            (105, [1e-30] * dims),          # near-zero norm
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    aw = similarity.cosine_topk(weird, q, k=6, engine="sql").collect()
+    cw = similarity.cosine_topk(weird, q, k=6, engine="codegen").collect()
+    assert [tuple(r) for r in aw] == [tuple(r) for r in cw]
+
+    # degenerate QUERY vectors fall back to the fold engine: plans and
+    # values must match the sql engine exactly
+    for bad_q in ([None], [[1.0, None] + [0.0] * (dims - 2)]):
+        bq = spark.createDataFrame(
+            [(v,) for v in bad_q], "qv array<double>"
+        )
+        asql = similarity.cosine_topk(weird, bq, k=3, engine="sql").collect()
+        acg = similarity.cosine_topk(
+            weird, bq, k=3, engine="codegen"
+        ).collect()
+        assert [tuple(r) for r in asql] == [tuple(r) for r in acg]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        similarity.cosine_topk(e, e.limit(2).selectExpr(
+            "embedding AS qv"), engine="codegen").collect()
+
+
 def test_cosine_topk_blocks_matches_sql_and_validates(spark, sf_dir):
     """The BLOCK layout scan (pack_vector_blocks → cosine_topk_blocks)
     returns exactly the sql engine's rows, including under ties and a
