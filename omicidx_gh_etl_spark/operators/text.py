@@ -1145,6 +1145,17 @@ def bm25_score_pruned_postings(
     with the two q_id-keyed exchanges as its only shuffles
     (tests/test_plans.py pins exactly that).
 
+    Tried and REVERTED (r10, measured): replacing the two literal
+    maps with a broadcast-hash-joined ``VALUES`` inline table —
+    Spark's ``GetMapValue`` is a linear scan per lookup, so at big
+    workloads the hash probe looked strictly better on paper. A/B at
+    the bench shape (2M docs, 256 buckets, min-of-5/3 same window):
+    2000-term batch 3.62 s (maps) vs 3.43 s (join) — within noise,
+    the serve is SCAN-bound there; 200-term batch 0.66 s vs 0.80 s —
+    the join's BroadcastExchange costs more than the map scans save.
+    The maps stay; the equivalence test keeps the adversarial-term
+    coverage added for the VALUES experiment.
+
     Score arithmetic is the same JVM expression tree as
     :func:`bm25_serve` (idf/tf-norm ops in the same order, round(·,4)
     before ranking, id tiebreak), so results are bit-identical to the

@@ -2698,7 +2698,12 @@ def test_bm25_index_persisted_serve_matches_batch_topk(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").limit(200).select(
         "doc_id", "text"
     ).unionByName(spark.createDataFrame(
-        [(999_999, "   ")], "doc_id long, text string"
+        # the whitespace doc exercises token-less stats; the second doc
+        # plants tokens with quotes/backslashes IN the corpus so the
+        # serve's VALUES-literal escaping is exercised on terms that
+        # really match (df > 0), not dropped by the df=0 guard
+        [(999_999, "   "), (999_998, "it's a\\'b \"hi\" the")],
+        "doc_id long, text string",
     ))
     name = f"bm25idx_t_{uuid.uuid4().hex[:8]}"
     idx = Bm25Index(spark, name)
@@ -2718,6 +2723,21 @@ def test_bm25_index_persisted_serve_matches_batch_topk(spark, sf_dir):
             )
             got = sorted(tuple(r) for r in idx.serve(q, k=7).collect())
             assert got == want and len(got) > 0
+        # adversarial workload terms: the serve inlines the term map
+        # as a SQL VALUES literal — quotes/backslashes in terms must
+        # round-trip the escaping (never match, never break the plan)
+        q3 = spark.createDataFrame(
+            [(3, "the"), (3, "it's"), (3, "a\\'b"), (3, '"hi"')],
+            "q_id int, term string",
+        )
+        want3 = sorted(
+            tuple(r) for r in text_ops.bm25_batch_topk(
+                d, q3, "text", "doc_id", k=7
+            ).collect()
+        )
+        got3 = sorted(tuple(r) for r in idx.serve(q3, k=7).collect())
+        assert got3 == want3 and len(got3) > 0
+
         # persisted stats counted the token-less doc
         n = spark.table(idx.stats_table).collect()[0]["__n"]
         assert n == d.count()
