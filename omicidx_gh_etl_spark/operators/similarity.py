@@ -93,15 +93,35 @@ def _centroid_fold_sql(
     vs fold-with-python-norms 0.252 s per bench iteration).
     Returns ``(array_sql, cid_sql_type)``.
     """
-    dt = centroids.schema[centroid_id_col].dataType.simpleString()
+    collected = _collect_vec_rows(centroids, centroid_id_col, centroid_vec_col)
+    if collected is None:
+        return None
+    rows, dt = collected
+    return _centroid_fold_from_rows(rows, dt)
+
+
+def _collect_vec_rows(
+    df: DataFrame, id_col: str, vec_col: str
+) -> tuple[list, str] | None:
+    """Collect a small-by-contract (id, vector) frame for literal
+    inlining → ``(rows_as(cid, cvd double array), id_sql_type)``, or
+    ``None`` when the frame is unsuitable (non-integral id, empty, or
+    over the ``_FOLD_MAX_CENTROIDS`` literal-size cap). Shared by the
+    centroid fold and the probe inliner so both validate identically
+    and ``ivf_search`` collects each side exactly once."""
+    dt = df.schema[id_col].dataType.simpleString()
     if dt not in ("tinyint", "smallint", "int", "bigint"):
         return None
-    rows = centroids.selectExpr(
-        f"`{centroid_id_col}` AS cid",
-        f"cast(`{centroid_vec_col}` as array<double>) AS cvd",
+    rows = df.selectExpr(
+        f"`{id_col}` AS cid",
+        f"cast(`{vec_col}` as array<double>) AS cvd",
     ).limit(_FOLD_MAX_CENTROIDS + 1).collect()
     if not rows or len(rows) > _FOLD_MAX_CENTROIDS:
         return None
+    return rows, dt
+
+
+def _centroid_fold_from_rows(rows: list, dt: str) -> tuple[str, str] | None:
     import math
 
     structs = []
@@ -154,6 +174,108 @@ def _fold_argmax_sql(cents_sql: str, cid_type: str, vn_col: str) -> str:
         " WHEN x.s > acc.s OR (x.s = acc.s AND x.cid < acc.cid) THEN x"
         " ELSE acc END)"
     )
+
+
+def _probe_inline_sql(
+    queries: DataFrame,
+    query_id_col: str,
+    query_vec_col: str,
+    crows: list,
+    cid_type: str,
+    nprobe: int,
+) -> str | None:
+    """The query→cell PROBE ranking computed on the driver and inlined
+    as one SQL literal ``map(cell -> array(named_struct('q', q_id,
+    'qvd', array(…), 'qn', …)))`` — the query-side twin of
+    :func:`_centroid_fold_sql`. The probe inputs are tiny by contract
+    (|Q|·K pairs) yet as a DataFrame subtree they cost a cross join,
+    a rank window with its own exchange, and a broadcast build — all
+    plan stages whose wall is scheduling, not compute. Inlined, the
+    candidate join becomes ``explode(try_element_at(<map>, cell))``
+    on the assigned corpus: zero probe-side stages, and unprobed
+    cells drop via the NULL explode exactly as the inner join
+    dropped them.
+
+    Ranking is bit-identical to the window form ``row_number() OVER
+    (ORDER BY round(cos, 4) DESC, cid)``: cosines are folded in
+    Python over the same collected doubles (left-to-right IEEE, the
+    :func:`_centroid_fold_sql` argument), and the 4-decimal rounding
+    replicates Spark's ``round`` exactly — ``BigDecimal.valueOf
+    (shortest-repr).setScale(4, HALF_UP)`` is ``Decimal(repr(x))
+    .quantize('0.0001', ROUND_HALF_UP)``. Returns ``None`` (caller
+    keeps the broadcast-join path) on any shape the SQL semantics of
+    which the driver ranking does not replicate: non-integral or
+    NULL q_id, NULL/non-finite/length-mismatched vectors (zip_with
+    would NULL-pad), a zero norm (ANSI divide-by-zero), an empty or
+    over-cap workload."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    qdt = queries.schema[query_id_col].dataType.simpleString()
+    if qdt not in ("tinyint", "smallint", "int", "bigint"):
+        return None
+    qrows = queries.selectExpr(
+        f"`{query_id_col}` AS qid",
+        f"cast(`{query_vec_col}` as array<double>) AS qvd",
+    ).limit(_FOLD_MAX_CENTROIDS + 1).collect()
+    if not qrows or len(qrows) > _FOLD_MAX_CENTROIDS:
+        return None
+
+    def _ok(vec) -> bool:
+        return vec is not None and all(
+            x is not None and math.isfinite(x) for x in vec
+        )
+
+    cents = []
+    for r in crows:
+        if r["cid"] is None or not _ok(r["cvd"]):
+            return None
+        cv = [float(x) for x in r["cvd"]]
+        acc = 0.0
+        for x in cv:
+            acc += x * x
+        cents.append((int(r["cid"]), cv, math.sqrt(acc)))
+    probes_by_cell: dict = {}
+    for r in qrows:
+        if r["qid"] is None or not _ok(r["qvd"]):
+            return None
+        qv = [float(x) for x in r["qvd"]]
+        acc = 0.0
+        for x in qv:
+            acc += x * x
+        qn = math.sqrt(acc)
+        ranked = []
+        for cid, cv, cn in cents:
+            if len(cv) != len(qv):
+                return None
+            dot = 0.0
+            for a, bx in zip(qv, cv):
+                dot += a * bx
+            denom = qn * cn
+            if denom == 0.0:
+                return None
+            r4 = float(
+                Decimal(repr(dot / denom)).quantize(
+                    Decimal("0.0001"), rounding=ROUND_HALF_UP
+                )
+            )
+            ranked.append((-r4, cid))
+        ranked.sort()
+        for _, cid in ranked[: int(nprobe)]:
+            probes_by_cell.setdefault(cid, []).append(
+                (int(r["qid"]), qv, qn)
+            )
+    items = []
+    for cid in sorted(probes_by_cell):
+        structs = ", ".join(
+            f"named_struct('q', cast({qid} as {qdt}), "
+            "'qvd', array("
+            + ",".join(repr(x) + "D" for x in qv)
+            + f"), 'qn', {repr(qn)}D)"
+            for qid, qv, qn in probes_by_cell[cid]
+        )
+        items.append(f"cast({cid} as {cid_type}), array({structs})")
+    return "map(" + ", ".join(items) + ")"
 
 
 def _cos_pre_sql(a: str, b: str, anorm: str, bnorm: str) -> str:
@@ -1723,13 +1845,52 @@ def ivf_search(
     # vector (max(struct)+first(array) buffers are immutable, so it
     # could not even hash-aggregate). Fallback to that aggregate when
     # the centroid frame is unsuitable for literal inlining.
-    lit = _centroid_fold_sql(centroids, centroid_id_col, centroid_vec_col)
+    collected = _collect_vec_rows(centroids, centroid_id_col, centroid_vec_col)
+    lit = (
+        _centroid_fold_from_rows(*collected) if collected is not None
+        else None
+    )
     if lit is not None:
         cents_sql, cid_t = lit
         best = _fold_argmax_sql(cents_sql, cid_t, "__vn")
         assigned = e.selectExpr(
             id_col, f"({best}).cid AS `{centroid_id_col}`", "v", "__vn"
         )
+        # Probe side inlined too when the workload allows (see
+        # _probe_inline_sql): the queries×centroids cross join, its
+        # rank window (one exchange + sort) and the probe broadcast
+        # all vanish — the plan is corpus scan → fold-assign →
+        # explode(try_element_at(literal map, cell)) → score → ONE
+        # q_id-keyed rank window, zero joins of any kind. Interleaved
+        # A/B at sf0.1 (min-of-7, plan build + count per iteration):
+        # join path 0.911 s → inline 0.707 s; @200k replicated corpus
+        # 2.01 → 1.77 s; values strict-parity green, plan pinned in
+        # tests/test_plans.py.
+        pm = _probe_inline_sql(
+            queries, query_id_col, query_vec_col,
+            collected[0], collected[1], nprobe,
+        )
+        if pm is not None:
+            cand = assigned.selectExpr(
+                id_col, "v", "__vn",
+                f"explode(try_element_at({pm}, `{centroid_id_col}`))"
+                " AS __pr",
+            )
+            return (
+                cand.filter(f"`{id_col}` != __pr.q")
+                .selectExpr(
+                    f"__pr.q AS `{query_id_col}`", id_col,
+                    f"round(({_dot_sql('__pr.qvd', 'v')}"
+                    " / (__pr.qn * __vn)), 4) AS cos_sim",
+                )
+                .selectExpr(
+                    "*",
+                    f"row_number() OVER (PARTITION BY `{query_id_col}` "
+                    f"ORDER BY cos_sim DESC, `{id_col}`) AS rn",
+                )
+                .filter(f"rn <= {int(k)}")
+                .selectExpr(query_id_col, id_col, "cos_sim")
+            )
     else:
         assigned = (
             e.crossJoin(F.broadcast(c))

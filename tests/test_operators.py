@@ -227,6 +227,64 @@ def test_ivf_search_probes_limit_candidates(spark):
     assert {r["vec_id"] for r in got2.collect()} == {1, 2, 10, 11, 12}
 
 
+def test_ivf_search_probe_inline_matches_join_path(spark, sf_dir):
+    """The driver-inlined probe map (_probe_inline_sql — zero joins,
+    zero probe-side stages) returns exactly the broadcast-join path's
+    rows (scores, ranks, ties), and every shape whose SQL semantics
+    the driver ranking does not replicate (NULL query vector, NULL
+    element, ragged length, non-integral q_id) FALLS BACK to the join
+    path rather than inlining."""
+    from unittest import mock
+
+    from omicidx_gh_etl_spark.operators import similarity
+    from omicidx_gh_etl_spark.queries.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+    )
+    qs = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    inline = similarity.ivf_search(e, cents, qs, k=5, nprobe=2)
+    assert "BroadcastHashJoin" not in inline._jdf.queryExecution(
+    ).executedPlan().toString()
+    with mock.patch.object(
+        similarity, "_probe_inline_sql", lambda *a, **k: None
+    ):
+        joined = similarity.ivf_search(e, cents, qs, k=5, nprobe=2)
+    a = sorted(tuple(r) for r in inline.collect())
+    b = sorted(tuple(r) for r in joined.collect())
+    assert a == b and len(a) > 0
+
+    # fallback triggers: each degenerate workload must produce the
+    # SAME rows as the forced join path (they all route to it)
+    dims = len(e.head(1)[0]["embedding"])
+    degenerate = [
+        spark.createDataFrame(
+            [(0, None), (1, [1.0] * dims)], "q_id int, qv array<double>"
+        ),
+        spark.createDataFrame(
+            [(0, [None] + [1.0] * (dims - 1))], "q_id int, qv array<double>"
+        ),
+        spark.createDataFrame(
+            [(0, [1.0] * (dims - 1))], "q_id int, qv array<double>"
+        ),
+        # (a non-integral q_id also bails to the join path, but that
+        # path's `vec_id != q_id` ANSI cast rejects it for both arms —
+        # numeric query ids are the operator contract)
+    ]
+    for dq in degenerate:
+        got = similarity.ivf_search(e, cents, dq, k=3, nprobe=2)
+        with mock.patch.object(
+            similarity, "_probe_inline_sql", lambda *a, **k: None
+        ):
+            want = similarity.ivf_search(e, cents, dq, k=3, nprobe=2)
+        assert sorted(tuple(r) for r in got.collect()) == sorted(
+            tuple(r) for r in want.collect()
+        )
+
+
 def test_winnow_shared_passage_shares_fingerprint(spark):
     from omicidx_gh_etl_spark.operators import text as T
 

@@ -129,15 +129,19 @@ def test_range_join_is_hash_join_not_nested_loop(spark):
 
 def test_ivf_search_candidate_join_broadcasts_probes(spark):
     tree = plan_of(spark, "similarity_ivf_search").split("\n\n")[0]
-    # corpus-side candidate join: probes broadcast, corpus never shuffles
-    assert count_op(tree, "BroadcastHashJoin") >= 1
-    assert count_op(tree, "SortMergeJoin") == 0
     # round-10 shape: assignment is the map-only literal-centroid fold
-    # (no corpus-side cross join, no sort-aggregate of the K× fan-out);
-    # the ONE remaining nested loop is the tiny queries × centroids
-    # probe ranking
-    assert count_op(tree, "BroadcastNestedLoopJoin") == 1
+    # AND the probe ranking is inlined driver-side as a literal
+    # cell→queries map (_probe_inline_sql) — the plan carries NO join
+    # of any kind: corpus scan → fold-assign →
+    # explode(try_element_at(map, cell)) → score → one q_id rank
+    # window. The former shape paid a queries×centroids BNLJ, its
+    # rank window's exchange, and a probes BroadcastHashJoin.
+    assert count_op(tree, "BroadcastHashJoin") == 0
+    assert count_op(tree, "SortMergeJoin") == 0
+    assert count_op(tree, "BroadcastNestedLoopJoin") == 0
     assert count_op(tree, "SortAggregate") == 0
+    # the candidate fan-out is the literal-map explode
+    assert count_op(tree, "Generate") >= 1
     # rank-k pushdown active (WindowGroupLimit, Spark 3.5+)
     assert count_op(tree, "WindowGroupLimit") >= 1
 
