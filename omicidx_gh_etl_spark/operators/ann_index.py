@@ -41,8 +41,10 @@ from pyspark.sql import functions as F
 from ..engine.snapshots import SnapshotTable
 from .similarity import (
     _as_double,
+    _collect_vec_rows,
     _dot_sql,
     _norm_sql,
+    _probe_inline_sql,
     cosine_sim_expr,
     ivf_assign,
     kmeans_fit,
@@ -106,9 +108,53 @@ class AnnIndex:
         """Top-k by cosine per query over the probed cells of a pinned
         index version. Same ranking semantics as
         ``similarity.ivf_search``."""
-        c = self.centroids.read(spark, version[0]).select(
-            "centroid_id", _as_double("cv").alias("cvd")
+        cent = self.centroids.read(spark, version[0])
+        # Probe ranking inlined driver-side when the workload allows
+        # (similarity._probe_inline_sql — the same driver already
+        # collected the probed CELLS for manifest pruning, so inlining
+        # the full ranking adds no job): the queries × centroids cross
+        # join, its rank window and the probes broadcast all drop out
+        # of the plan; candidates come from
+        # explode(try_element_at(literal map, centroid_id)). Fallback
+        # to the broadcast-probes join for any workload the driver
+        # ranking does not replicate (NULL/ragged/non-finite vectors,
+        # zero norms, non-integral ids, over-cap batch).
+        collected = _collect_vec_rows(cent, "centroid_id", "cv")
+        inl = (
+            _probe_inline_sql(
+                queries, query_id_col, query_vec_col,
+                collected[0], collected[1], nprobe,
+            )
+            if collected is not None else None
         )
+        if inl is not None:
+            pm, cells = inl
+            post = self.postings.read(
+                spark, version[1], partition_filter={"centroid_id": cells}
+            ).filter(F.col("centroid_id").isin(cells))
+            post = post.repartition(spark.sparkContext.defaultParallelism)
+            post = post.selectExpr("*", f"{_norm_sql('v')} AS __vn")
+            cands = (
+                post.selectExpr(
+                    "vec_id", "v", "__vn",
+                    f"explode(try_element_at({pm}, `centroid_id`)) AS __pr",
+                )
+                .filter("vec_id != __pr.q")
+                .selectExpr(
+                    "__pr.q AS q_id", "vec_id",
+                    f"round(({_dot_sql('__pr.qvd', 'v')}"
+                    " / (__pr.qn * __vn)), 4) AS cos_sim",
+                )
+            )
+            topk_w = W.partitionBy("q_id").orderBy(
+                F.desc("cos_sim"), F.asc("vec_id")
+            )
+            return (
+                cands.withColumn("rn", F.row_number().over(topk_w))
+                .filter(F.col("rn") <= k)
+                .select("q_id", "vec_id", "cos_sim")
+            )
+        c = cent.select("centroid_id", _as_double("cv").alias("cvd"))
         q = queries.select(
             F.col(query_id_col).alias("q_id"), _as_double(query_vec_col).alias("qvd")
         ).selectExpr("*", f"{_norm_sql('qvd')} AS __qn")

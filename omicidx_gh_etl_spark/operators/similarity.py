@@ -183,7 +183,7 @@ def _probe_inline_sql(
     crows: list,
     cid_type: str,
     nprobe: int,
-) -> str | None:
+) -> tuple[str, list] | None:
     """The query→cell PROBE ranking computed on the driver and inlined
     as one SQL literal ``map(cell -> array(named_struct('q', q_id,
     'qvd', array(…), 'qn', …)))`` — the query-side twin of
@@ -207,7 +207,9 @@ def _probe_inline_sql(
     which the driver ranking does not replicate: non-integral or
     NULL q_id, NULL/non-finite/length-mismatched vectors (zip_with
     would NULL-pad), a zero norm (ANSI divide-by-zero), an empty or
-    over-cap workload."""
+    over-cap workload. Returns ``(map_sql, sorted probed cell ids)``
+    — the cell list feeds manifest/partition pruning in
+    ``ann_index.AnnIndex.search``."""
     import math
     from decimal import ROUND_HALF_UP, Decimal
 
@@ -275,7 +277,7 @@ def _probe_inline_sql(
             for qid, qv, qn in probes_by_cell[cid]
         )
         items.append(f"cast({cid} as {cid_type}), array({structs})")
-    return "map(" + ", ".join(items) + ")"
+    return "map(" + ", ".join(items) + ")", sorted(probes_by_cell)
 
 
 def _cos_pre_sql(a: str, b: str, anorm: str, bnorm: str) -> str:
@@ -1866,11 +1868,12 @@ def ivf_search(
         # join path 0.911 s → inline 0.707 s; @200k replicated corpus
         # 2.01 → 1.77 s; values strict-parity green, plan pinned in
         # tests/test_plans.py.
-        pm = _probe_inline_sql(
+        inl = _probe_inline_sql(
             queries, query_id_col, query_vec_col,
             collected[0], collected[1], nprobe,
         )
-        if pm is not None:
+        if inl is not None:
+            pm, _cells = inl
             cand = assigned.selectExpr(
                 id_col, "v", "__vn",
                 f"explode(try_element_at({pm}, `{centroid_id_col}`))"
