@@ -63,6 +63,10 @@ def _norm_sql(a: str) -> str:
 
 
 _FOLD_MAX_CENTROIDS = 1024
+# probe-inlining cap (|queries| x nprobe): above this the literal
+# map's per-row value copy loses to the broadcast hash join — see
+# _probe_inline_sql's crossover measurement
+_PROBE_INLINE_MAX_ENTRIES = 64
 
 
 def _centroid_fold_sql(
@@ -209,7 +213,18 @@ def _probe_inline_sql(
     would NULL-pad), a zero norm (ANSI divide-by-zero), an empty or
     over-cap workload. Returns ``(map_sql, sorted probed cell ids)``
     — the cell list feeds manifest/partition pruning in
-    ``ann_index.AnnIndex.search``."""
+    ``ann_index.AnnIndex.search``.
+
+    Inlining is capped at ``_PROBE_INLINE_MAX_ENTRIES`` total probes
+    (|Q|·nprobe), NOT at the literal-size cap the centroid fold uses:
+    ``try_element_at`` on a literal map COPIES the matched value —
+    an array of (entries-per-cell) structs each carrying the full
+    query vector — once per corpus/posting row, so the per-row cost
+    grows linearly with batch size while the broadcast hash join
+    streams matching build rows instead. Measured crossover
+    (interleaved A/B @200k postings): 10 probes inline 0.71 s vs
+    join 0.91 s; 300 probes inline 5.04 s vs join 3.43 s — small
+    batches inline, large batches join."""
     import math
     from decimal import ROUND_HALF_UP, Decimal
 
@@ -220,7 +235,7 @@ def _probe_inline_sql(
         f"`{query_id_col}` AS qid",
         f"cast(`{query_vec_col}` as array<double>) AS qvd",
     ).limit(_FOLD_MAX_CENTROIDS + 1).collect()
-    if not qrows or len(qrows) > _FOLD_MAX_CENTROIDS:
+    if not qrows or len(qrows) * int(nprobe) > _PROBE_INLINE_MAX_ENTRIES:
         return None
 
     def _ok(vec) -> bool:
