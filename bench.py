@@ -1,12 +1,18 @@
 """Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints TWO JSON lines on stdout: the full detail dict first, then a
-compact contract line (guaranteed <1900 bytes) last:
+Prints THREE JSON lines on stdout: an EARLY compact contract line as
+soon as the headline+export record exists (crash/timeout insurance —
+the r10 driver run was killed mid-scale and lost everything), then the
+full detail dict, then the final compact contract line (guaranteed
+<1900 bytes) LAST:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <sf>, ...}
 The round driver parses a JSON line out of the final ~2000 chars of
 stdout, so the LAST line must fit that window whole; the full detail
-(export/scale/oracle sections) goes to line 1 and BENCH_DETAIL.json.
+(export/scale/oracle sections) goes to the middle line and
+BENCH_DETAIL.json. Optional sections run only while the wall-clock
+deadline ($SPARK_GRAFT_BENCH_DEADLINE_SEC, default 1500 s) holds;
+sections past it are skipped and named in `sections_skipped`.
 
 Each query is forced with a count() action (no driver-side collect of
 payload rows — the action measures full plan execution). A warmup run
@@ -52,8 +58,25 @@ HEADLINE = [
 
 
 def main() -> None:
+    t_main0 = time.monotonic()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    # Total wall-clock deadline for the OPTIONAL sections (scale/floor/
+    # serve/extract). The r10 driver run died rc=124 with an EMPTY tail
+    # because the contract JSON printed only after every section
+    # finished — one slow optional section forfeited the whole record,
+    # including a headline that completed 40+ minutes earlier. Now:
+    # the headline+export contract line prints (flushed) as soon as it
+    # exists, and each optional section launches only while wall-clock
+    # budget remains; sections past the deadline are SKIPPED and named
+    # in `sections_skipped` instead of timing out the run.
+    deadline_sec = float(
+        os.environ.get("SPARK_GRAFT_BENCH_DEADLINE_SEC", "1500")
+    )
+
+    def _remaining() -> float:
+        return deadline_sec - (time.monotonic() - t_main0)
 
     # Child modes: run ONE section in this (quiet) JVM and emit its
     # dict as the sole stdout JSON line, stamped with start/end host
@@ -127,7 +150,7 @@ def main() -> None:
     hl = _run_child(
         sf_dir, "--headline-only",
         max_attempts=min(2, int(os.environ.get(
-            "SPARK_GRAFT_BENCH_ATTEMPTS", "3"
+            "SPARK_GRAFT_BENCH_ATTEMPTS", "1"
         ))),
     )
     if "error" in hl or "queries" not in hl:
@@ -165,29 +188,58 @@ def main() -> None:
     # on child failure the export dict carries an "error" key and the
     # headline total stays a valid number over the 18 compute queries
 
-    # Scale section in a FRESH subprocess JVM: all sections need a
-    # quiet JVM (after a few hundred stages the same plans run 1.3-5×
-    # slower from accumulated driver/executor pressure — measured:
-    # running scale first inflated every headline query 1.2-1.4×, and
-    # the r3 in-JVM headline export ran 2.1 s vs 0.9 s fresh).
-    # A child process is the only real isolation in local mode — the
-    # gateway JVM survives a SparkContext restart.
-    scale = _run_child(sf_dir, "--scale-only")
+    # EARLY contract line: the headline record is complete at this
+    # point — print it (flushed) so that even if a later optional
+    # section stalls or the driver's own timeout fires mid-scale, the
+    # final ~2000 chars of stdout still hold a parseable contract line
+    # (the r10 record was lost exactly this way: rc=124, empty tail).
+    # The final compact line printed at the end supersedes this one
+    # for tail parsers; head parsers skip both (detail is line 2).
+    early = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "partial": "headline+export only; optional sections follow",
+    }
+    print(json.dumps(early, separators=(",", ":")), flush=True)
+
+    # Optional sections, each gated on the remaining wall-clock budget
+    # (the headline record above is never at risk from them). Scale
+    # runs in a FRESH subprocess JVM: all sections need a quiet JVM
+    # (after a few hundred stages the same plans run 1.3-5× slower from
+    # accumulated driver/executor pressure — measured: running scale
+    # first inflated every headline query 1.2-1.4×, and the r3 in-JVM
+    # headline export ran 2.1 s vs 0.9 s fresh). A child process is the
+    # only real isolation in local mode — the gateway JVM survives a
+    # SparkContext restart.
+    sections_skipped: list[str] = []
+
+    def _gated_child(name: str, flag: str) -> dict:
+        rem = _remaining()
+        if rem <= 60:
+            sections_skipped.append(name)
+            return {"skipped": f"bench deadline ({deadline_sec:.0f}s) reached"}
+        return _run_child(sf_dir, flag, child_timeout=rem + 120)
+
+    scale = _gated_child("scale", "--scale-only")
     # floor rows in their own fresh JVM (see --floor-only): the scale
     # child has executed ~600 stages by the time it would reach them,
     # and driver/executor wear measured 2× on the blocks scan
-    if "error" not in scale:
-        scale["floor_at_1m_rows"] = _run_child(sf_dir, "--floor-only")
+    if "error" not in scale and "skipped" not in scale:
+        scale["floor_at_1m_rows"] = _gated_child("floor", "--floor-only")
         # serving rows in ANOTHER fresh JVM (see --serve-only), merged
         # under floor_at_1m_rows so the artifact layout readers/judges
         # diff round-to-round stays stable; the serve child's own
         # host signature rides along under its own key
-        serve = _run_child(sf_dir, "--serve-only")
+        serve = _gated_child("serve", "--serve-only")
         floor = scale["floor_at_1m_rows"]
-        if "error" in serve:
+        if "error" in serve or "skipped" in serve:
+            reason = serve.get("error") or serve.get("skipped")
             for k in ("retrieval_rrf_hybrid", "bm25_index_serve",
                       "ann_recall_curve"):
-                floor.setdefault(k, {"error": serve["error"]})
+                floor.setdefault(k, {"error": reason})
         else:
             floor.update({
                 k: v for k, v in serve.items()
@@ -202,7 +254,7 @@ def main() -> None:
             if serve.get("load_warning_persisted"):
                 floor["serve_child_load_warning_persisted"] = True
         # S10 extract-path throughput, own fresh JVM (see extract_section)
-        scale["extract_sra_xml"] = _run_child(sf_dir, "--extract-only")
+        scale["extract_sra_xml"] = _gated_child("extract", "--extract-only")
 
     total = round(sum(timings.values()), 3)
     oracle = {
@@ -236,13 +288,16 @@ def main() -> None:
         "scale": scale,
         "oracle_duckdb": oracle,
         "host_signature": {**hl_sig, "load_warning": load_warning},
+        "elapsed_sec": round(time.monotonic() - t_main0, 1),
+        "deadline_sec": deadline_sec,
+        "sections_skipped": sections_skipped,
     }
-    # Two JSON lines, full detail FIRST and a compact contract line
-    # LAST. The round driver keeps only the final ~2000 chars of stdout
-    # and parses a JSON line out of that window; the full detail dict
-    # outgrew the window in round 4 ("parsed": null), so the LAST line
-    # must fit the window whole. A head-reading driver gets the full
-    # detail from line 1 instead — both parse. The detail also lands in
+    # Full detail line, then the compact contract line LAST. The round
+    # driver keeps only the final ~2000 chars of stdout and parses a
+    # JSON line out of that window; the full detail dict outgrew the
+    # window in round 4 ("parsed": null), so the LAST line must fit the
+    # window whole. A head-reading driver gets the full detail from
+    # this line instead — both parse. The detail also lands in
     # BENCH_DETAIL.json for readers of the repo.
     print(json.dumps(detail))
     # $SPARK_GRAFT_DETAIL_PATH redirects the detail file so test runs
@@ -267,6 +322,8 @@ def main() -> None:
         compact["export_ratio_vs_duckdb"] = export["ratio_vs_duckdb"]
     if load_warning:
         compact["load_warning"] = True
+    if sections_skipped:
+        compact["sections_skipped"] = sections_skipped
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) >= 1900:
         # explicit raise, not assert: asserts vanish under `python -O`
@@ -442,7 +499,7 @@ def _load_signature() -> dict:
     return sig
 
 
-def _run_child_once(sf_dir: str, flag: str) -> dict:
+def _run_child_once(sf_dir: str, flag: str, timeout: float = 2400) -> dict:
     """One fresh-subprocess-JVM run of ``flag``; parse its single JSON
     stdout line. A crashed child must surface as an ``error`` key,
     never an empty dict."""
@@ -451,7 +508,7 @@ def _run_child_once(sf_dir: str, flag: str) -> dict:
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), flag],
-            capture_output=True, text=True, timeout=2400,
+            capture_output=True, text=True, timeout=min(2400.0, timeout),
             env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
         )
         for line in reversed(proc.stdout.strip().splitlines()):
@@ -474,7 +531,12 @@ def _run_child_once(sf_dir: str, flag: str) -> dict:
         return {"error": str(exc)[:200]}
 
 
-def _run_child(sf_dir: str, flag: str, max_attempts: int | None = None) -> dict:
+def _run_child(
+    sf_dir: str,
+    flag: str,
+    max_attempts: int | None = None,
+    child_timeout: float = 2400,
+) -> dict:
     """Weather-retrying child runner: a child whose own start/end host
     signatures warn is re-run (bounded) and the CLEANEST attempt is
     kept — smallest end-calibration deviation from the quiet anchor —
@@ -486,24 +548,32 @@ def _run_child(sf_dir: str, flag: str, max_attempts: int | None = None) -> dict:
     here, and a fresh-process re-run is the only recovery that can
     tell them apart); a second crash is returned as the error."""
     if max_attempts is None:
-        # SPARK_GRAFT_BENCH_ATTEMPTS=1 disables weather retries (the
-        # contract test uses it: retries are runtime-only behavior)
-        max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
+        # Weather retries default OFF (r10 verdict: on a loaded host the
+        # retry protocol tripled child cost at exactly the worst moment
+        # and timed out the whole record — annotate weather instead of
+        # re-running). SPARK_GRAFT_BENCH_ATTEMPTS>1 re-enables them.
+        max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "1"))
     # 0/negative would skip the loop and silently record an EMPTY
     # section with neither data nor an "error" key (round-9 advice)
     max_attempts = max(1, max_attempts)
     best: dict = {}
     best_dev = float("inf")
     first_crash: str | None = None
-    for attempt in range(1, max_attempts + 1):
-        res = _run_child_once(sf_dir, flag)
+    attempt = 0
+    while attempt < max_attempts:
+        res = _run_child_once(sf_dir, flag, timeout=child_timeout)
         if "error" in res:
-            if first_crash is None and max_attempts > 1:
+            # one fresh-process crash retry, independent of the weather
+            # protocol and NOT consuming a weather attempt (r9: a
+            # transient host fault looks identical to a bug from here;
+            # a fresh-process re-run is the only recovery that can tell
+            # them apart); a second crash is returned as the error
+            if first_crash is None:
                 first_crash = res["error"]
-                continue  # one fresh-process crash retry
-            if first_crash is not None:
-                res["first_error"] = first_crash
+                continue
+            res["first_error"] = first_crash
             return res
+        attempt += 1
         res["attempts"] = attempt
         if first_crash is not None:
             res["crash_retried"] = first_crash
@@ -1027,6 +1097,61 @@ def scale_section(spark, sf_dir: str, rep: int = 100) -> dict:
     if ctl_md5 < float("inf"):
         out["dedup_minhash_lsh"]["duckdb_md5_sec"] = round(ctl_md5, 3)
         out["dedup_minhash_lsh"]["ratio_vs_duckdb_md5"] = round(sec / ctl_md5, 2)
+
+    # 2s. SKEW probe (r10 verdict item 6): the banding join's worst
+    # shape is a mega duplicate cluster — every copy emits the SAME
+    # (band, bsig) keys, the single-enormous-key case AQE's skew
+    # handling cannot split (it only splits joins, and can never split
+    # one key; guide §2.5). Here ~10% of the corpus (every 10th base
+    # doc's replicas, UNSALTED) collapses into one cluster of identical
+    # documents. ``max_bucket_size`` is the corpus-scale contract for
+    # degenerate clusters (emitting the mega-cluster's n² pairs is
+    # never the wanted output), so BOTH shapes run with the same cap
+    # and the ratio isolates the skewed key distribution alone: hot
+    # buckets still pay their collect_list on one reducer each before
+    # the size filter drops them. Pass criterion (verdict): ≤ 1.5×.
+    fixed_txt = (
+        d.selectExpr(
+            "doc_id",
+            "trim(regexp_replace(text, ' +', ' ')) AS t",
+        ).filter("t <> ''").orderBy("doc_id").head()["t"]
+    )
+    fixed_lit = fixed_txt.replace("\\", "\\\\").replace("'", "\\'")
+    d_skew = d.select("doc_id", "text", repx).select(
+        (F.col("doc_id") * rep + F.col("__rep")).alias("doc_id"),
+        F.expr(
+            f"CASE WHEN doc_id % 10 = 0 THEN '{fixed_lit}' "
+            "WHEN trim(text) = '' THEN '' ELSE"
+            " concat(regexp_replace(trim(regexp_replace(text, ' +', ' ')),"
+            " ' ', concat('_', __rep, ' ')), '_', __rep) END"
+        ).alias("text"),
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    sh_skew = dedup.shingles(d_skew, "text", "doc_id", n=3, distinct=False)
+    cand_skew = dedup.minhash_lsh_candidates(
+        sh_skew, "doc_id", num_hashes=12, bands=4,
+        hash_family="xxhash64", max_bucket_size=1000,
+    )
+    cand_uni = dedup.minhash_lsh_candidates(
+        sh, "doc_id", num_hashes=12, bands=4,
+        hash_family="xxhash64", max_bucket_size=1000,
+    )
+    skew_sec = uni_sec = float("inf")
+    for _ in range(2):  # interleaved min-of-2, same-window pairing
+        t0 = time.perf_counter()
+        n_pairs_skew = cand_skew.count()
+        skew_sec = min(skew_sec, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        cand_uni.count()
+        uni_sec = min(uni_sec, time.perf_counter() - t0)
+    out["dedup_minhash_lsh_skew"] = {
+        "rows": n_docs,
+        "skew_shape": "10% of corpus one duplicate cluster",
+        "max_bucket_size": 1000,
+        "sec": round(skew_sec, 3),
+        "uniform_sec": round(uni_sec, 3),
+        "ratio_vs_uniform": round(skew_sec / uni_sec, 2),
+        "pairs": n_pairs_skew,
+    }
 
     # 2a. Paragraph-level dedup with document reassembly at rep× docs
     # (the corpus-REWRITE hot path: chunk → global first-occurrence

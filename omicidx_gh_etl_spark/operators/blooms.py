@@ -80,8 +80,10 @@ def _word_and_mask_sql(
     objects) per the py4j-assembly lesson: one parse beats k round
     trips, and the generated plan is identical. ``num_hashes`` ≤ 10:
     each bit choice consumes 6 bits of the 64-bit in-word hash."""
-    if num_hashes > 10:
-        raise ValueError("num_hashes must be <= 10 (6 bits per choice)")
+    if not 1 <= num_hashes <= 10:
+        # < 1 would emit mask SQL "()" — a confusing analyzer parse
+        # error at build/probe time instead of a clear one here
+        raise ValueError("num_hashes must be in 1..10 (6 bits per choice)")
     n_words = num_bits // 64
     idx = f"pmod(xxhash64({key_sql}, 1), {n_words}L)"
     h2 = f"xxhash64({key_sql}, 2)"

@@ -58,7 +58,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.layout import write_bucketed
-from .text import bm25_build_index, bm25_score_pruned_postings
+from .text import bm25_score_pruned_postings, tokens_sql
 
 
 class Bm25Index:
@@ -109,39 +109,86 @@ class Bm25Index:
         id_col: str,
         n_buckets: int = 32,
     ) -> None:
-        """One corpus scan → persisted index. The exploded projection
-        is materialized once (``bm25_build_index(materialize=True)``),
-        so postings, dfreq and stats all derive from it without
-        re-tokenizing; the postings are repartitioned on ``term``
-        BEFORE the bucketed write (same Murmur3 pmod as the bucket
-        spec), so each bucket is exactly one sorted file instead of
-        tasks × buckets fragments."""
+        """ONE corpus tokenize pass → persisted index (r11 restructure;
+        guide §2.4 "two operations keyed the same way share one
+        exchange"). The former build derived postings/dfreq/stats via
+        ``bm25_build_index(materialize=True)`` — which tokenized the
+        corpus TWICE (postings and per-doc lengths are separate
+        lineages, each ``localCheckpoint``-pinned) — and then paid a
+        second term shuffle for the bucketed layout plus dfreq's own
+        aggregate + repartition: 2 tokenize passes, a checkpoint
+        write/read of the whole postings, 5 exchanges. Now:
+
+        - the (doc, term, dl) aggregate sits ABOVE an explicit
+          ``repartition(n_buckets, term)`` — hashpartitioning(term)
+          satisfies the aggregate's clustering, and its Murmur3-pmod
+          layout is exactly the bucket spec, so the SAME exchange
+          feeds the aggregate and the bucketed write (one file per
+          bucket, no extra shuffle);
+        - ``dfreq`` derives from the WRITTEN postings table: the
+          bucketed scan reports hashpartitioning(term, n_buckets), so
+          its groupBy(term) and its bucketed write are both
+          exchange-free;
+        - stats come from the narrow distinct (doc_id, __dl)
+          projection of the postings plus the corpus row count
+          (token-less docs count toward n with dl=0, exactly as the
+          explode_outer path counted them; integer-valued doubles sum
+          exactly in any order, so sum/count is bit-identical to the
+          former avg()).
+
+        Measured at the bench shape (2M docs, 256 buckets, interleaved
+        A/B): build 35.1 s → 30.6 s first pass, 56.2 s → 27.5 s second
+        pass (contended window), with all three table hashes and the
+        serve output identical (tools/r11_bm25_build_ab.py;
+        tests pin serve equivalence)."""
         for t in (self.postings_table, self.dfreq_table, self.stats_table):
             _drop_table_and_location(self.spark, t)
-        postings, dfreq, stats = bm25_build_index(
-            docs, text_col, id_col, materialize=True
+        toks = tokens_sql(f"coalesce(`{text_col}`, '')")
+        exploded = docs.selectExpr(
+            f"`{id_col}`", f"{toks} AS __t"
+        ).selectExpr(
+            f"`{id_col}`", "size(__t) AS __dl", "__t"
+        ).select(
+            F.col(id_col), F.col("__dl"), F.explode_outer("__t").alias("term")
         )
-        canon = postings.select(
-            F.col(id_col).alias("doc_id"), "term", "__dl", "tf"
+        postings = (
+            exploded.filter(F.col("term").isNotNull())
+            .select(F.col(id_col).alias("doc_id"), "term", "__dl")
+            .repartition(n_buckets, F.col("term"))
+            .groupBy("doc_id", "term", "__dl")
+            .agg(F.count("*").alias("tf"))
+            .select("doc_id", "term", "__dl", "tf")
         )
         write_bucketed(
-            canon.repartition(n_buckets, F.col("term")),
+            postings,  # already hash(term)-partitioned — no re-shuffle
             self.postings_table,
             ["term"],
             num_buckets=n_buckets,
             sort_cols=["term", "doc_id"],
         )
+        p = self.spark.table(self.postings_table)
+        # tf ≥ 1 always; the count(tf > 0) form keeps df arithmetic
+        # identical to the one-shot operators (see bm25_build_index)
+        dfreq = p.groupBy("term").agg(
+            F.count(F.when(F.col("tf") > 0, True)).alias("df")
+        )
         write_bucketed(
-            dfreq.repartition(n_buckets, F.col("term")),
+            dfreq,  # bucketed scan → agg → write, all term-partitioned
             self.dfreq_table,
             ["term"],
             num_buckets=n_buckets,
             sort_cols=["term"],
         )
-        stats.write.mode("overwrite").saveAsTable(self.stats_table)
-        # refresh the driver-side metadata for the new index version
-        row = self.spark.table(self.stats_table).collect()[0]
-        self._stats = (row["__n"], row["__avgdl"])
+        n_total = docs.count()
+        sum_dl = (
+            p.select("doc_id", "__dl").distinct()
+            .agg(F.sum("__dl")).collect()[0][0]
+        ) or 0
+        avgdl = float(sum_dl) / float(n_total) if n_total else None
+        self.spark.createDataFrame(
+            [(n_total, avgdl)], "__n long, __avgdl double"
+        ).write.mode("overwrite").saveAsTable(self.stats_table)
+        self._stats = (n_total, avgdl)
         self._df_cache = {}
 
     def serve(

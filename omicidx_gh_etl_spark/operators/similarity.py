@@ -67,6 +67,13 @@ _FOLD_MAX_CENTROIDS = 1024
 # map's per-row value copy loses to the broadcast hash join — see
 # _probe_inline_sql's crossover measurement
 _PROBE_INLINE_MAX_ENTRIES = 64
+# unrolled-cosine dims cap: the straight-line form emits ~2 codegen
+# expressions per dimension TWICE (dot + self-dot); past the cap the
+# generated method risks the JVM's 64 KB method-size codegen fallback
+# and plan-build/constant-folding blowup — the same failure family as
+# the 26.7 s per-element-cast note in _unrolled_query_cos_sql's
+# docstring. See the r11 measurement in OPTIMIZATION_r11.md.
+_UNROLL_MAX_DIMS = 256
 
 
 def _centroid_fold_sql(
@@ -228,6 +235,13 @@ def _probe_inline_sql(
     import math
     from decimal import ROUND_HALF_UP, Decimal
 
+    # nprobe < 1 must keep the join path (r10 advice): nprobe=0 would
+    # emit an empty map() literal (VOID type → AnalysisException on
+    # explode), and a NEGATIVE nprobe would hit Python's negative
+    # slicing in ranked[:nprobe] and return rows where the join path
+    # returns none — a silent parity break between the two paths.
+    if int(nprobe) < 1:
+        return None
     qdt = queries.schema[query_id_col].dataType.simpleString()
     if qdt not in ("tinyint", "smallint", "int", "bigint"):
         return None
@@ -282,6 +296,8 @@ def _probe_inline_sql(
             probes_by_cell.setdefault(cid, []).append(
                 (int(r["qid"]), qv, qn)
             )
+    if not probes_by_cell:
+        return None  # an empty map() literal is VOID-typed — unusable
     items = []
     for cid in sorted(probes_by_cell):
         structs = ", ".join(
@@ -340,6 +356,12 @@ def _unrolled_query_cos_sql(qvd: list, vec: str = "v") -> str | None:
     import math
 
     if not qvd or any(x is None or not math.isfinite(x) for x in qvd):
+        return None
+    if len(qvd) > _UNROLL_MAX_DIMS:
+        # mirror the module's other literal-inliner size guards
+        # (_FOLD_MAX_CENTROIDS, _PROBE_INLINE_MAX_ENTRIES): a
+        # high-dimensional query would unroll into thousands of
+        # multiply-add terms twice — fall back to the fold engine
         return None
     dims = len(qvd)
     qacc = 0.0

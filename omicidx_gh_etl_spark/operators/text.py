@@ -1142,8 +1142,11 @@ def bm25_score_pruned_postings(
     [q_ids]`` — workload-bounded by contract, constant-folded by
     Catalyst): the plan is one job — pruned postings scan → map-side
     explode/score → (q_id, id) aggregate → per-query rank window —
-    with the two q_id-keyed exchanges as its only shuffles
-    (tests/test_plans.py pins exactly that).
+    with ONE q_id-keyed exchange as its only shuffle: an explicit
+    repartition(q_id) below the aggregate serves both the aggregate's
+    and the window's clustering (tests/test_plans.py pins exactly
+    that; r11 measured 0.553→0.453 s / 3.100→2.595 s at the bench
+    shapes vs the former two-exchange tail).
 
     Tried and REVERTED (r10, measured): replacing the two literal
     maps with a broadcast-hash-joined ``VALUES`` inline table —
@@ -1203,7 +1206,19 @@ def bm25_score_pruned_postings(
         F.col(id_col),
         part.alias("part"),
     )
-    scored = contrib.groupBy("q_id", id_col).agg(
+    # ONE q_id-keyed exchange for the whole tail (r11, guide §2.4
+    # "two operations keyed the same way share one exchange"):
+    # hashpartitioning(q_id) satisfies the (q_id, id) score aggregate's
+    # clustering AND the rank window's, so the explicit repartition
+    # below the aggregate replaces the plan's former two exchanges —
+    # (q_id, id) for the aggregate, then q_id again for the window.
+    # The map-side partial aggregation this forgoes only merged
+    # same-(q_id, doc) contributions (multi-term matches of one query),
+    # a small reduction; measured at the bench shape (2M docs, 256
+    # buckets, interleaved min-of-5/3 same window): 200-pair batch
+    # 0.553 s → 0.453 s, 2000-pair batch 3.100 s → 2.595 s, rows
+    # bit-identical both shapes.
+    scored = contrib.repartition("q_id").groupBy("q_id", id_col).agg(
         F.round(F.sum("part"), 4).alias("score")
     )
     win = W.partitionBy("q_id").orderBy(F.desc("score"), F.asc(id_col))

@@ -285,6 +285,62 @@ def test_ivf_search_probe_inline_matches_join_path(spark, sf_dir):
         )
 
 
+def test_ivf_search_nonpositive_nprobe_keeps_join_path(spark):
+    """r10 advice: nprobe=0 inlined an empty map() literal (VOID type →
+    AnalysisException on explode) and a NEGATIVE nprobe hit Python's
+    negative slicing in the driver ranking — returning rows where the
+    join path returns none. The guard routes nprobe < 1 to the join
+    path, so both paths agree (empty result)."""
+    from unittest import mock
+
+    from omicidx_gh_etl_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1])], "vec_id int, embedding array<double>"
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "centroid_id int, cv array<double>"
+    )
+    q = spark.createDataFrame([(7, [1.0, 0.05])], "q_id int, qv array<double>")
+    for nprobe in (0, -1):
+        got = similarity.ivf_search(emb, cents, q, k=10, nprobe=nprobe)
+        with mock.patch.object(
+            similarity, "_probe_inline_sql", lambda *a, **k: None
+        ):
+            want = similarity.ivf_search(emb, cents, q, k=10, nprobe=nprobe)
+        assert got.collect() == want.collect() == []
+
+
+def test_bloom_num_hashes_bounds():
+    """num_hashes < 1 must raise HERE (r10 advice) — 0 hash choices
+    would emit mask SQL "()" and fail later with a confusing analyzer
+    parse error at build/probe time."""
+    import pytest as _pytest
+
+    from omicidx_gh_etl_spark.operators.blooms import _word_and_mask_sql
+
+    for bad in (0, -3):
+        with _pytest.raises(ValueError, match="num_hashes"):
+            _word_and_mask_sql("k", bad, 1 << 10)
+    idx, mask = _word_and_mask_sql("k", 1, 1 << 10)
+    assert "shiftleft" in mask
+
+
+def test_unrolled_cosine_dims_cap():
+    """r10 advice: the straight-line codegen cosine must bound its
+    generated SQL like the module's other literal inliners — above
+    _UNROLL_MAX_DIMS it returns None and the caller keeps the fold
+    engine (JVM codegen method-size / plan-build blowup risk)."""
+    from omicidx_gh_etl_spark.operators.similarity import (
+        _UNROLL_MAX_DIMS,
+        _unrolled_query_cos_sql,
+    )
+
+    at_cap = _unrolled_query_cos_sql([1.0] * _UNROLL_MAX_DIMS)
+    assert at_cap is not None and "CASE WHEN" in at_cap
+    assert _unrolled_query_cos_sql([1.0] * (_UNROLL_MAX_DIMS + 1)) is None
+
+
 def test_winnow_shared_passage_shares_fingerprint(spark):
     from omicidx_gh_etl_spark.operators import text as T
 

@@ -444,6 +444,10 @@ def test_bm25_index_serve_prunes_buckets_no_postings_shuffle(spark):
     assert parts, "expected the q_id-keyed score/rank exchanges"
     for keys in parts:
         assert "q_id" in keys, f"non-q_id shuffle in serve plan: {keys}"
+    # r11: the score aggregate and the rank window share ONE q_id
+    # exchange (explicit repartition below the aggregate —
+    # hashpartitioning(q_id) satisfies both operators' clustering)
+    assert len(parts) == 1, f"serve tail regressed to {len(parts)} shuffles"
     # and those are the ONLY plain shuffles (no SinglePartition/range,
     # no workload-keyed distinct exchanges — deduped driver-side)
     body = plan.split("\n\n")[0]
