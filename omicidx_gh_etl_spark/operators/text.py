@@ -1102,17 +1102,18 @@ def bm25_serve(
             ).alias("part"),
         )
     )
-    from pyspark.sql import Window as W
-
-    scored = contrib.groupBy("q_id", id_col).agg(
-        F.round(F.sum("part"), 4).alias("score")
-    )
-    win = W.partitionBy("q_id").orderBy(F.desc("score"), F.asc(id_col))
-    return (
-        scored.filter(F.col("score") > 0)
-        .withColumn("rk", F.row_number().over(win).cast("int"))
-        .filter(F.col("rk") <= k)
-    )
+    # Catalyst's default 2-exchange tail, NOT _rank_scored_tail (r11,
+    # measured): the single-exchange tail was a wash here (interleaved
+    # min-of-5 at 500k docs x 20 queries: 1.293 s vs 1.270 s,
+    # tools/r11_batch_topk_tail_ab.py) because the one-shot path is
+    # tokenize-scan-bound — and unlike the serve path its contrib
+    # stream is corpus-scan-sized, so repartition(q_id) would cap the
+    # aggregate's parallelism at the batch's distinct-query count and
+    # forgo the map-side partial agg + WindowGroupLimit that bound the
+    # second exchange's traffic at scale. The serve kernel keeps the
+    # 1-exchange tail: its postings are term-pruned (workload-bounded
+    # by contract), where the exchange saved is a measured win.
+    return _default_rank_tail(contrib, id_col, k)
 
 
 def bm25_score_pruned_postings(
@@ -1167,8 +1168,6 @@ def bm25_score_pruned_postings(
     with df ≤ 0) cannot match any posting and are dropped from the
     maps.
     """
-    from pyspark.sql import Window as W
-
     qids_by_term: dict = {}
     for q_id, t in sorted(set(qpairs)):
         if t in df_by_term and df_by_term[t] > 0:
@@ -1206,19 +1205,50 @@ def bm25_score_pruned_postings(
         F.col(id_col),
         part.alias("part"),
     )
-    # ONE q_id-keyed exchange for the whole tail (r11, guide §2.4
-    # "two operations keyed the same way share one exchange"):
-    # hashpartitioning(q_id) satisfies the (q_id, id) score aggregate's
-    # clustering AND the rank window's, so the explicit repartition
-    # below the aggregate replaces the plan's former two exchanges —
-    # (q_id, id) for the aggregate, then q_id again for the window.
-    # The map-side partial aggregation this forgoes only merged
-    # same-(q_id, doc) contributions (multi-term matches of one query),
-    # a small reduction; measured at the bench shape (2M docs, 256
-    # buckets, interleaved min-of-5/3 same window): 200-pair batch
-    # 0.553 s → 0.453 s, 2000-pair batch 3.100 s → 2.595 s, rows
-    # bit-identical both shapes.
+    return _rank_scored_tail(contrib, id_col, k)
+
+
+def _rank_scored_tail(contrib, id_col: str, k: int):
+    """(q_id, id, part) contributions → positive-score top-k per query
+    with ONE q_id-keyed exchange (r11, guide §2.4 "two operations keyed
+    the same way share one exchange"): hashpartitioning(q_id) satisfies
+    the (q_id, id) score aggregate's clustering AND the rank window's,
+    so the explicit repartition below the aggregate replaces the former
+    two exchanges — (q_id, id) for the aggregate, then q_id again for
+    the window. The map-side partial aggregation this forgoes only
+    merged same-(q_id, doc) contributions (multi-term matches of one
+    query), a small reduction. Measured on the persisted-index serve at
+    the bench shape (2M docs, 256 buckets, interleaved min-of-5/3 same
+    window): 200-pair batch 0.553 s → 0.453 s, 2000-pair batch
+    3.100 s → 2.595 s, rows bit-identical both shapes. Score
+    arithmetic unchanged: round(sum(part), 4), (score desc, id)
+    tiebreak, score > 0 filter."""
+    from pyspark.sql import Window as W
+
     scored = contrib.repartition("q_id").groupBy("q_id", id_col).agg(
+        F.round(F.sum("part"), 4).alias("score")
+    )
+    win = W.partitionBy("q_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.filter(F.col("score") > 0)
+        .withColumn("rk", F.row_number().over(win).cast("int"))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def _default_rank_tail(contrib, id_col: str, k: int):
+    """(q_id, id, part) contributions → positive-score top-k per query
+    via Catalyst's default tail: (q_id, id) exchange for the score
+    aggregate (map-side partial agg intact), then a q_id exchange whose
+    traffic the map-side WindowGroupLimit bounds to ~k rows per query
+    per mapper. The scale-robust shape for corpus-sized contrib
+    streams — see the call sites and :func:`_rank_scored_tail` (the
+    1-exchange variant for workload-bounded pruned-postings serves).
+    Identical arithmetic: round(sum(part), 4), (score desc, id)
+    tiebreak, score > 0 filter."""
+    from pyspark.sql import Window as W
+
+    scored = contrib.groupBy("q_id", id_col).agg(
         F.round(F.sum("part"), 4).alias("score")
     )
     win = W.partitionBy("q_id").orderBy(F.desc("score"), F.asc(id_col))
@@ -1347,14 +1377,8 @@ def bm25_batch_topk(
             ).alias("part"),
         )
     )
-    from pyspark.sql import Window as W
-
-    scored = contrib.groupBy("q_id", id_col).agg(
-        F.round(F.sum("part"), 4).alias("score")
-    )
-    win = W.partitionBy("q_id").orderBy(F.desc("score"), F.asc(id_col))
-    return (
-        scored.filter(F.col("score") > 0)
-        .withColumn("rk", F.row_number().over(win).cast("int"))
-        .filter(F.col("rk") <= k)
-    )
+    # default 2-exchange tail, same rationale as bm25_serve above: the
+    # one-shot contrib stream is corpus-scan-sized, so the 1-exchange
+    # tail's q_id-bounded parallelism is the wrong trade here
+    # (measured a wash at the bench shape; tools/r11_batch_topk_tail_ab.py)
+    return _default_rank_tail(contrib, id_col, k)
